@@ -1,0 +1,142 @@
+"""Gap-based sessionization via cumulative-sum session ids (SURVEY.md W6).
+
+Reference analog: the run-length walk in
+``src/preparation/features/medianwidth.py:18-41`` — close a run at a
+transition, accumulate lengths. Transposed to transcripts: a new session
+starts when the idle gap ``ts - lag(ts)`` exceeds a threshold; the session
+id is the running count of session starts (gaps-and-islands).
+
+Two implementations:
+
+- ``sessionize``: one window over ``partitionBy(key)`` — one shuffle, fine
+  whenever a single conversation fits a task.
+- ``sessionize_salted``: two-phase for mega-entity skew — per-(key, bucket)
+  partial cumsums plus a tiny per-key bucket-offset window, so no single
+  task ever holds a whole mega-conversation. Identical results by
+  construction (tested).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+DEFAULT_GAP_SECONDS = 1800
+
+
+def _new_session_flag(ts: str, gap_seconds: int, w) -> F.Column:
+    prev_ts = F.lag(ts).over(w)
+    gap = F.col(ts).cast("double") - prev_ts.cast("double")
+    return F.when(prev_ts.isNull() | (gap > F.lit(float(gap_seconds))), F.lit(1)).otherwise(
+        F.lit(0)
+    )
+
+
+def sessionize(
+    df: DataFrame,
+    key: str = "conv_id",
+    ts: str = "ts",
+    tie: str = "turn_idx",
+    gap_seconds: int = DEFAULT_GAP_SECONDS,
+    out: str = "session_id",
+) -> DataFrame:
+    """Add 1-based ``session_id`` per key: cumsum of gap-start flags."""
+    w = Window.partitionBy(key).orderBy(ts, tie)
+    flag = _new_session_flag(ts, gap_seconds, w)
+    cum = Window.partitionBy(key).orderBy(ts, tie).rowsBetween(Window.unboundedPreceding, 0)
+    return df.withColumn("__new_sess", flag).withColumn(
+        out, F.sum("__new_sess").over(cum).cast("long")
+    ).drop("__new_sess")
+
+
+def sessionize_salted(
+    df: DataFrame,
+    key: str = "conv_id",
+    ts: str = "ts",
+    tie: str = "turn_idx",
+    gap_seconds: int = DEFAULT_GAP_SECONDS,
+    out: str = "session_id",
+    bucket_seconds: int = 86400,
+    broadcast_bounds: bool = True,
+) -> DataFrame:
+    """Skew-safe sessionize: salt by contiguous time bucket, merge offsets.
+
+    Phase 1: bucket = floor(epoch/bucket_seconds); cumsum of start flags
+    within (key, bucket). The flag at each bucket's first row needs the
+    previous bucket's last ts — fetched via a per-(key,bucket) boundary
+    aggregate (tiny: one row per bucket) joined back, NOT a full-entity
+    window.
+    Phase 2: per-key running offset over bucket totals (window over the
+    tiny boundary table), added to the in-bucket partial cumsum.
+
+    Catalyst's skew mitigation covers joins, not windows (SURVEY.md §4) —
+    this is the explicit salted-window pattern the north rule requires.
+
+    ``broadcast_bounds``: the boundary/offset tables have one row per
+    (key, bucket). Broadcast when keys×buckets is small relative to driver
+    memory (the common case — only skewed keys need this path); set False
+    to let AQE pick a shuffle join when key cardinality is huge.
+    """
+    eps = F.col(ts).cast("double")
+    b = df.withColumn("__bucket", F.floor(eps / F.lit(float(bucket_seconds))).cast("long"))
+
+    # Boundary table: one row per (key, bucket) — last ts in bucket.
+    bounds = b.groupBy(key, "__bucket").agg(
+        F.max(F.col(ts).cast("double")).alias("__bucket_max_ts"),
+        F.count(F.lit(1)).alias("__bucket_rows"),
+    )
+    wprev = Window.partitionBy(key).orderBy("__bucket")
+    bounds = bounds.withColumn("__prev_bucket_max_ts", F.lag("__bucket_max_ts").over(wprev))
+
+    wb = Window.partitionBy(key, "__bucket").orderBy(ts, tie)
+    prev_ts = F.lag(F.col(ts).cast("double")).over(wb)
+    # first row of a bucket compares against the previous bucket's last ts
+    eff_prev = F.coalesce(prev_ts, F.col("__prev_bucket_max_ts"))
+    flag = F.when(
+        eff_prev.isNull() | ((eps - eff_prev) > F.lit(float(gap_seconds))), F.lit(1)
+    ).otherwise(F.lit(0))
+
+    bsel = bounds.select(key, "__bucket", "__prev_bucket_max_ts")
+    if broadcast_bounds:
+        bsel = F.broadcast(bsel)
+    withflag = b.join(bsel, on=[key, "__bucket"], how="left").withColumn("__new_sess", flag)
+
+    cumb = Window.partitionBy(key, "__bucket").orderBy(ts, tie).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    partial = withflag.withColumn("__partial", F.sum("__new_sess").over(cumb))
+
+    # Per-(key,bucket) totals → running offset of all PRIOR buckets.
+    totals = partial.groupBy(key, "__bucket").agg(F.sum("__new_sess").alias("__tot"))
+    woff = (
+        Window.partitionBy(key)
+        .orderBy("__bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = totals.withColumn("__offset", F.coalesce(F.sum("__tot").over(woff), F.lit(0)))
+
+    osel = offsets.select(key, "__bucket", "__offset")
+    if broadcast_bounds:
+        osel = F.broadcast(osel)
+    merged = partial.join(osel, on=[key, "__bucket"], how="left")
+    return (
+        merged.withColumn(out, (F.col("__partial") + F.col("__offset")).cast("long"))
+        .drop("__bucket", "__prev_bucket_max_ts", "__new_sess", "__partial", "__offset")
+    )
+
+
+def session_stats(
+    df_with_sessions: DataFrame,
+    key: str = "conv_id",
+    ts: str = "ts",
+    session_col: str = "session_id",
+) -> DataFrame:
+    """Per-session aggregates: turn count, start/end, duration seconds."""
+    return df_with_sessions.groupBy(key, session_col).agg(
+        F.count(F.lit(1)).alias("n_turns"),
+        F.min(ts).alias("session_start"),
+        F.max(ts).alias("session_end"),
+        (F.max(F.col(ts).cast("double")) - F.min(F.col(ts).cast("double"))).alias(
+            "duration_sec"
+        ),
+    )
