@@ -124,7 +124,11 @@ def asof_join_salted(
     value_cols = list(value_cols) if value_cols is not None else [
         c for c in data.columns if c not in (by, on, tie)
     ]
-    bucket = lambda c: F.floor(F.col(c).cast("double") / F.lit(float(bucket_seconds))).cast("long")  # noqa: E731
+
+    def bucket(df_):
+        from featureextraction_spark.functions.time import epoch_seconds
+
+        return F.floor(epoch_seconds(df_, on) / F.lit(float(bucket_seconds))).cast("long")
 
     data_tag, probe_tag = (0, 1) if allow_exact_matches else (1, 0)
     d = data.select(
@@ -133,8 +137,9 @@ def asof_join_salted(
         F.col(tie).cast("long").alias("__tie"),
         _state_struct(on, tie, value_cols).alias("__state"),
         F.lit(data_tag).alias("__tag"),
-    ).withColumn("__bucket", bucket(on))
-    p = probes.withColumn("__tag", F.lit(probe_tag)).withColumn("__bucket", bucket(on))
+        bucket(data).alias("__bucket"),
+    )
+    p = probes.withColumn("__tag", F.lit(probe_tag)).withColumn("__bucket", bucket(probes))
     u = d.unionByName(p, allowMissingColumns=True)
 
     w = (

@@ -18,6 +18,8 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from featureextraction_spark.functions.time import with_epoch_seconds
+
 
 def forward_fill(
     df: DataFrame,
@@ -77,8 +79,9 @@ def forward_fill_salted(
     table over buckets → join carried value back; coalesce(in-bucket,
     carried).
     """
-    eps = F.col(ts).cast("double")
-    b = df.withColumn("__bucket", F.floor(eps / F.lit(float(bucket_seconds))).cast("long"))
+    b = with_epoch_seconds(df, ts, "__ts_sec").withColumn(
+        "__bucket", F.floor(F.col("__ts_sec") / F.lit(float(bucket_seconds))).cast("long")
+    ).drop("__ts_sec")
 
     wb = (
         Window.partitionBy(key, "__bucket")

@@ -21,15 +21,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from featureextraction_spark.functions.time import epoch_seconds, with_epoch_seconds
+
 DEFAULT_GAP_SECONDS = 1800
-
-
-def _new_session_flag(ts: str, gap_seconds: int, w) -> F.Column:
-    prev_ts = F.lag(ts).over(w)
-    gap = F.col(ts).cast("double") - prev_ts.cast("double")
-    return F.when(prev_ts.isNull() | (gap > F.lit(float(gap_seconds))), F.lit(1)).otherwise(
-        F.lit(0)
-    )
 
 
 def sessionize(
@@ -41,12 +35,18 @@ def sessionize(
     out: str = "session_id",
 ) -> DataFrame:
     """Add 1-based ``session_id`` per key: cumsum of gap-start flags."""
+    d = with_epoch_seconds(df, ts, "__ts_sec")
     w = Window.partitionBy(key).orderBy(ts, tie)
-    flag = _new_session_flag(ts, gap_seconds, w)
+    prev = F.lag("__ts_sec").over(w)
+    flag = F.when(
+        prev.isNull() | ((F.col("__ts_sec") - prev) > F.lit(float(gap_seconds))), F.lit(1)
+    ).otherwise(F.lit(0))
     cum = Window.partitionBy(key).orderBy(ts, tie).rowsBetween(Window.unboundedPreceding, 0)
-    return df.withColumn("__new_sess", flag).withColumn(
-        out, F.sum("__new_sess").over(cum).cast("long")
-    ).drop("__new_sess")
+    return (
+        d.withColumn("__new_sess", flag)
+        .withColumn(out, F.sum("__new_sess").over(cum).cast("long"))
+        .drop("__new_sess", "__ts_sec")
+    )
 
 
 def sessionize_salted(
@@ -77,23 +77,25 @@ def sessionize_salted(
     memory (the common case — only skewed keys need this path); set False
     to let AQE pick a shuffle join when key cardinality is huge.
     """
-    eps = F.col(ts).cast("double")
-    b = df.withColumn("__bucket", F.floor(eps / F.lit(float(bucket_seconds))).cast("long"))
+    b = with_epoch_seconds(df, ts, "__ts_sec").withColumn(
+        "__bucket", F.floor(F.col("__ts_sec") / F.lit(float(bucket_seconds))).cast("long")
+    )
 
     # Boundary table: one row per (key, bucket) — last ts in bucket.
     bounds = b.groupBy(key, "__bucket").agg(
-        F.max(F.col(ts).cast("double")).alias("__bucket_max_ts"),
+        F.max("__ts_sec").alias("__bucket_max_ts"),
         F.count(F.lit(1)).alias("__bucket_rows"),
     )
     wprev = Window.partitionBy(key).orderBy("__bucket")
     bounds = bounds.withColumn("__prev_bucket_max_ts", F.lag("__bucket_max_ts").over(wprev))
 
     wb = Window.partitionBy(key, "__bucket").orderBy(ts, tie)
-    prev_ts = F.lag(F.col(ts).cast("double")).over(wb)
+    prev_ts = F.lag("__ts_sec").over(wb)
     # first row of a bucket compares against the previous bucket's last ts
     eff_prev = F.coalesce(prev_ts, F.col("__prev_bucket_max_ts"))
     flag = F.when(
-        eff_prev.isNull() | ((eps - eff_prev) > F.lit(float(gap_seconds))), F.lit(1)
+        eff_prev.isNull() | ((F.col("__ts_sec") - eff_prev) > F.lit(float(gap_seconds))),
+        F.lit(1),
     ).otherwise(F.lit(0))
 
     bsel = bounds.select(key, "__bucket", "__prev_bucket_max_ts")
@@ -121,7 +123,7 @@ def sessionize_salted(
     merged = partial.join(osel, on=[key, "__bucket"], how="left")
     return (
         merged.withColumn(out, (F.col("__partial") + F.col("__offset")).cast("long"))
-        .drop("__bucket", "__prev_bucket_max_ts", "__new_sess", "__partial", "__offset")
+        .drop("__bucket", "__prev_bucket_max_ts", "__new_sess", "__partial", "__offset", "__ts_sec")
     )
 
 
@@ -132,11 +134,10 @@ def session_stats(
     session_col: str = "session_id",
 ) -> DataFrame:
     """Per-session aggregates: turn count, start/end, duration seconds."""
+    sec = epoch_seconds(df_with_sessions, ts)
     return df_with_sessions.groupBy(key, session_col).agg(
         F.count(F.lit(1)).alias("n_turns"),
         F.min(ts).alias("session_start"),
         F.max(ts).alias("session_end"),
-        (F.max(F.col(ts).cast("double")) - F.min(F.col(ts).cast("double"))).alias(
-            "duration_sec"
-        ),
+        (F.max(sec) - F.min(sec)).alias("duration_sec"),
     )
