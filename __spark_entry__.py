@@ -32,6 +32,11 @@ from featureextraction_spark.operators.runlength import run_length_encode  # noq
 from featureextraction_spark.operators.sessionize import sessionize  # noqa: E402
 from featureextraction_spark.operators.transitions import transition_count  # noqa: E402
 from featureextraction_spark.functions.time import epoch_us, epoch_seconds  # noqa: E402
+from featureextraction_spark.operators.contour import (  # noqa: E402
+    ols_aggregate,
+    with_characteristic_contour,
+)
+from featureextraction_spark.plans.feature_pipeline import point_in_time_features  # noqa: E402
 
 SESSION_GAP_SECONDS = 1800
 
@@ -177,6 +182,35 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_contour_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3+A10 relational: clamped-cumsum contour + OLS slant via regr_*
+    aggregates — pure expressions, zero Python, whole-stage codegen."""
+    ev = _load(spark, sf_dir, "events")
+    c = with_characteristic_contour(ev, "value", key="user_id", order=("ts", "event_id"))
+    return ols_aggregate(c, "contour", "contour_x", key="user_id", ndigits=6)
+
+
+def q_feature_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full point-in-time feature pipeline (rows-only check: the numeric
+    families are not SQL-expressible; their correctness gate is the pandas
+    oracle in tests/test_feature_pipeline.py). Events are mapped onto the
+    transcript shape; probes = purchase timestamps."""
+    from pyspark.sql import Window
+
+    ev = _load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    tr = ev.select(
+        F.col("user_id").cast("string").alias("conv_id"),
+        (F.row_number().over(w) - 1).cast("int").alias("turn_idx"),
+        F.col("event_type").alias("role"),
+        F.coalesce(F.col("props"), F.lit("")).alias("text"),
+        F.when(F.col("event_type") == "error", F.col("event_type")).alias("tool"),
+        "ts",
+    )
+    probes = tr.filter(F.col("role") == "purchase").select("conv_id", "ts")
+    return point_in_time_features(tr, probes)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: point-in-time feature lookup — for every purchase probe,
     the session id, running state and latest click value as of that ts,
@@ -223,6 +257,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "run_length": q_run_length,
         "membership_join": q_membership_join,
         "pricing_summary": q_pricing_summary,
+        "contour_ols": q_contour_ols,
+        "feature_vectors": q_feature_vectors,
     }
 
 
@@ -316,6 +352,33 @@ def oracle_sql() -> dict[str, str]:
                    round(avg(c_acctbal), 4) AS avg_acctbal
             FROM customer LEFT JOIN dim USING (c_custkey)
             GROUP BY 1
+        """,
+        "contour_ols": f"""
+            WITH s AS (
+                SELECT user_id,
+                       row_number() OVER ({win}) - 1 AS x,
+                       coalesce(sign(value - lag(value) OVER ({win})), 0)
+                         + CASE WHEN row_number() OVER ({win}) = 1 THEN value ELSE 0 END AS inc
+                FROM events
+            ), c0 AS (
+                SELECT user_id, x,
+                       sum(inc) OVER (PARTITION BY user_id ORDER BY x
+                                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS raw
+                FROM s
+            ), c AS (
+                SELECT user_id, x,
+                       raw - least(0, min(raw) OVER (PARTITION BY user_id)) AS contour
+                FROM c0
+            )
+            SELECT user_id,
+                   round(regr_slope(contour, x), 6) AS slant,
+                   round(CASE WHEN count(*) > 2 AND regr_sxx(contour, x) <> 0
+                              THEN (regr_syy(contour, x)
+                                    - regr_sxy(contour, x) * regr_sxy(contour, x)
+                                      / regr_sxx(contour, x)) / (count(*) - 2)
+                         END, 6) AS slant_mse,
+                   CAST(count(*) AS BIGINT) AS n_points
+            FROM c GROUP BY user_id
         """,
         "pricing_summary": """
             SELECT l_returnflag, l_linestatus,
