@@ -37,6 +37,13 @@ from featureextraction_spark.operators.contour import (  # noqa: E402
     with_characteristic_contour,
 )
 from featureextraction_spark.plans.feature_pipeline import point_in_time_features  # noqa: E402
+from featureextraction_spark.functions.textstats import (  # noqa: E402
+    STOPWORDS,
+    language_id,
+    with_quality_features,
+)
+from featureextraction_spark.operators import dedup as dedup_ops  # noqa: E402
+from featureextraction_spark.operators import similarity as sim_ops  # noqa: E402
 
 SESSION_GAP_SECONDS = 1800
 
@@ -211,6 +218,82 @@ def q_feature_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     return point_in_time_features(tr, probes)
 
 
+# --------------------------------------------------------------------------
+# training-data pipeline ops: dedup / similarity / text analysis
+# --------------------------------------------------------------------------
+
+
+def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by md5 fingerprint of whitespace-normalized text."""
+    docs = _load(spark, sf_dir, "documents")
+    return dedup_ops.exact_dedup(docs)
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact char-5-gram Jaccard similar pairs (inverted-index join)."""
+    docs = _load(spark, sf_dir, "documents")
+    return dedup_ops.ngram_jaccard_pairs(docs, threshold=0.35)
+
+
+def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup pairs, exact-Jaccard verified. The DuckDB oracle
+    replays the identical md5-based signature/banding pipeline in SQL."""
+    docs = _load(spark, sf_dir, "documents")
+    return dedup_ops.minhash_lsh_pairs(docs, num_hashes=32, bands=16, threshold=0.4)
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """60-bit SimHash fingerprint per document."""
+    docs = _load(spark, sf_dir, "documents")
+    return dedup_ops.simhash(docs)
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-scoring signals (length/alpha/punct/stopword ratios)."""
+    docs = _load(spark, sf_dir, "documents")
+    q = with_quality_features(docs)
+    return q.select(
+        "doc_id",
+        F.col("n_chars").cast("long").alias("n_chars_calc"),
+        "n_tokens",
+        F.round("alpha_ratio", 6).alias("alpha_ratio"),
+        F.round("punct_ratio", 6).alias("punct_ratio"),
+        F.round("mean_token_len", 6).alias("mean_token_len"),
+        F.round("stopword_ratio", 6).alias("stopword_ratio"),
+        F.round("quality_score", 6).alias("quality_score"),
+    )
+
+
+def q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-voting language ID vs the labeled lang column."""
+    docs = _load(spark, sf_dir, "documents")
+    return language_id(docs).select("doc_id", "lang", "lang_pred")
+
+
+def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact brute-force cosine top-10 for the first 10 vectors."""
+    emb = _load(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 10)
+    return sim_ops.cosine_topk(queries_df, emb, k=10)
+
+
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact embedding-cosine near-dup pairs (brute force at this scale;
+    the LSH-accelerated variant is ops-tested against this)."""
+    emb = _load(spark, sf_dir, "embeddings")
+    a = emb.select(F.col("vec_id").alias("a_id"), F.col("embedding").alias("__a"))
+    b = emb.select(F.col("vec_id").alias("b_id"), F.col("embedding").alias("__b"))
+    return (
+        a.join(F.broadcast(b), F.col("a_id") < F.col("b_id"))
+        .withColumn(
+            "cosine",
+            F.round(sim_ops.cosine_similarity_col(F.col("__a"), F.col("__b")), 6),
+        )
+        .filter(F.col("cosine") >= 0.35)
+        .select("a_id", "b_id", "cosine")
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: point-in-time feature lookup — for every purchase probe,
     the session id, running state and latest click value as of that ts,
@@ -259,13 +342,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pricing_summary": q_pricing_summary,
         "contour_ols": q_contour_ols,
         "feature_vectors": q_feature_vectors,
+        "exact_dedup": q_exact_dedup,
+        "ngram_jaccard": q_ngram_jaccard,
+        "minhash_lsh": q_minhash_lsh,
+        "simhash": q_simhash,
+        "text_quality": q_text_quality,
+        "language_id": q_language_id,
+        "cosine_topk": q_cosine_topk,
+        "embedding_near_dup": q_embedding_near_dup,
     }
 
 
 def oracle_sql() -> dict[str, str]:
     win = "PARTITION BY user_id ORDER BY ts, event_id"
     cum = f"{win} ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"
-    return {
+    base = {
         "lag_lead": f"""
             SELECT user_id, event_id,
                    lag(event_type) OVER ({win}) AS prev_event_type,
@@ -393,3 +484,266 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY l_returnflag, l_linestatus
         """,
     }
+    base.update(_training_ops_oracle_sql())
+    return base
+
+
+# Shingle/CTE fragments shared by the dedup oracles (DuckDB SQL mirrors of
+# the engine's md5-based hashing — same shingles, same 60-bit ints).
+_SHINGLES_CTE = """
+    sh AS (
+        SELECT DISTINCT doc_id,
+               unnest(list_transform(range(1, greatest(length(text) - 3, 1)),
+                                     i -> substr(text, CAST(i AS INT), 5))) AS shingle
+        FROM documents
+    )
+"""
+
+_NORM_FP = (
+    "md5(lower(trim(regexp_replace(text, '[ \\t\\n\\r\\f\\x0B]+', ' ', 'g'))))"
+)
+
+_TOKENS_RE = "'[^ \\t\\n\\r\\f\\x0B]+'"
+
+
+def _training_ops_oracle_sql() -> dict[str, str]:
+    jaccard_tail = """
+        sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+        inter AS (
+            SELECT s1.doc_id AS a_id, s2.doc_id AS b_id, count(*) AS inter
+            FROM sh s1 JOIN sh s2 ON s1.shingle = s2.shingle AND s1.doc_id < s2.doc_id
+            GROUP BY 1, 2
+        ),
+        jac AS (
+            SELECT i.a_id, i.b_id,
+                   i.inter * 1.0 / (sa.sz + sb.sz - i.inter) AS j
+            FROM inter i
+            JOIN sizes sa ON sa.doc_id = i.a_id
+            JOIN sizes sb ON sb.doc_id = i.b_id
+        )
+    """
+    return {
+        "exact_dedup": f"""
+            WITH fp AS (SELECT doc_id, {_NORM_FP} AS fp FROM documents),
+            g AS (
+                SELECT fp, min(doc_id) AS canonical_id,
+                       CAST(count(*) AS BIGINT) AS group_size
+                FROM fp GROUP BY fp
+            )
+            SELECT doc_id, canonical_id, group_size FROM fp JOIN g USING (fp)
+        """,
+        "ngram_jaccard": f"""
+            WITH {_SHINGLES_CTE}, {jaccard_tail}
+            SELECT a_id, b_id, round(j, 6) AS jaccard FROM jac WHERE j >= 0.35
+        """,
+        "minhash_lsh": f"""
+            WITH params(j, a, b) AS (VALUES
+                (0, 115035935697945975, 674275249238291099),
+                (1, 1746160192766458308, 2305361401337648524),
+                (2, 1109404145462838028, 387564876114173011),
+                (3, 1248136719032404104, 2257890358122772182),
+                (4, 837067134859653683, 926269904983897502),
+                (5, 35416416452029508, 1651275739402163847),
+                (6, 437280460428983106, 1412093496604018558),
+                (7, 95085323526065444, 1454892436956687093),
+                (8, 1196775716967772469, 1984314634404057294),
+                (9, 677134093886762132, 1425219166038823029),
+                (10, 2035319666083227912, 246861162382095276),
+                (11, 2024583054614721461, 2302621066200141676),
+                (12, 35707335790686316, 667843638086838477),
+                (13, 356271795713749914, 662226775059325844),
+                (14, 1192619207990348208, 965022004471074359),
+                (15, 969544923857207679, 181427777310272510),
+                (16, 1278587416034902997, 132028736477834133),
+                (17, 808742140545217448, 1903816584131245406),
+                (18, 1058186744613030803, 169402902345360991),
+                (19, 1827517303840958578, 1990331124336684436),
+                (20, 2204513768930797955, 694086767469237391),
+                (21, 1396417405208214721, 619946275622122395),
+                (22, 1263085732098372271, 1845236894267212498),
+                (23, 202909002485302789, 1907215864949886947),
+                (24, 1333338969941991615, 1691988866811523135),
+                (25, 35960654143928406, 543311795083456254),
+                (26, 790834522750872393, 1162502206227556310),
+                (27, 2276485498741641550, 745249373419209431),
+                (28, 2170589547710066092, 497149638300256457),
+                (29, 2305486347709487251, 1566334103845811457),
+                (30, 943206923159112265, 2086874550578970813),
+                (31, 2090133534638550042, 1973441529582041928)
+            ),
+            {_SHINGLES_CTE},
+            hashed AS (
+                SELECT DISTINCT doc_id,
+                       ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS h
+                FROM sh
+            ),
+            sig AS (
+                SELECT doc_id, j,
+                       min(CAST((a::HUGEINT * h::HUGEINT + b::HUGEINT)
+                                % 2305843009213693951 AS BIGINT)) AS mh
+                FROM hashed CROSS JOIN params GROUP BY doc_id, j
+            ),
+            banded AS (
+                SELECT doc_id, j // 2 AS band, list(mh ORDER BY j) AS sl
+                FROM sig GROUP BY doc_id, j // 2
+            ),
+            cand AS (
+                SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+                FROM banded a
+                JOIN banded b ON a.band = b.band AND a.sl = b.sl
+                             AND a.doc_id < b.doc_id
+            ),
+            {jaccard_tail}
+            SELECT c.a_id, c.b_id, round(j.j, 6) AS jaccard
+            FROM cand c JOIN jac j ON c.a_id = j.a_id AND c.b_id = j.b_id
+            WHERE j.j >= 0.4
+        """,
+        "simhash": f"""
+            WITH {_SHINGLES_CTE},
+            hashed AS (
+                SELECT DISTINCT doc_id,
+                       ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS h
+                FROM sh
+            ),
+            bits AS (
+                SELECT doc_id, k,
+                       sum(CASE WHEN (h // (1::BIGINT << CAST(k AS INT))) % 2 = 1
+                                THEN 1 ELSE -1 END) AS v
+                FROM hashed, generate_series(0, 59) t(k)
+                GROUP BY doc_id, k
+            )
+            SELECT doc_id,
+                   CAST(sum(CASE WHEN v > 0 THEN (1::BIGINT << CAST(k AS INT))
+                            ELSE 0 END) AS BIGINT) AS simhash
+            FROM bits GROUP BY doc_id
+        """,
+        "text_quality": f"""
+            SELECT doc_id,
+                   CAST(length(text) AS BIGINT) AS n_chars_calc,
+                   CAST(length(regexp_extract_all(text, {_TOKENS_RE})) AS BIGINT) AS n_tokens,
+                   round(CASE WHEN length(text) > 0
+                         THEN length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) * 1.0
+                              / length(text) ELSE 0 END, 6) AS alpha_ratio,
+                   round(CASE WHEN length(text) > 0
+                         THEN length(regexp_replace(text, $$[^.,;:!?'"()\[\]{{}}-]$$, '', 'g')) * 1.0
+                              / length(text) ELSE 0 END, 6) AS punct_ratio,
+                   round(CASE WHEN length(regexp_extract_all(text, {_TOKENS_RE})) > 0
+                         THEN length(text) * 1.0
+                              / length(regexp_extract_all(text, {_TOKENS_RE}))
+                         ELSE 0 END, 6) AS mean_token_len,
+                   round(CASE WHEN length(regexp_extract_all(text, {_TOKENS_RE})) > 0
+                         THEN length(regexp_extract_all(lower(text),
+                              '(^|[ ])(the|and|of|to|is|in|that|it|for|with)([ ]|$)')) * 1.0
+                              / length(regexp_extract_all(text, {_TOKENS_RE}))
+                         ELSE 0 END, 6) AS stopword_ratio,
+                   round((least(length(regexp_extract_all(text, {_TOKENS_RE})) / 20.0, 1.0)
+                          + CASE WHEN length(text) > 0
+                            THEN length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) * 1.0
+                                 / length(text) ELSE 0 END
+                          + (1.0 - least(CASE WHEN length(text) > 0
+                              THEN length(regexp_replace(text, $$[^.,;:!?'"()\[\]{{}}-]$$, '', 'g')) * 1.0
+                                   / length(text) ELSE 0 END * 5.0, 1.0))
+                          + least(CASE WHEN length(regexp_extract_all(text, {_TOKENS_RE})) > 0
+                              THEN length(regexp_extract_all(lower(text),
+                                   '(^|[ ])(the|and|of|to|is|in|that|it|for|with)([ ]|$)')) * 1.0
+                                   / length(regexp_extract_all(text, {_TOKENS_RE}))
+                              ELSE 0 END * 4.0, 1.0)) / 4.0, 6) AS quality_score
+            FROM documents
+        """,
+        "language_id": f"""
+            WITH dim(word, cand_lang) AS (VALUES
+                ('der', 'de'),
+                ('die', 'de'),
+                ('das', 'de'),
+                ('und', 'de'),
+                ('ist', 'de'),
+                ('von', 'de'),
+                ('mit', 'de'),
+                ('ein', 'de'),
+                ('eine', 'de'),
+                ('zu', 'de'),
+                ('the', 'en'),
+                ('and', 'en'),
+                ('of', 'en'),
+                ('to', 'en'),
+                ('is', 'en'),
+                ('in', 'en'),
+                ('that', 'en'),
+                ('it', 'en'),
+                ('for', 'en'),
+                ('with', 'en'),
+                ('el', 'es'),
+                ('la', 'es'),
+                ('los', 'es'),
+                ('las', 'es'),
+                ('de', 'es'),
+                ('y', 'es'),
+                ('que', 'es'),
+                ('es', 'es'),
+                ('en', 'es'),
+                ('por', 'es'),
+                ('le', 'fr'),
+                ('la', 'fr'),
+                ('les', 'fr'),
+                ('et', 'fr'),
+                ('de', 'fr'),
+                ('un', 'fr'),
+                ('une', 'fr'),
+                ('est', 'fr'),
+                ('que', 'fr'),
+                ('pour', 'fr')
+            ),
+            toks AS (
+                SELECT doc_id, unnest(regexp_extract_all(lower(text), {_TOKENS_RE})) AS word
+                FROM documents
+            ),
+            hits AS (
+                SELECT doc_id, cand_lang, count(*) AS hits
+                FROM toks JOIN dim USING (word) GROUP BY 1, 2
+            ),
+            best AS (
+                SELECT doc_id, cand_lang AS lang_pred
+                FROM (SELECT doc_id, cand_lang,
+                             row_number() OVER (PARTITION BY doc_id
+                                                ORDER BY hits DESC, cand_lang) AS rn
+                      FROM hits)
+                WHERE rn = 1
+            )
+            SELECT d.doc_id, d.lang, coalesce(b.lang_pred, 'unknown') AS lang_pred
+            FROM documents d LEFT JOIN best b USING (doc_id)
+        """,
+        "cosine_topk": """
+            WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+                       FROM embeddings WHERE vec_id < 10),
+            c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings),
+            scored AS (
+                SELECT query_id, neighbor_id,
+                       round(list_dot_product(qv, cv)
+                             / (sqrt(list_dot_product(qv, qv))
+                                * sqrt(list_dot_product(cv, cv))), 6) AS cosine
+                FROM q, c WHERE query_id <> neighbor_id
+            ),
+            ranked AS (
+                SELECT *, row_number() OVER (PARTITION BY query_id
+                                             ORDER BY cosine DESC, neighbor_id) AS rank
+                FROM scored
+            )
+            SELECT query_id, neighbor_id, cosine, CAST(rank AS BIGINT) AS rank
+            FROM ranked WHERE rank <= 10
+        """,
+        "embedding_near_dup": """
+            WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)
+            SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+                   round(list_dot_product(a.e, b.e)
+                         / (sqrt(list_dot_product(a.e, a.e))
+                            * sqrt(list_dot_product(b.e, b.e))), 6) AS cosine
+            FROM v a JOIN v b ON a.vec_id < b.vec_id
+            WHERE list_dot_product(a.e, b.e)
+                  / (sqrt(list_dot_product(a.e, a.e))
+                     * sqrt(list_dot_product(b.e, b.e))) >= 0.3499995
+              AND round(list_dot_product(a.e, b.e)
+                        / (sqrt(list_dot_product(a.e, a.e))
+                           * sqrt(list_dot_product(b.e, b.e))), 6) >= 0.35
+        """,
+    }
+

@@ -1,0 +1,113 @@
+"""Text analysis for large-scale training-data pipelines: token counting,
+quality scoring, language-ID heuristic, document fingerprinting.
+
+All expression-only (whole-stage codegen, zero Python) except nothing —
+these are the JVM-side fast path. Hashes use md5 so every value is
+reproducible bit-for-bit in DuckDB/pandas oracles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from featureextraction_spark.plans.feature_pipeline import TOKEN_REGEX
+
+# tiny per-language stopword lists for the n-gram/stopword language-ID
+# heuristic — deliberately minimal and hardcoded (deterministic, no external
+# data); matched as whole lowercase tokens.
+STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "is", "in", "that", "it", "for", "with"),
+    "fr": ("le", "la", "les", "et", "de", "un", "une", "est", "que", "pour"),
+    "es": ("el", "la", "los", "las", "de", "y", "que", "es", "en", "por"),
+    "de": ("der", "die", "das", "und", "ist", "von", "mit", "ein", "eine", "zu"),
+}
+
+
+def token_count(text: str | Column) -> Column:
+    """Whitespace token count (maximal non-whitespace runs)."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.regexp_count(c, F.lit(TOKEN_REGEX)).cast("long")
+
+
+def fingerprint(text: str | Column) -> Column:
+    """Deterministic document fingerprint: md5 of the whitespace-normalized,
+    lowercased text. Exact-duplicate detection key; portable to any SQL
+    engine with md5."""
+    c = F.col(text) if isinstance(text, str) else text
+    normalized = F.lower(F.trim(F.regexp_replace(c, "[ \\t\\n\\r\\f\\u000B]+", " ")))
+    return F.md5(normalized)
+
+
+def with_quality_features(df: DataFrame, text: str = "text") -> DataFrame:
+    """Length/punctuation/alpha/stopword quality signals + composite score.
+
+    score = mean of four [0,1] subscores: length sweet spot, alpha ratio,
+    low punct ratio, stopword presence (an en-weighted heuristic — high for
+    natural prose, low for boilerplate/garbage).
+    """
+    c = F.col(text)
+    n_chars = F.length(c).cast("double")
+    n_tok = token_count(text).cast("double")
+    alpha = F.length(F.regexp_replace(c, "[^a-zA-Z]", "")).cast("double")
+    punct = F.length(F.regexp_replace(c, "[^.,;:!?'\"()\\[\\]{}-]", "")).cast("double")
+    en_stop = F.lit("|".join(STOPWORDS["en"]))
+    stop_hits = F.regexp_count(
+        F.lower(c), F.concat(F.lit("(^|[ ])("), en_stop, F.lit(")([ ]|$)"))
+    ).cast("double")
+
+    d = (
+        df.withColumn("n_chars", n_chars.cast("long"))
+        .withColumn("n_tokens", n_tok.cast("long"))
+        .withColumn("alpha_ratio", F.when(n_chars > 0, alpha / n_chars).otherwise(F.lit(0.0)))
+        .withColumn("punct_ratio", F.when(n_chars > 0, punct / n_chars).otherwise(F.lit(0.0)))
+        .withColumn(
+            "mean_token_len", F.when(n_tok > 0, n_chars / n_tok).otherwise(F.lit(0.0))
+        )
+        .withColumn(
+            "stopword_ratio", F.when(n_tok > 0, stop_hits / n_tok).otherwise(F.lit(0.0))
+        )
+    )
+    len_score = F.least(F.col("n_tokens").cast("double") / F.lit(20.0), F.lit(1.0))
+    alpha_score = F.col("alpha_ratio")
+    punct_score = F.lit(1.0) - F.least(F.col("punct_ratio") * 5.0, F.lit(1.0))
+    stop_score = F.least(F.col("stopword_ratio") * 4.0, F.lit(1.0))
+    return d.withColumn(
+        "quality_score", (len_score + alpha_score + punct_score + stop_score) / 4.0
+    )
+
+
+def language_id(
+    df: DataFrame, text: str = "text", id_col: str = "doc_id", out: str = "lang_pred"
+) -> DataFrame:
+    """Stopword-voting language ID.
+
+    Tokenize → explode → broadcast-join the (word, lang) stopword dimension
+    → per-(doc, lang) hit counts → argmax with deterministic tie-break
+    (most hits, then lexicographically smallest lang); zero hits → 'unknown'.
+    One narrow shuffle on doc id; the dimension is broadcast.
+    """
+    spark = df.sparkSession
+    dim_rows = [(w, lang) for lang, ws in sorted(STOPWORDS.items()) for w in ws]
+    dim = spark.createDataFrame(dim_rows, schema="word string, cand_lang string")
+
+    toks = df.select(
+        id_col,
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col(text)), F.lit(TOKEN_REGEX), 0)
+        ).alias("word"),
+    )
+    hits = (
+        toks.join(F.broadcast(dim), "word")
+        .groupBy(id_col, "cand_lang")
+        .agg(F.count(F.lit(1)).alias("hits"))
+    )
+    best = hits.groupBy(id_col).agg(
+        F.min_by(
+            "cand_lang",
+            F.struct((-F.col("hits")).alias("nh"), F.col("cand_lang").alias("l")),
+        ).alias(out)
+    )
+    return df.join(best, id_col, "left").withColumn(
+        out, F.coalesce(F.col(out), F.lit("unknown"))
+    )

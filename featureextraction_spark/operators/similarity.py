@@ -1,0 +1,211 @@
+"""Similarity search over embedding columns (array<float>).
+
+- ``cosine_topk``: exact brute-force top-k — broadcast the (small) query
+  side, JVM-side dot products via zip_with/aggregate, rank window. The
+  correctness baseline.
+- ``ann_lsh_topk``: random-hyperplane LSH — hash vectors to sign-bit
+  bucket keys, equi-join queries to corpus on bucket, exact cosine among
+  candidates only. The scale path: shuffle is on bucket keys, never a
+  cartesian.
+- ``embedding_near_dup_pairs``: all corpus pairs with cosine ≥ threshold
+  via LSH buckets + verification (the embedding leg of the dedup suite).
+
+Cosine is computed in double precision with an explicit, order-stable
+formula (sequential zip_with fold) so DuckDB / numpy oracles agree to
+~1e-12.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+
+
+def cosine_similarity_col(a: Column, b: Column) -> Column:
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def cosine_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Exact top-k neighbors per query (broadcast nested-loop).
+
+    Ranking is on (rounded cosine desc, neighbor id asc) — fully
+    deterministic under ties and reproducible in any oracle.
+    Self-matches (same id) are excluded.
+    """
+    from pyspark.sql import Window
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv")
+    )
+    scored = (
+        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .withColumn(
+            "cosine", F.round(cosine_similarity_col(F.col("__qv"), F.col("__cv")), round_digits)
+        )
+        .drop("__qv", "__cv")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", F.col("rank").cast("long").alias("rank"))
+    )
+
+
+def random_hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic hyperplane directions (shared with oracles)."""
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_planes, dim)).tolist()
+
+
+def lsh_bucket_col(vec: Column, planes: list[list[float]]) -> Column:
+    """Sign-bit bucket key: bit p set iff vec · plane_p > 0."""
+    key = F.lit(0).cast("long")
+    for p, plane in enumerate(planes):
+        arr = F.array(*[F.lit(float(v)) for v in plane])
+        bit = F.when(_dot(vec, arr) > 0, F.shiftleft(F.lit(1).cast("long"), p)).otherwise(
+            F.lit(0).cast("long")
+        )
+        key = key + bit
+    return key
+
+
+def ann_lsh_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 8,
+    n_tables: int = 4,
+    dim: int | None = None,
+    seed: int = 42,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Approximate top-k: union of ``n_tables`` independent LSH tables.
+
+    Each table buckets on ``n_planes`` sign bits; query/corpus rows join on
+    (table, bucket) — pure equi-join, shuffle bounded by bucket sizes.
+    Exact cosine + ranking over the candidate union. Recall < 1 by design;
+    measured against ``cosine_topk`` in tests.
+    """
+    from pyspark.sql import Window
+
+    if dim is None:
+        dim = len(corpus.select(vec_col).first()[0])
+
+    def keyed(df: DataFrame, alias: str) -> DataFrame:
+        out = []
+        for t in range(n_tables):
+            planes = random_hyperplanes(dim, n_planes, seed + 1000 * t)
+            out.append(
+                df.select(
+                    F.col(id_col).alias(alias),
+                    F.col(vec_col).alias(f"__{alias}_v"),
+                    F.lit(t).alias("table"),
+                    lsh_bucket_col(F.col(vec_col), planes).alias("bucket"),
+                )
+            )
+        u = out[0]
+        for o in out[1:]:
+            u = u.unionByName(o)
+        return u
+
+    qk = keyed(queries, "query_id")
+    ck = keyed(corpus, "neighbor_id")
+    cand = (
+        qk.join(ck, ["table", "bucket"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", "__query_id_v", "__neighbor_id_v")
+        .distinct()
+    )
+    scored = cand.withColumn(
+        "cosine",
+        F.round(
+            cosine_similarity_col(F.col("__query_id_v"), F.col("__neighbor_id_v")),
+            round_digits,
+        ),
+    ).drop("__query_id_v", "__neighbor_id_v")
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", F.col("rank").cast("long").alias("rank"))
+    )
+
+
+def embedding_near_dup_pairs(
+    corpus: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 12,
+    n_tables: int = 6,
+    dim: int | None = None,
+    seed: int = 7,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (a_id < b_id, cosine ≥ t)
+    via multi-table LSH candidates + exact verification."""
+    if dim is None:
+        dim = len(corpus.select(vec_col).first()[0])
+    out = None
+    for t in range(n_tables):
+        planes = random_hyperplanes(dim, n_planes, seed + 1000 * t)
+        keyed = corpus.select(
+            F.col(id_col),
+            F.col(vec_col),
+            lsh_bucket_col(F.col(vec_col), planes).alias("bucket"),
+        )
+        a = keyed.select(
+            F.col(id_col).alias("a_id"), F.col(vec_col).alias("__a"), "bucket"
+        )
+        b = keyed.select(
+            F.col(id_col).alias("b_id"), F.col(vec_col).alias("__b"), "bucket"
+        )
+        cand = a.join(b, "bucket").filter(F.col("a_id") < F.col("b_id")).select(
+            "a_id", "b_id", "__a", "__b"
+        )
+        out = cand if out is None else out.unionByName(cand)
+    return (
+        out.distinct()
+        .withColumn(
+            "cosine",
+            F.round(cosine_similarity_col(F.col("__a"), F.col("__b")), round_digits),
+        )
+        .filter(F.col("cosine") >= threshold)
+        .select("a_id", "b_id", "cosine")
+    )

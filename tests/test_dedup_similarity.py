@@ -1,0 +1,202 @@
+"""Dedup / similarity / text-stats operators vs pure-python oracles, on the
+driver-provided documents/embeddings tables (sf0.001)."""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from featureextraction_spark.functions.textstats import STOPWORDS, language_id
+from featureextraction_spark.operators import dedup as D
+from featureextraction_spark.operators import similarity as S
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    d = spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(120)
+    # inject exact duplicates: re-add three docs under shifted ids
+    dups = d.filter(F.col("doc_id") < 3).withColumn(
+        "doc_id", F.col("doc_id") + 100000
+    )
+    out = d.unionByName(dups)
+    out.persist().count()
+    return out
+
+
+@pytest.fixture(scope="module")
+def docs_pdf(docs):
+    return docs.toPandas()
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    e = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").limit(200)
+    e.persist().count()
+    return e
+
+
+@pytest.fixture(scope="module")
+def emb_pdf(emb):
+    return emb.toPandas()
+
+
+# ---------------------------------------------------------------- oracles
+
+def _norm_text(t: str) -> str:
+    return re.sub("[ \t\n\r\f\x0b]+", " ", t).strip().lower()
+
+
+def _shingles(t: str, n: int = 5) -> set[str]:
+    return {t[i : i + n] for i in range(max(len(t) - n + 1, 0))}
+
+
+def _h60(s: str) -> int:
+    return int(hashlib.md5(s.encode("utf-8")).hexdigest()[:15], 16)
+
+
+def _minhash_sig(t: str, n: int, params) -> list[int]:
+    hs = [_h60(s) for s in _shingles(t, n)]
+    return [min((a * h + b) % D.MINHASH_PRIME for h in hs) for a, b in params]
+
+
+def _jaccard(a: set, b: set) -> float:
+    return len(a & b) / len(a | b) if (a or b) else 0.0
+
+
+# ------------------------------------------------------------------ tests
+
+def test_exact_dedup(spark, docs, docs_pdf):
+    got = D.exact_dedup(docs).toPandas().sort_values("doc_id").reset_index(drop=True)
+    fp = docs_pdf.assign(fp=docs_pdf["text"].map(lambda t: hashlib.md5(_norm_text(t).encode()).hexdigest()))
+    canon = fp.groupby("fp")["doc_id"].agg(["min", "count"]).rename(
+        columns={"min": "canonical_id", "count": "group_size"}
+    )
+    exp = fp.join(canon, on="fp").sort_values("doc_id").reset_index(drop=True)
+    assert list(got["canonical_id"]) == list(exp["canonical_id"])
+    assert list(got["group_size"]) == list(exp["group_size"])
+    # the injected duplicates collapse onto their originals
+    assert (got[got["doc_id"] >= 100000]["canonical_id"] < 3).all()
+
+
+def test_ngram_jaccard_pairs_exact(spark, docs, docs_pdf):
+    got = (
+        D.ngram_jaccard_pairs(docs, threshold=0.35)
+        .toPandas()
+        .sort_values(["a_id", "b_id"])
+        .reset_index(drop=True)
+    )
+    sh = {r.doc_id: _shingles(r.text) for r in docs_pdf.itertuples(index=False)}
+    ids = sorted(sh)
+    exp = []
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            if not sh[a] or not sh[b]:
+                continue
+            j = _jaccard(sh[a], sh[b])
+            if j >= 0.35:
+                exp.append((a, b, round(j, 6)))
+    exp_df = pd.DataFrame(exp, columns=["a_id", "b_id", "jaccard"])
+    assert len(got) == len(exp_df)
+    assert list(got["a_id"]) == list(exp_df["a_id"])
+    assert list(got["b_id"]) == list(exp_df["b_id"])
+    np.testing.assert_allclose(got["jaccard"], exp_df["jaccard"], rtol=1e-6)
+
+
+def test_minhash_signatures_match_python(spark, docs, docs_pdf):
+    num_hashes = 16
+    got = {
+        r["doc_id"]: list(r["sig"])
+        for r in D.minhash_signatures(docs, num_hashes=num_hashes).collect()
+    }
+    params = D.minhash_params(num_hashes)
+    for r in docs_pdf.head(30).itertuples(index=False):
+        if not _shingles(r.text):
+            continue
+        assert got[r.doc_id] == _minhash_sig(r.text, 5, params), r.doc_id
+
+
+def test_minhash_lsh_subset_of_exact_with_high_recall(spark, docs):
+    exact = D.ngram_jaccard_pairs(docs, threshold=0.4).toPandas()
+    lsh = D.minhash_lsh_pairs(docs, num_hashes=32, bands=16, threshold=0.4).toPandas()
+    exact_keys = set(zip(exact["a_id"], exact["b_id"]))
+    lsh_keys = set(zip(lsh["a_id"], lsh["b_id"]))
+    assert lsh_keys <= exact_keys  # verification guarantees precision 1.0
+    if exact_keys:
+        recall = len(lsh_keys) / len(exact_keys)
+        assert recall >= 0.8, f"recall {recall}"
+
+
+def test_simhash_exact_dups_collide_and_pairs_found(spark, docs):
+    sh = D.simhash(docs).toPandas().set_index("doc_id")["simhash"]
+    for d in range(3):
+        assert sh[d] == sh[d + 100000]
+    pairs = D.simhash_near_dup_pairs(docs, max_hamming=3).toPandas()
+    keys = set(zip(pairs["a_id"], pairs["b_id"]))
+    for d in range(3):
+        assert (d, d + 100000) in keys
+    assert (pairs["hamming"] <= 3).all()
+
+
+def test_cosine_topk_matches_numpy(spark, emb, emb_pdf):
+    queries = emb.filter(F.col("vec_id") < 5)
+    got = S.cosine_topk(queries, emb, k=10).toPandas()
+    M = np.stack(emb_pdf.sort_values("vec_id")["embedding"].map(np.asarray))
+    ids = emb_pdf.sort_values("vec_id")["vec_id"].to_numpy()
+    Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+    for q in range(5):
+        sims = Mn[q] @ Mn.T
+        order = sorted(
+            [(round(float(s), 6), int(i)) for s, i in zip(sims, ids) if i != q],
+            key=lambda t: (-t[0], t[1]),
+        )[:10]
+        g = got[got["query_id"] == q].sort_values("rank")
+        assert list(g["neighbor_id"]) == [i for _, i in order]
+        np.testing.assert_allclose(g["cosine"], [s for s, _ in order], atol=2e-6)
+
+
+def test_ann_lsh_recall(spark, emb):
+    # synthetic embeddings are near-random (best cosine ~0.3), so collision
+    # probability per plane is low — test with few planes / many tables; on
+    # real data (near-dup cosine ~0.95+) the defaults are appropriate.
+    queries = emb.filter(F.col("vec_id") < 20)
+    exact = S.cosine_topk(queries, emb, k=5).toPandas()
+    approx = S.ann_lsh_topk(queries, emb, k=5, n_planes=4, n_tables=12).toPandas()
+    e = set(zip(exact["query_id"], exact["neighbor_id"]))
+    a = set(zip(approx["query_id"], approx["neighbor_id"]))
+    recall = len(e & a) / len(e)
+    assert recall >= 0.5, f"ANN recall too low: {recall}"
+    # approximate results are still exact cosines, correctly ranked
+    merged = approx.merge(exact, on=["query_id", "neighbor_id"], suffixes=("_a", "_e"))
+    np.testing.assert_allclose(merged["cosine_a"], merged["cosine_e"], atol=1e-9)
+
+
+def test_embedding_near_dup_pairs_verified(spark, emb, emb_pdf):
+    got = S.embedding_near_dup_pairs(emb, threshold=0.8).toPandas()
+    M = {int(r.vec_id): np.asarray(r.embedding, dtype=float) for r in emb_pdf.itertuples(index=False)}
+    for r in got.itertuples(index=False):
+        a, b = M[r.a_id], M[r.b_id]
+        cos = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+        assert r.cosine >= 0.8 and abs(cos - r.cosine) < 2e-6
+
+
+def test_language_id_oracle(spark, docs, docs_pdf):
+    got = language_id(docs).toPandas().set_index("doc_id")["lang_pred"]
+    token_re = re.compile("[^ \t\n\r\f\x0b]+")
+    for r in docs_pdf.itertuples(index=False):
+        toks = token_re.findall(r.text.lower())
+        hits = {
+            lang: sum(t in ws for t in toks)
+            for lang, ws in ((k, set(v)) for k, v in STOPWORDS.items())
+        }
+        best = max(sorted(hits), key=lambda k: (hits[k], ))
+        # deterministic: max hits, ties -> lexicographically smallest lang
+        mx = max(hits.values())
+        exp = "unknown" if mx == 0 else min(k for k, v in hits.items() if v == mx)
+        assert got[r.doc_id] == exp, (r.doc_id, hits, got[r.doc_id])
