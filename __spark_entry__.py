@@ -294,6 +294,37 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+EVAL_THRESHOLDS = [0.5, 1.0, 1.25, 1.5, 2.0]
+
+
+def q_embedding_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4+A16+A17 evaluation dataflow: all-pairs euclidean distance →
+    thresholded confusion counts → derived metrics (reference
+    src/training/statistics.py:17-51, 102-132). Labels are deterministic
+    (vec_id % 8); input bounded to 80 vectors — all-pairs is O(n²) by
+    definition (the reference evaluates one embedded split at a time)."""
+    from featureextraction_spark.operators.evaluation import evaluate_embeddings
+
+    emb = (
+        _load(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < 80)
+        .withColumn("label", F.col("vec_id") % 8)
+    )
+    out = evaluate_embeddings(emb, EVAL_THRESHOLDS, metric="euclidean")
+    return out.select(
+        F.round("threshold", 2).alias("threshold"),
+        "tp",
+        "tn",
+        "fp",
+        "fn",
+        F.round("recall", 6).alias("recall"),
+        F.round("precision", 6).alias("precision"),
+        F.round("accuracy", 6).alias("accuracy"),
+        F.round("balanced_accuracy", 6).alias("balanced_accuracy"),
+        F.round("f1_score", 6).alias("f1_score"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: point-in-time feature lookup — for every purchase probe,
     the session id, running state and latest click value as of that ts,
@@ -350,6 +381,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "language_id": q_language_id,
         "cosine_topk": q_cosine_topk,
         "embedding_near_dup": q_embedding_near_dup,
+        "embedding_eval": q_embedding_eval,
     }
 
 
@@ -730,6 +762,41 @@ def _training_ops_oracle_sql() -> dict[str, str]:
             )
             SELECT query_id, neighbor_id, cosine, CAST(rank AS BIGINT) AS rank
             FROM ranked WHERE rank <= 10
+        """,
+        "embedding_eval": """
+            WITH e AS (
+                SELECT vec_id, embedding::DOUBLE[] AS v, vec_id % 8 AS label
+                FROM embeddings WHERE vec_id < 80
+            ),
+            pairs AS (
+                SELECT list_distance(a.v, b.v) AS distance,
+                       a.label = b.label AS same_label
+                FROM e a JOIN e b ON a.vec_id < b.vec_id
+            ),
+            conf AS (
+                SELECT t.threshold,
+                       CAST(sum(CASE WHEN same_label AND distance <= t.threshold THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+                       CAST(sum(CASE WHEN NOT same_label AND distance > t.threshold THEN 1 ELSE 0 END) AS BIGINT) AS tn,
+                       CAST(sum(CASE WHEN NOT same_label AND distance <= t.threshold THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+                       CAST(sum(CASE WHEN same_label AND distance > t.threshold THEN 1 ELSE 0 END) AS BIGINT) AS fn
+                FROM pairs, (VALUES (0.5), (1.0), (1.25), (1.5), (2.0)) t(threshold)
+                GROUP BY t.threshold
+            ),
+            m AS (
+                SELECT *,
+                       CASE WHEN tp = 0 AND fn = 0 THEN 0.0 ELSE tp * 1.0 / (tp + fn) END AS recall_,
+                       CASE WHEN tp = 0 AND fp = 0 THEN 0.0 ELSE tp * 1.0 / (tp + fp) END AS precision_,
+                       CASE WHEN tn + fp > 0 THEN tn * 1.0 / (tn + fp) END AS tnr_
+                FROM conf
+            )
+            SELECT round(threshold, 2) AS threshold, tp, tn, fp, fn,
+                   round(recall_, 6) AS recall,
+                   round(precision_, 6) AS precision,
+                   round((tp + tn) * 1.0 / (tp + tn + fp + fn), 6) AS accuracy,
+                   round((recall_ + tnr_) / 2, 6) AS balanced_accuracy,
+                   round(CASE WHEN precision_ = 0 AND recall_ = 0 THEN 0.0
+                         ELSE 2 * precision_ * recall_ / (precision_ + recall_) END, 6) AS f1_score
+            FROM m
         """,
         "embedding_near_dup": """
             WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)
