@@ -294,6 +294,37 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_component_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A13 (components family, 1-D reading): islands of consecutive 'click'
+    events per user; inter-island distance stats with the reference's
+    word-gap threshold split (components_blobs.py:154-172)."""
+    from pyspark.sql import Window
+
+    from featureextraction_spark.operators.components import (
+        island_gap_stats,
+        tool_islands,
+    )
+
+    ev = _load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    tr = ev.select(
+        "user_id",
+        (F.row_number().over(w) - 1).cast("int").alias("idx"),
+        F.when(F.col("event_type") == "click", F.lit("click")).alias("tool"),
+        "ts",
+    )
+    islands = tool_islands(tr, col="tool", key="user_id", order=("idx", "idx"))
+    out = island_gap_stats(islands, key="user_id")
+    return out.select(
+        "user_id",
+        "n_gaps",
+        F.round("avg_distance", 6).alias("avg_distance"),
+        F.round("stdev_distance", 6).alias("stdev_distance"),
+        F.round("avg_within_word_distance", 6).alias("avg_within_word_distance"),
+        F.round("avg_between_word_distance", 6).alias("avg_between_word_distance"),
+    )
+
+
 EVAL_THRESHOLDS = [0.5, 1.0, 1.25, 1.5, 2.0]
 
 
@@ -382,6 +413,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk": q_cosine_topk,
         "embedding_near_dup": q_embedding_near_dup,
         "embedding_eval": q_embedding_eval,
+        "component_gaps": q_component_gaps,
     }
 
 
@@ -762,6 +794,60 @@ def _training_ops_oracle_sql() -> dict[str, str]:
             )
             SELECT query_id, neighbor_id, cosine, CAST(rank AS BIGINT) AS rank
             FROM ranked WHERE rank <= 10
+        """,
+        "component_gaps": """
+            WITH base AS (
+                SELECT user_id,
+                       row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS idx,
+                       (event_type = 'click') AS present
+                FROM events
+            ),
+            flagged AS (
+                SELECT user_id, idx, present,
+                       CASE WHEN lag(present) OVER (PARTITION BY user_id ORDER BY idx)
+                                 IS DISTINCT FROM present THEN 1 ELSE 0 END AS chg
+                FROM base
+            ),
+            runs AS (
+                SELECT user_id, idx, present,
+                       sum(chg) OVER (PARTITION BY user_id ORDER BY idx
+                                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_id
+                FROM flagged
+            ),
+            islands AS (
+                SELECT user_id, run_id, min(idx) AS start_idx, max(idx) AS end_idx
+                FROM runs WHERE present GROUP BY user_id, run_id
+            ),
+            gaps0 AS (
+                SELECT user_id, end_idx,
+                       lead(start_idx) OVER (PARTITION BY user_id ORDER BY start_idx) AS next_start
+                FROM islands
+            ),
+            gaps AS (
+                SELECT user_id, (next_start - end_idx)::DOUBLE AS d
+                FROM gaps0 WHERE next_start IS NOT NULL
+            ),
+            agg AS (
+                SELECT user_id, CAST(count(*) AS BIGINT) AS n_gaps,
+                       avg(d) AS avg_distance,
+                       coalesce(stddev_samp(d), 0) AS stdev_distance,
+                       avg(d) + coalesce(stddev_samp(d), 0) / 3 AS t
+                FROM gaps GROUP BY user_id
+            ),
+            split AS (
+                SELECT g.user_id,
+                       avg(CASE WHEN d < t THEN d END) AS w_,
+                       avg(CASE WHEN d >= t THEN d END) AS b_
+                FROM gaps g JOIN agg USING (user_id) GROUP BY g.user_id
+            )
+            SELECT a.user_id, a.n_gaps,
+                   round(a.avg_distance, 6) AS avg_distance,
+                   round(a.stdev_distance, 6) AS stdev_distance,
+                   round(CASE WHEN w_ IS NOT NULL AND b_ IS NOT NULL THEN w_ ELSE 0 END, 6)
+                       AS avg_within_word_distance,
+                   round(CASE WHEN w_ IS NOT NULL AND b_ IS NOT NULL THEN b_ ELSE 0 END, 6)
+                       AS avg_between_word_distance
+            FROM agg a JOIN split s ON a.user_id = s.user_id
         """,
         "embedding_eval": """
             WITH e AS (

@@ -17,11 +17,13 @@ def run_length_encode(
     col: str,
     key: str = "conv_id",
     order: tuple[str, ...] = ("turn_idx",),
+    extra_aggs: list | None = None,
 ) -> DataFrame:
     """One row per (key, run): run_id (1-based), value, run_length, span.
 
     ``run_id`` increments at every change of ``col`` (null-safe), giving
-    contiguous islands along ``order``.
+    contiguous islands along ``order``. ``extra_aggs`` appends caller
+    aggregations (e.g. min/max of another column) to the per-run groupBy.
     """
     w = Window.partitionBy(key).orderBy(*order)
     cum = w.rowsBetween(Window.unboundedPreceding, 0)
@@ -34,6 +36,7 @@ def run_length_encode(
         F.count(F.lit(1)).cast("long").alias("run_length"),
         F.min(first_order).alias("run_start"),
         F.max(first_order).alias("run_end"),
+        *(extra_aggs or []),
     )
 
 

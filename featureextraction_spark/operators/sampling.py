@@ -1,0 +1,95 @@
+"""Per-label sampling joins (SURVEY.md J5).
+
+The reference assembles triplet batches by picking, per anchor, two rows
+with the same label and one with a different label
+(``src/training/network.py:22-28``, ``TNetwork_features.py:55-61``) —
+driver-side ``random.choice`` loops. Relationally:
+
+* ``stratified_sample`` — per-label Bernoulli sampling (``df.sampleBy``);
+* ``triplet_sample`` — anchor/positive via a same-label self-join with a
+  deterministic pseudo-random rank, negative via a different-label join
+  (the ``l1 != l2`` anti-condition) — fully distributed, no driver loop.
+
+Determinism: "randomness" is ``xxhash64(id, seed)`` ranks, so the same
+seed always yields the same triplets (reproducible training batches, and
+testable without statistical assertions).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def stratified_sample(
+    df: DataFrame, label: str, fractions: dict, seed: int = 42
+) -> DataFrame:
+    """Per-label Bernoulli sample — thin, explicit wrapper over sampleBy."""
+    return df.sampleBy(label, fractions=fractions, seed=seed)
+
+
+def _ranked(df: DataFrame, id_col: str, label: str, seed: int, name: str) -> DataFrame:
+    w = Window.partitionBy(label).orderBy(F.xxhash64(F.col(id_col), F.lit(seed)))
+    return df.select(
+        F.col(id_col).alias(f"{name}_id"),
+        F.col(label).alias(f"{name}_label"),
+        F.row_number().over(w).alias(f"{name}_rank"),
+    )
+
+
+def triplet_sample(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    label: str = "label",
+    per_anchor: int = 1,
+    seed: int = 42,
+) -> DataFrame:
+    """(anchor, positive, negative) triplets, ``per_anchor`` per row.
+
+    positive: next same-label row in a seeded pseudo-random ring ordering
+    (never the anchor itself); negative: a pseudo-randomly ranked row of the
+    nearest other label rank-wise. Labels with a single row yield no
+    triplet (no positive exists — the reference's sampler would loop
+    forever there; we drop instead, documented).
+    """
+    a = _ranked(df, id_col, label, seed, "anchor")
+    p = _ranked(df, id_col, label, seed, "pos")
+    sizes = df.groupBy(label).agg(F.count(F.lit(1)).alias("__n")).select(
+        F.col(label).alias("anchor_label"), "__n"
+    )
+    pairs = (
+        a.join(F.broadcast(sizes), "anchor_label")
+        .filter(F.col("__n") >= 2)
+        .join(
+            p.withColumnRenamed("pos_label", "anchor_label"),
+            on=[
+                "anchor_label",
+            ],
+        )
+        .filter(
+            F.col("pos_rank")
+            == F.pmod(F.col("anchor_rank") + per_anchor - 1, F.col("__n")) + 1
+        )
+        .filter(F.col("pos_id") != F.col("anchor_id"))
+    )
+    # negative: deterministic different-label pick — hash-join the anchor to
+    # the label ring of the "next" label (anti-condition l1 != l2)
+    labels = df.select(label).distinct()
+    lw = Window.orderBy(label)
+    ring = labels.select(
+        F.col(label).alias("anchor_label"),
+        F.lead(label, 1).over(lw).alias("__next_label"),
+        F.first(label).over(lw.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)).alias("__first_label"),
+    ).select(
+        "anchor_label",
+        F.coalesce("__next_label", "__first_label").alias("neg_label"),
+    )
+    n = _ranked(df, id_col, label, seed + 1, "neg")
+    neg_first = n.filter(F.col("neg_rank") == 1).select("neg_label", "neg_id")
+    out = (
+        pairs.join(F.broadcast(ring), "anchor_label")
+        .join(F.broadcast(neg_first), "neg_label")
+        .filter(F.col("neg_label") != F.col("anchor_label"))
+        .select("anchor_id", "anchor_label", "pos_id", "neg_id", "neg_label")
+    )
+    return out

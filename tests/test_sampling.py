@@ -1,0 +1,51 @@
+"""J5 per-label sampling joins — deterministic, so exactly testable."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from featureextraction_spark.operators.sampling import (
+    stratified_sample,
+    triplet_sample,
+)
+
+
+@pytest.fixture(scope="module")
+def labeled(spark):
+    pdf = pd.DataFrame(
+        {
+            "vec_id": range(20),
+            "label": [i % 4 for i in range(16)] + [9] * 3 + [7],  # label 7: singleton
+        }
+    )
+    return spark.createDataFrame(pdf)
+
+
+def test_triplet_invariants(spark, labeled):
+    t = triplet_sample(labeled).toPandas()
+    assert len(t) > 0
+    assert (t.anchor_id != t.pos_id).all()
+    assert (t.anchor_label != t.neg_label).all()
+    # positive shares the anchor's label
+    lab = dict(zip(labeled.toPandas().vec_id, labeled.toPandas().label))
+    assert all(lab[p] == a for p, a in zip(t.pos_id, t.anchor_label))
+    assert all(lab[n] != a for n, a in zip(t.neg_id, t.anchor_label))
+    # singleton label 7 produces no anchor (no positive exists)
+    assert 7 not in set(t.anchor_label)
+    # every non-singleton row anchors exactly once
+    assert len(t) == 19 and t.anchor_id.nunique() == 19
+
+
+def test_triplet_deterministic(spark, labeled):
+    a = triplet_sample(labeled, seed=5).toPandas().sort_values("anchor_id")
+    b = triplet_sample(labeled, seed=5).toPandas().sort_values("anchor_id")
+    pd.testing.assert_frame_equal(a.reset_index(drop=True), b.reset_index(drop=True))
+    c = triplet_sample(labeled, seed=6).toPandas().sort_values("anchor_id")
+    assert not a.reset_index(drop=True).equals(c.reset_index(drop=True))
+
+
+def test_stratified_sample_respects_labels(spark, labeled):
+    out = stratified_sample(labeled, "label", {0: 1.0, 1: 0.0}, seed=1).toPandas()
+    assert set(out.label) == {0}
+    assert len(out) == 4
