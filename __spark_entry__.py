@@ -278,20 +278,13 @@ def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact embedding-cosine near-dup pairs (brute force at this scale;
+    """Exact embedding-cosine near-dup pairs via the blocked-GEMM engine
+    (one numpy matmul per block pair instead of an expression per pair;
     the LSH-accelerated variant is ops-tested against this)."""
+    from featureextraction_spark.operators.blockpair import blocked_cosine_pairs
+
     emb = _load(spark, sf_dir, "embeddings")
-    a = emb.select(F.col("vec_id").alias("a_id"), F.col("embedding").alias("__a"))
-    b = emb.select(F.col("vec_id").alias("b_id"), F.col("embedding").alias("__b"))
-    return (
-        a.join(F.broadcast(b), F.col("a_id") < F.col("b_id"))
-        .withColumn(
-            "cosine",
-            F.round(sim_ops.cosine_similarity_col(F.col("__a"), F.col("__b")), 6),
-        )
-        .filter(F.col("cosine") >= 0.35)
-        .select("a_id", "b_id", "cosine")
-    )
+    return blocked_cosine_pairs(emb, threshold=0.35)
 
 
 def q_component_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:

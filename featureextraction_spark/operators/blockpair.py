@@ -1,0 +1,209 @@
+"""Blocked exact all-pairs similarity — the scale-correct dense baseline.
+
+The reference's evaluation does all-pairs similarity with a driver-side
+nested loop over pickled batches (``src/training/statistics.py:17-25,
+66-78``). The distributed version that survives scale-up is *blocking*:
+sort items by id into contiguous blocks, self-join the (tiny) block table
+with ``a.block <= b.block``, and evaluate each block pair as ONE numpy
+kernel call inside ``mapInPandas`` — a matrix op per task instead of an
+expression per pair. Shuffle volume is O(n·d·√?) block payloads, not
+O(n²) pair rows; compute is BLAS/bitwise-vectorized.
+
+Used by:
+- ``blocked_cosine_pairs``   — dense float vectors, normalized GEMM;
+- ``blocked_jaccard_pairs``  — shingle sets as vocabulary bitsets,
+  popcount(AND) intersections (exact Jaccard; right regime when the
+  shingle vocabulary is small relative to the corpus).
+
+This is the EXACT baseline; at web scale the sub-quadratic paths (MinHash
+LSH, SimHash bands, hyperplane LSH in ``dedup``/``similarity``) bound the
+candidate set first and verification reuses these kernels per candidate
+block. Block assembly sorts ids with a single global window — fine to
+~10^7 items; beyond that assign blocks by range partition boundaries.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+_POP = np.array([bin(i).count("1") for i in range(256)], dtype=np.int64)
+
+
+def _popcount(a: np.ndarray) -> np.ndarray:
+    """Vectorized popcount over the last axis of a uint64 array."""
+    return _POP[a.view(np.uint8).reshape(*a.shape[:-1], -1)].sum(axis=-1)
+
+
+def _pack_blocks(df: DataFrame, id_col: str, vec_col: str, block_size: int) -> DataFrame:
+    w = Window.orderBy(id_col)
+    return (
+        df.withColumn("__blk", ((F.row_number().over(w) - 1) / block_size).cast("int"))
+        .groupBy("__blk")
+        .agg(
+            F.sort_array(F.collect_list(F.struct(F.col(id_col).alias("i"),
+                                                 F.col(vec_col).alias("v")))).alias("rows")
+        )
+    )
+
+
+def _block_pairs(blocks: DataFrame) -> DataFrame:
+    a = blocks.select(F.col("__blk").alias("ab"), F.col("rows").alias("arows"))
+    b = blocks.select(F.col("__blk").alias("bb"), F.col("rows").alias("brows"))
+    return a.join(b, F.col("ab") <= F.col("bb"))
+
+
+def blocked_cosine_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.35,
+    block_size: int = 1024,
+    round_digits: int = 6,
+) -> DataFrame:
+    """All pairs (a_id < b_id) with cosine ≥ threshold, exactly.
+
+    One GEMM per block pair; ids within blocks are sorted so blocks hold
+    contiguous id ranges and ``ab <= bb`` is exactly the ``a_id < b_id``
+    ordering predicate.
+    """
+    pairs = _block_pairs(_pack_blocks(df, id_col, vec_col, block_size))
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for row in pdf.itertuples(index=False):
+                aids = np.array([r["i"] for r in row.arows], dtype=np.int64)
+                av = np.array([r["v"] for r in row.arows], dtype=np.float64)
+                bids = np.array([r["i"] for r in row.brows], dtype=np.int64)
+                bv = np.array([r["v"] for r in row.brows], dtype=np.float64)
+                an = av / np.linalg.norm(av, axis=1, keepdims=True)
+                bn = bv / np.linalg.norm(bv, axis=1, keepdims=True)
+                cos = an @ bn.T
+                ii, jj = np.nonzero(np.round(cos, round_digits) >= threshold)
+                keep = aids[ii] < bids[jj]
+                ii, jj = ii[keep], jj[keep]
+                yield pd.DataFrame(
+                    {
+                        "a_id": aids[ii],
+                        "b_id": bids[jj],
+                        "cosine": np.round(cos[ii, jj], round_digits),
+                    }
+                )
+
+    schema = "a_id long, b_id long, cosine double"
+    return pairs.mapInPandas(kernel, schema=schema)
+
+
+def pack_bitsets(
+    shingles: DataFrame, id_col: str = "doc_id", shingle_col: str = "shingle"
+) -> DataFrame:
+    """(id, bits: array<long>, sz) — each id's shingle set as a vocabulary
+    bitset. Pure aggregation (bit_or per 64-bit word), no per-element HOF
+    loops; the vocabulary (distinct shingles + positions) is broadcast.
+    """
+    vocab = (
+        shingles.select(shingle_col)
+        .distinct()
+        .withColumn("__pos", F.row_number().over(Window.orderBy(shingle_col)) - 1)
+    )
+    n_words_row = vocab.agg((F.floor(F.max("__pos") / 64) + 1).alias("w")).collect()
+    n_words = int(n_words_row[0]["w"] or 1) if n_words_row else 1
+
+    words = (
+        shingles.join(F.broadcast(vocab), shingle_col)
+        .select(
+            id_col,
+            (F.col("__pos") / 64).cast("int").alias("__w"),
+            F.expr("shiftleft(1L, cast(__pos % 64 as int))").alias("__b"),
+        )
+        .groupBy(id_col, "__w")
+        .agg(F.expr("bit_or(__b)").alias("__wbits"), F.count(F.lit(1)).alias("__n"))
+    )
+    return (
+        words.groupBy(id_col)
+        .agg(
+            F.map_from_entries(F.collect_list(F.struct("__w", "__wbits"))).alias("__m"),
+            F.sum("__n").alias("sz"),
+        )
+        .select(
+            id_col,
+            F.expr(
+                f"transform(sequence(0, {n_words - 1}),"
+                " w -> coalesce(element_at(__m, w), 0L))"
+            ).alias("bits"),
+            F.col("sz").cast("long").alias("sz"),
+        )
+    )
+
+
+def jaccard_from_bitsets(abits, bbits, asz, bsz) -> F.Column:
+    """JVM-side exact Jaccard between two bitset columns (popcount fold)."""
+    inter = F.aggregate(
+        F.zip_with(abits, bbits, lambda x, y: F.bit_count(x.bitwiseAND(y)).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    return inter / (asz + bsz - inter)
+
+
+def blocked_jaccard_pairs(
+    shingles: DataFrame,
+    id_col: str = "doc_id",
+    shingle_col: str = "shingle",
+    threshold: float = 0.4,
+    block_size: int = 2048,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Exact Jaccard pairs from a (id, shingle) table via vocabulary bitsets.
+
+    Builds the distinct-shingle vocabulary (broadcast), encodes each
+    document as a ceil(V/64)-word bitset (JVM-side aggregation), then
+    popcount(AND) per block pair. Exact for ANY vocabulary, efficient when
+    V is small enough to broadcast (≲ 10^6); the inverted-index path in
+    ``dedup.ngram_jaccard_pairs`` covers the open-vocabulary regime.
+    """
+    packed = pack_bitsets(shingles, id_col, shingle_col).select(
+        id_col, F.struct("bits", "sz").alias("payload")
+    )
+    pairs = _block_pairs(_pack_blocks(packed, id_col, "payload", block_size))
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for row in pdf.itertuples(index=False):
+                aids = np.array([r["i"] for r in row.arows], dtype=np.int64)
+                abits = np.array(
+                    [r["v"]["bits"] for r in row.arows], dtype=np.int64
+                ).astype(np.uint64)
+                asz = np.array([r["v"]["sz"] for r in row.arows], dtype=np.int64)
+                bids = np.array([r["i"] for r in row.brows], dtype=np.int64)
+                bbits = np.array(
+                    [r["v"]["bits"] for r in row.brows], dtype=np.int64
+                ).astype(np.uint64)
+                bsz = np.array([r["v"]["sz"] for r in row.brows], dtype=np.int64)
+                # intersections as a BLAS matmul over unpacked 0/1 float32
+                # vectors: counts ≤ vocab < 2^24 are exact in f32, and GEMM
+                # beats any vectorized popcount by an order of magnitude
+                bf = np.unpackbits(bbits.view(np.uint8), axis=-1).astype(np.float32)
+                au = np.unpackbits(abits.view(np.uint8), axis=-1).astype(np.float32)
+                for lo in range(0, len(aids), 512):
+                    hi = lo + 512
+                    inter = (au[lo:hi] @ bf.T).astype(np.int64)
+                    union = asz[lo:hi, None] + bsz[None, :] - inter
+                    with np.errstate(divide="ignore", invalid="ignore"):
+                        jac = np.where(union > 0, inter / np.maximum(union, 1), 0.0)
+                    ii, jj = np.nonzero(jac >= threshold)
+                    keep = aids[lo:hi][ii] < bids[jj]
+                    ii, jj = ii[keep], jj[keep]
+                    yield pd.DataFrame(
+                        {
+                            "a_id": aids[lo:hi][ii],
+                            "b_id": bids[jj],
+                            "jaccard": np.round(jac[ii, jj], round_digits),
+                        }
+                    )
+
+    return pairs.mapInPandas(kernel, schema="a_id long, b_id long, jaccard double")

@@ -85,16 +85,33 @@ def ngram_jaccard_pairs(
     n: int = 5,
     threshold: float = 0.4,
     max_shingle_df: int | None = None,
+    strategy: str = "auto",
+    vocab_limit: int = 200_000,
 ) -> DataFrame:
-    """EXACT n-gram Jaccard similar pairs via inverted-index self-join.
+    """EXACT n-gram Jaccard similar pairs; physical strategy auto-selected.
 
-    |A∩B| from the shingle join, |A∪B| = |A| + |B| − |A∩B|. Only pairs
-    sharing ≥1 shingle are materialized — never a cartesian product.
-    ``max_shingle_df`` drops shingles appearing in more than that many docs
-    (stop-shingles): the classic web-scale guard against hot-key blowup;
-    None keeps the result exact.
+    - ``index``: inverted-index self-join — |A∩B| from the shingle join,
+      |A∪B| = |A| + |B| − |A∩B|; only pairs sharing ≥1 shingle
+      materialize. Right when the vocabulary is open (web text): hot keys
+      guarded by ``max_shingle_df`` (drops stop-shingles; None = exact).
+    - ``bitset``: encode each document over the distinct-shingle vocabulary
+      as a bitset, popcount(AND) per block pair (``operators/blockpair``).
+      Right when the vocabulary broadcasts (≲ ``vocab_limit``): the
+      inverted index degenerates to Σ df² pair-rows there.
+    - ``auto``: count the vocabulary (one cheap aggregate) and pick.
+
+    Both strategies return identical rows — the tests assert it.
     """
     sh = char_shingles(df, id_col, text, n)
+    if strategy == "auto":
+        n_vocab = sh.select("shingle").distinct().count()
+        strategy = "bitset" if n_vocab <= vocab_limit else "index"
+    if strategy == "bitset":
+        from featureextraction_spark.operators.blockpair import blocked_jaccard_pairs
+
+        return blocked_jaccard_pairs(
+            sh, id_col=id_col, threshold=threshold
+        )
     if max_shingle_df is not None:
         keep = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df_")).filter(
             F.col("df_") <= max_shingle_df
@@ -206,11 +223,33 @@ def minhash_lsh_pairs(
         .select("a_id", "b_id")
         .distinct()
     )
-    exact = ngram_jaccard_pairs(df, id_col, text, n, threshold=0.0)
+    # exact-Jaccard verification of the CANDIDATES ONLY — never the full
+    # pair table: join each candidate to the two docs' vocabulary BITSETS
+    # and popcount the intersection JVM-side (O(|cand| · vocab/64) longs;
+    # the packed table is one small row per doc, broadcast when it fits)
+    from featureextraction_spark.operators.blockpair import (
+        jaccard_from_bitsets,
+        pack_bitsets,
+    )
+
+    packed = pack_bitsets(char_shingles(df, id_col, text, n), id_col)
+    pa = packed.select(
+        F.col(id_col).alias("a_id"), F.col("bits").alias("__ab"), F.col("sz").alias("__asz")
+    )
+    pb = packed.select(
+        F.col(id_col).alias("b_id"), F.col("bits").alias("__bb"), F.col("sz").alias("__bsz")
+    )
     return (
-        cand.join(exact, ["a_id", "b_id"])
+        cand.join(pa, "a_id")
+        .join(pb, "b_id")
+        .withColumn(
+            "jaccard",
+            jaccard_from_bitsets(
+                F.col("__ab"), F.col("__bb"), F.col("__asz"), F.col("__bsz")
+            ),
+        )
         .filter(F.col("jaccard") >= threshold)
-        .select("a_id", "b_id", "jaccard")
+        .select("a_id", "b_id", F.round("jaccard", 6).alias("jaccard"))
     )
 
 

@@ -200,3 +200,25 @@ def test_language_id_oracle(spark, docs, docs_pdf):
         mx = max(hits.values())
         exp = "unknown" if mx == 0 else min(k for k, v in hits.items() if v == mx)
         assert got[r.doc_id] == exp, (r.doc_id, hits, got[r.doc_id])
+
+
+def test_jaccard_strategies_identical(spark, docs):
+    """The bitset/blocked and inverted-index physical strategies must
+    return byte-identical pair tables (same logical operator)."""
+    from featureextraction_spark.operators.dedup import ngram_jaccard_pairs
+
+    a = (
+        ngram_jaccard_pairs(docs, threshold=0.3, strategy="bitset")
+        .toPandas()
+        .sort_values(["a_id", "b_id"])
+        .reset_index(drop=True)
+    )
+    b = (
+        ngram_jaccard_pairs(docs, threshold=0.3, strategy="index")
+        .toPandas()
+        .sort_values(["a_id", "b_id"])
+        .reset_index(drop=True)
+    )
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(a, b)
