@@ -98,46 +98,81 @@ def blocked_cosine_pairs(
     return pairs.mapInPandas(kernel, schema=schema)
 
 
-def pack_bitsets(
-    shingles: DataFrame, id_col: str = "doc_id", shingle_col: str = "shingle"
-) -> DataFrame:
-    """(id, bits: array<long>, sz) — each id's shingle set as a vocabulary
-    bitset. Pure aggregation (bit_or per 64-bit word), no per-element HOF
-    loops; the vocabulary (distinct shingles + positions) is broadcast.
+def shingle_vocab(shingles: DataFrame, shingle_col: str = "shingle") -> DataFrame:
+    """Distinct shingles with dense positions 0..V−1, ordered by shingle.
+
+    The single-partition window is fine in the broadcast-vocabulary regime
+    this path targets; open-vocabulary corpora take the inverted-index
+    strategies instead.
     """
-    vocab = (
+    return (
         shingles.select(shingle_col)
         .distinct()
         .withColumn("__pos", F.row_number().over(Window.orderBy(shingle_col)) - 1)
     )
-    n_words_row = vocab.agg((F.floor(F.max("__pos") / 64) + 1).alias("w")).collect()
-    n_words = int(n_words_row[0]["w"] or 1) if n_words_row else 1
 
-    words = (
-        shingles.join(F.broadcast(vocab), shingle_col)
-        .select(
-            id_col,
-            (F.col("__pos") / 64).cast("int").alias("__w"),
-            F.expr("shiftleft(1L, cast(__pos % 64 as int))").alias("__b"),
-        )
-        .groupBy(id_col, "__w")
-        .agg(F.expr("bit_or(__b)").alias("__wbits"), F.count(F.lit(1)).alias("__n"))
-    )
+
+def doc_positions(
+    shingles: DataFrame,
+    vocab: DataFrame,
+    id_col: str = "doc_id",
+    shingle_col: str = "shingle",
+) -> DataFrame:
+    """(id, poss: array<int>) — each id's DISTINCT vocabulary positions.
+
+    One broadcast join + one aggregation (collect_set dedups, so callers
+    need not pre-distinct the shingle table). The shared substrate for
+    bitset packing and gather-style signature kernels.
+    """
     return (
-        words.groupBy(id_col)
-        .agg(
-            F.map_from_entries(F.collect_list(F.struct("__w", "__wbits"))).alias("__m"),
-            F.sum("__n").alias("sz"),
-        )
-        .select(
-            id_col,
-            F.expr(
-                f"transform(sequence(0, {n_words - 1}),"
-                " w -> coalesce(element_at(__m, w), 0L))"
-            ).alias("bits"),
-            F.col("sz").cast("long").alias("sz"),
-        )
+        shingles.join(F.broadcast(vocab), shingle_col)
+        .groupBy(id_col)
+        .agg(F.collect_set("__pos").alias("poss"))
     )
+
+
+def pack_bitsets(
+    shingles: DataFrame,
+    id_col: str = "doc_id",
+    shingle_col: str = "shingle",
+    vocab: DataFrame | None = None,
+    n_vocab: int | None = None,
+) -> DataFrame:
+    """(id, bits: array<long>, sz) — each id's shingle set as a vocabulary
+    bitset, assembled in numpy per Arrow batch (no per-position JVM work
+    beyond one collect_set aggregation).
+
+    ``vocab``/``n_vocab`` let callers share an already-persisted vocabulary
+    across several consumers (signatures + verification + packing) — the
+    explode/distinct lineage is expensive to recompute per action.
+    """
+    from collections.abc import Iterator
+
+    if vocab is None:
+        vocab = shingle_vocab(shingles, shingle_col).persist()
+    if n_vocab is None:
+        n_vocab = vocab.count()
+    n_words = max((int(n_vocab) + 63) // 64, 1)
+    pos = doc_positions(shingles, vocab, id_col, shingle_col)
+    id_type = dict(pos.dtypes)[id_col]
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_bits = []
+            szs = []
+            for poss in pdf["poss"]:
+                p = np.asarray(poss, dtype=np.int64)
+                arr = np.zeros(n_words, dtype=np.uint64)
+                np.bitwise_or.at(
+                    arr, p // 64, np.uint64(1) << (p % 64).astype(np.uint64)
+                )
+                out_bits.append(arr.astype(np.int64))
+                szs.append(len(p))
+            yield pd.DataFrame(
+                {id_col: pdf[id_col], "bits": out_bits, "sz": np.array(szs, dtype=np.int64)}
+            )
+
+    return pos.mapInPandas(kernel, schema=f"{id_col} {id_type}, bits array<long>, sz long")
 
 
 def jaccard_from_bitsets(abits, bbits, asz, bsz) -> F.Column:
@@ -157,6 +192,8 @@ def blocked_jaccard_pairs(
     threshold: float = 0.4,
     block_size: int = 2048,
     round_digits: int = 6,
+    vocab: DataFrame | None = None,
+    n_vocab: int | None = None,
 ) -> DataFrame:
     """Exact Jaccard pairs from a (id, shingle) table via vocabulary bitsets.
 
@@ -166,7 +203,7 @@ def blocked_jaccard_pairs(
     V is small enough to broadcast (≲ 10^6); the inverted-index path in
     ``dedup.ngram_jaccard_pairs`` covers the open-vocabulary regime.
     """
-    packed = pack_bitsets(shingles, id_col, shingle_col).select(
+    packed = pack_bitsets(shingles, id_col, shingle_col, vocab, n_vocab).select(
         id_col, F.struct("bits", "sz").alias("payload")
     )
     pairs = _block_pairs(_pack_blocks(packed, id_col, "payload", block_size))

@@ -103,15 +103,22 @@ def ngram_jaccard_pairs(
     Both strategies return identical rows — the tests assert it.
     """
     sh = char_shingles(df, id_col, text, n)
-    if strategy == "auto":
-        n_vocab = sh.select("shingle").distinct().count()
-        strategy = "bitset" if n_vocab <= vocab_limit else "index"
-    if strategy == "bitset":
-        from featureextraction_spark.operators.blockpair import blocked_jaccard_pairs
-
-        return blocked_jaccard_pairs(
-            sh, id_col=id_col, threshold=threshold
+    if strategy in ("auto", "bitset"):
+        from featureextraction_spark.operators.blockpair import (
+            blocked_jaccard_pairs,
+            shingle_vocab,
         )
+
+        # persist the exploded shingles + vocabulary: every downstream
+        # action (vocab count, positions, packing) reuses this lineage
+        sh = sh.persist()
+        vocab = shingle_vocab(sh).persist()
+        n_vocab = vocab.count()
+        if strategy == "bitset" or n_vocab <= vocab_limit:
+            return blocked_jaccard_pairs(
+                sh, id_col=id_col, threshold=threshold, vocab=vocab, n_vocab=n_vocab
+            )
+        strategy = "index"
     if max_shingle_df is not None:
         keep = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df_")).filter(
             F.col("df_") <= max_shingle_df
@@ -147,25 +154,41 @@ def minhash_signatures(
     text: str = "text",
     n: int = 5,
     num_hashes: int = 32,
+    strategy: str = "auto",
+    vocab_limit: int = 200_000,
+    shingles: DataFrame | None = None,
+    vocab: DataFrame | None = None,
+    n_vocab: int | None = None,
 ) -> DataFrame:
     """(id, sig: array<long>) — minhash over portable shingle hashes.
 
-    Long form (one row per shingle) → cross the tiny hash-param table →
-    per-(doc, j) min — Spark's partial aggregation does the map-side
-    combine; no UDF.
+    Strategies (identical output, tested):
+    - ``gather``: hash the distinct vocabulary once into a (V × k) matrix,
+      broadcast it, and take per-document numpy column-mins over each
+      document's vocabulary positions — one aggregation, no k× row blowup.
+    - ``explode``: long form (doc, j, hv) → per-(doc, j) min with map-side
+      combine; the open-vocabulary path.
+    - ``auto``: count the vocabulary and pick.
     """
+    from featureextraction_spark.operators.blockpair import (
+        doc_positions,
+        shingle_vocab,
+    )
+
     spark = df.sparkSession
     params = spark.createDataFrame(
         [(j, a, b) for j, (a, b) in enumerate(minhash_params(num_hashes))],
         schema="j int, a long, b long",
     )
-    sh = char_shingles(df, id_col, text, n).withColumn(
-        "h", portable_hash60(F.col("shingle"))
-    )
-    # (a*h + b) % P in embedded-integer arithmetic: 60-bit h × 61-bit a
-    # overflows int64, so do the multiply in decimal(38) then mod.
-    hashed = (
-        sh.crossJoin(F.broadcast(params))
+    sh = shingles if shingles is not None else char_shingles(df, id_col, text, n).persist()
+    # hash the DISTINCT vocabulary once, never per (doc, shingle) instance:
+    # (a*h + b) % P needs decimal(38) (60-bit h × 61-bit a overflows int64)
+    # and md5 is not free — both costs now scale with |vocab|, not |corpus|
+    if vocab is None:
+        vocab = shingle_vocab(sh).persist()
+    vocab_hv = (
+        vocab.withColumn("h", portable_hash60(F.col("shingle")))
+        .crossJoin(F.broadcast(params))
         .withColumn(
             "hv",
             (
@@ -175,8 +198,49 @@ def minhash_signatures(
             ).cast("long"),
         )
     )
+    if strategy == "auto":
+        if n_vocab is None:
+            n_vocab = vocab.count()
+        strategy = "gather" if n_vocab <= vocab_limit else "explode"
+    if strategy == "gather":
+        # per-document numpy min-gather over the broadcast (V × k) matrix
+        import numpy as np
+        import pandas as pd
+
+        hv_pdf = (
+            vocab_hv.groupBy("__pos")
+            .agg(F.array_sort(F.collect_list(F.struct("j", "hv"))).alias("__s"))
+            .select("__pos", F.expr("transform(__s, x -> x.hv)").alias("hvs"))
+            .orderBy("__pos")
+            .toPandas()
+        )
+        mat = np.array(hv_pdf["hvs"].tolist(), dtype=np.int64)
+        bmat = spark.sparkContext.broadcast(mat)
+        pos = doc_positions(sh, vocab, id_col)
+        id_type = dict(pos.dtypes)[id_col]
+
+        def kernel(batches):
+            m = bmat.value
+            for pdf in batches:
+                sigs = [
+                    m[np.asarray(poss, dtype=np.int64)].min(axis=0)
+                    for poss in pdf["poss"]
+                ]
+                yield pd.DataFrame({id_col: pdf[id_col], "sig": sigs})
+
+        return pos.mapInPandas(kernel, schema=f"{id_col} {id_type}, sig array<long>")
+
+    exploded = (
+        sh.join(
+            vocab_hv.groupBy("shingle")
+            .agg(F.array_sort(F.collect_list(F.struct("j", "hv"))).alias("__s"))
+            .select("shingle", F.expr("transform(__s, x -> x.hv)").alias("hvs")),
+            "shingle",
+        )
+        .select(id_col, F.posexplode("hvs").alias("j", "hv"))
+    )
     return (
-        hashed.groupBy(id_col, "j")
+        exploded.groupBy(id_col, "j")
         .agg(F.min("hv").alias("mh"))
         .groupBy(id_col)
         .agg(F.array_sort(F.collect_list(F.struct("j", "mh"))).alias("__s"))
@@ -201,9 +265,16 @@ def minhash_lsh_pairs(
     n-gram Jaccard and filtered at ``threshold``. Output ⊆ exact pairs;
     recall governed by the (bands, r) S-curve.
     """
+    from featureextraction_spark.operators.blockpair import shingle_vocab
+
     assert num_hashes % bands == 0
     r = num_hashes // bands
-    sig = minhash_signatures(df, id_col, text, n, num_hashes)
+    sh = char_shingles(df, id_col, text, n).persist()
+    vocab = shingle_vocab(sh).persist()
+    n_vocab = vocab.count()
+    sig = minhash_signatures(
+        df, id_col, text, n, num_hashes, shingles=sh, vocab=vocab, n_vocab=n_vocab
+    )
     banded = sig.select(
         id_col,
         "sig",
@@ -215,10 +286,16 @@ def minhash_lsh_pairs(
         ).alias("bs"),
     ).select(id_col, F.col("bs.band").alias("band"), F.col("bs.sl").alias("sl"))
 
-    a = banded.select(F.col(id_col).alias("a_id"), "band", "sl")
-    b = banded.select(F.col(id_col).alias("b_id"), "band", "sl")
+    # join on a 64-bit hash of (band, slice) — cheaper to shuffle than the
+    # slice arrays; a hash collision only adds a FALSE candidate, which the
+    # exact verification below filters (correctness unaffected)
+    keyed = banded.select(
+        F.col(id_col), F.xxhash64("band", "sl").alias("bk")
+    )
+    a = keyed.select(F.col(id_col).alias("a_id"), "bk")
+    b = keyed.select(F.col(id_col).alias("b_id"), "bk")
     cand = (
-        a.join(b, ["band", "sl"])
+        a.join(b, "bk")
         .filter(F.col("a_id") < F.col("b_id"))
         .select("a_id", "b_id")
         .distinct()
@@ -232,7 +309,7 @@ def minhash_lsh_pairs(
         pack_bitsets,
     )
 
-    packed = pack_bitsets(char_shingles(df, id_col, text, n), id_col)
+    packed = pack_bitsets(sh, id_col, vocab=vocab, n_vocab=n_vocab).persist()
     pa = packed.select(
         F.col(id_col).alias("a_id"), F.col("bits").alias("__ab"), F.col("sz").alias("__asz")
     )
@@ -240,8 +317,8 @@ def minhash_lsh_pairs(
         F.col(id_col).alias("b_id"), F.col("bits").alias("__bb"), F.col("sz").alias("__bsz")
     )
     return (
-        cand.join(pa, "a_id")
-        .join(pb, "b_id")
+        cand.join(F.broadcast(pa), "a_id")
+        .join(F.broadcast(pb), "b_id")
         .withColumn(
             "jaccard",
             jaccard_from_bitsets(
@@ -254,18 +331,38 @@ def minhash_lsh_pairs(
 
 
 def simhash(
-    df: DataFrame, id_col: str = "doc_id", text: str = "text", n: int = 5, bits: int = 60
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text: str = "text",
+    n: int = 5,
+    bits: int = 60,
+    strategy: str = "auto",
+    vocab_limit: int = 200_000,
 ) -> DataFrame:
     """(id, simhash: long) — sign-of-summed-bit-votes over shingle hashes.
 
     Bit k of the fingerprint = majority vote of bit k across the document's
     shingle hashes (60-bit md5-derived — hence 60 fingerprint bits).
-    Expressed as explode → bit test → groupBy sum → reassemble; all
-    JVM-side.
+
+    Strategies (identical output, tested):
+    - ``explode``: bit test → groupBy sum → reassemble; all JVM-side; the
+      open-vocabulary path.
+    - ``gemm``: per-bit ones-counts for ALL documents at once as one
+      matmul — unpacked doc bitsets (``pack_bitsets``) × the vocabulary's
+      60-bit matrix; right when the vocabulary broadcasts.
+    - ``auto``: count the vocabulary and pick.
     """
-    sh = char_shingles(df, id_col, text, n).withColumn(
-        "h", portable_hash60(F.col("shingle"))
-    )
+    sh0 = char_shingles(df, id_col, text, n)
+    if strategy in ("auto", "gemm"):
+        from featureextraction_spark.operators.blockpair import shingle_vocab
+
+        sh0 = sh0.persist()
+        vocab = shingle_vocab(sh0).persist()
+        n_vocab = vocab.count()
+        if strategy == "gemm" or n_vocab <= vocab_limit:
+            return _simhash_gemm(sh0, id_col, bits, vocab=vocab, n_vocab=n_vocab)
+        strategy = "explode"
+    sh = sh0.withColumn("h", portable_hash60(F.col("shingle")))
     bits_df = sh.select(
         id_col,
         F.explode(
@@ -287,6 +384,77 @@ def simhash(
         .groupBy(id_col)
         .agg(F.sum("bit").cast("long").alias("simhash"))
     )
+
+
+def _simhash_gemm(
+    shingles: DataFrame,
+    id_col: str,
+    bits: int,
+    vocab: DataFrame | None = None,
+    n_vocab: int | None = None,
+) -> DataFrame:
+    """SimHash via one ones-count matmul per doc block.
+
+    votes[d, k] = 2 * ones[d, k] − n_shingles[d] where
+    ones = (doc × vocab 0/1 matrix) @ (vocab × bits hash-bit matrix);
+    the doc matrix comes from unpacking ``pack_bitsets`` bitsets, with the
+    unpackbits byte/bit permutation mapped back to vocabulary positions.
+    """
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from featureextraction_spark.operators.blockpair import pack_bitsets
+
+    from featureextraction_spark.operators.blockpair import shingle_vocab
+
+    if vocab is None:
+        vocab = shingle_vocab(shingles).persist()
+    # vocabulary hash matrix, ordered EXACTLY like pack_bitsets positions
+    # (sorted by shingle) — collected to the driver; gemm regime only
+    vocab_pdf = (
+        vocab.withColumn("h", portable_hash60(F.col("shingle")))
+        .orderBy("__pos")
+        .select("h")
+        .toPandas()
+    )
+    h = vocab_pdf["h"].to_numpy(dtype=np.int64).astype(np.uint64)
+    vocab_bits = ((h[:, None] >> np.arange(bits, dtype=np.uint64)[None, :]) & 1).astype(
+        np.float32
+    )  # (V, bits)
+    n_vocab = len(h)
+    n_words = (n_vocab + 63) // 64
+    # unpackbits(int64-view bytes, bitorder='big') index for position p:
+    # word w = p//64 contributes bytes little-endian, high bit first per byte
+    p = np.arange(n_words * 64)
+    unpack_idx = (p // 64) * 64 + ((p % 64) // 8) * 8 + (7 - (p % 8))
+    V = np.zeros((n_words * 64, bits), dtype=np.float32)
+    V[unpack_idx[:n_vocab]] = vocab_bits
+
+    packed = pack_bitsets(shingles, id_col, vocab=vocab, n_vocab=n_vocab)
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf[id_col].to_numpy()
+            bmat = np.array(pdf["bits"].tolist(), dtype=np.int64)
+            unpacked = np.unpackbits(
+                bmat.view(np.uint8), axis=-1
+            ).astype(np.float32)  # (n, n_words*64)
+            ones = unpacked @ V  # (n, bits)
+            nsh = pdf["sz"].to_numpy(dtype=np.int64)
+            votes = 2 * ones.astype(np.int64) - nsh[:, None]
+            fp = (
+                (votes > 0).astype(np.uint64)
+                << np.arange(bits, dtype=np.uint64)[None, :]
+            ).sum(axis=1)
+            yield pd.DataFrame({id_col: ids, "simhash": fp.astype(np.int64)})
+
+    return packed.mapInPandas(kernel, schema=f"{id_col} string, simhash long") \
+        if dict(packed.dtypes)[id_col] == "string" \
+        else packed.mapInPandas(kernel, schema=f"{id_col} long, simhash long")
 
 
 def simhash_near_dup_pairs(

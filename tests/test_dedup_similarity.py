@@ -222,3 +222,29 @@ def test_jaccard_strategies_identical(spark, docs):
     import pandas as pd
 
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_simhash_strategies_identical(spark, docs):
+    from featureextraction_spark.operators.dedup import simhash
+    import pandas as pd
+
+    a = simhash(docs, strategy="gemm").toPandas().sort_values("doc_id").reset_index(drop=True)
+    b = simhash(docs, strategy="explode").toPandas().sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_minhash_strategies_identical(spark, docs):
+    from featureextraction_spark.operators.dedup import minhash_signatures
+    import pandas as pd
+
+    a = (
+        minhash_signatures(docs, strategy="gather")
+        .toPandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    b = (
+        minhash_signatures(docs, strategy="explode")
+        .toPandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    a["sig"] = a["sig"].apply(list)
+    b["sig"] = b["sig"].apply(list)
+    pd.testing.assert_frame_equal(a, b)
