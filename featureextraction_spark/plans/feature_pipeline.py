@@ -172,12 +172,21 @@ def point_in_time_features(
     gap_seconds: int = 1800,
     extremes_window: int = K.EXTREMES_WINDOW,
     slope_distance: int = K.SLOPE_DISTANCE,
+    num_buckets: int = 256,
 ) -> DataFrame:
     """Full point-in-time vector at each distinct probe (conv_id, ts).
 
     ``next_role`` (lead) is deliberately ABSENT: it reads ts' > ts and is a
     training-label column, excluded from point-in-time vectors
     (FIXTURES.md §3).
+
+    Physical shape: state rows and probe rows are unioned with a tag and
+    grouped by ``pmod(hash(conv_id), num_buckets)`` — ONE Arrow batch and
+    ONE pandas kernel call per bucket of ~conversations/num_buckets convs,
+    instead of one per conversation. Per-group Arrow/pandas overhead
+    (~ms) dominates wall time when conversations are small; bucketing
+    amortizes it while hash-balancing skew. The per-conversation math is
+    unchanged (``compute_probe_features``, shared with the oracle).
     """
     state = turn_state(transcripts, gap_seconds).select(
         "conv_id", "turn_idx", "ts", "n_chars", "n_tokens",
@@ -186,11 +195,40 @@ def point_in_time_features(
     probes_d = probes.select("conv_id", "ts").distinct()
     schema = _feature_schema(probes_d.schema["ts"].dataType)
 
-    def kernel(state_pdf: pd.DataFrame, probes_pdf: pd.DataFrame) -> pd.DataFrame:
-        return compute_probe_features(state_pdf, probes_pdf, extremes_window, slope_distance)
+    u = state.withColumn("__tag", F.lit(0)).unionByName(
+        probes_d.withColumn("__tag", F.lit(1)), allowMissingColumns=True
+    )
 
+    state_cols = [
+        "conv_id", "turn_idx", "ts", "n_chars", "n_tokens",
+        "session_id", "prev_role", "last_tool", "role_transitions",
+    ]
+
+    def bucket_kernel(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for _conv, g in pdf.groupby("conv_id", sort=False):
+            probes_pdf = g.loc[g["__tag"] == 1, ["conv_id", "ts"]]
+            if not len(probes_pdf):
+                continue
+            state_pdf = g.loc[g["__tag"] == 0, state_cols]
+            outs.append(
+                compute_probe_features(
+                    state_pdf, probes_pdf, extremes_window, slope_distance
+                )
+            )
+        if not outs:
+            return pd.DataFrame(columns=[f.name for f in schema.fields])
+        return pd.concat(outs, ignore_index=True)
+
+    # EXPLICIT repartition, not a bare groupBy exchange: AQE sizes shuffle
+    # partitions by BYTES and would coalesce this small-but-CPU-heavy stage
+    # to 1-2 tasks (the kernel is ~1 ms/probe of numpy, not bytes). A fixed
+    # repartition count is exempt from AQE coalescing, keeping every core's
+    # Python worker busy.
+    bucket = F.pmod(F.hash("conv_id"), F.lit(num_buckets))
     return (
-        state.groupBy("conv_id")
-        .cogroup(probes_d.groupBy("conv_id"))
-        .applyInPandas(kernel, schema=schema)
+        u.withColumn("__bucket", bucket)
+        .repartition(num_buckets, "__bucket")
+        .groupBy("__bucket")
+        .applyInPandas(bucket_kernel, schema=schema)
     )
