@@ -173,8 +173,12 @@ def point_in_time_features(
     extremes_window: int = K.EXTREMES_WINDOW,
     slope_distance: int = K.SLOPE_DISTANCE,
     num_buckets: int = 256,
+    state: DataFrame | None = None,
 ) -> DataFrame:
     """Full point-in-time vector at each distinct probe (conv_id, ts).
+
+    ``state``: a precomputed ``turn_state`` output (e.g. a checkpointed
+    stage) — skips recomputing the window chain.
 
     ``next_role`` (lead) is deliberately ABSENT: it reads ts' > ts and is a
     training-label column, excluded from point-in-time vectors
@@ -188,7 +192,9 @@ def point_in_time_features(
     amortizes it while hash-balancing skew. The per-conversation math is
     unchanged (``compute_probe_features``, shared with the oracle).
     """
-    state = turn_state(transcripts, gap_seconds).select(
+    if state is None:
+        state = turn_state(transcripts, gap_seconds)
+    state = state.select(
         "conv_id", "turn_idx", "ts", "n_chars", "n_tokens",
         "session_id", "prev_role", "last_tool", "role_transitions",
     )

@@ -138,6 +138,35 @@ class CheckpointedRunner:
         self.recomputed.append(name)
         return written.drop(_PART_COL)
 
+    def record(
+        self,
+        name: str,
+        fingerprint: str | None,
+        total_rows: int,
+        wall_ms: int,
+        extra: dict | None = None,
+    ) -> None:
+        """Manifest a side-effect stage (e.g. a feature-store append) that
+        has no checkpoint parquet of its own — same atomic commit protocol,
+        so restarts can skip the side effect too."""
+        entry = {
+            "run_id": self.run_id,
+            "stage": name,
+            "status": "done",
+            "input_fingerprint": fingerprint,
+            "wall_ms": wall_ms,
+            "total_rows": total_rows,
+            "n_partitions": 0,
+            "partitions": [],
+            "committed_at_unix": int(time.time()),
+            **(extra or {}),
+        }
+        tmp = self._manifest_path(name) + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(entry, f, indent=1)
+        os.replace(tmp, self._manifest_path(name))
+        self.recomputed.append(name)
+
     def metrics(self) -> DataFrame:
         """All manifest rows as a DataFrame (stage-level metrics sink, S9)."""
         rows = [
