@@ -30,7 +30,18 @@ def main() -> None:
     import __spark_entry__ as entrymod
     from featureextraction_spark.session import get_spark
 
-    spark = get_spark("fex-bench", parallelism=cpus, shuffle_partitions=cpus)
+    os.makedirs("/dev/shm/spark-tmp", exist_ok=True)
+    spark = get_spark(
+        "fex-bench",
+        parallelism=cpus,
+        shuffle_partitions=cpus,
+        # same throughput config the scaling bench validated: ParallelGC
+        # (~10% over G1 on sort/shuffle-bound stages) + tmpfs shuffle dirs
+        extra_conf={
+            "spark.driver.extraJavaOptions": "-XX:+UseParallelGC",
+            "spark.local.dir": "/dev/shm/spark-tmp",
+        },
+    )
 
     # warm the JVM/codegen once on a trivial action so q1 isn't charged startup
     spark.range(1000000).selectExpr("sum(id)").collect()
