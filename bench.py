@@ -96,20 +96,28 @@ def main() -> None:
     timings["flagship_pipeline"] = round(flagship_sec, 3)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf_dir,
-                "cpus": cpus,
-                "turns_per_sec": round(n_rows / flagship_sec, 1),
-                "flagship_input_rows": n_rows,
-            }
+    out = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_dir,
+        "cpus": cpus,
+        "turns_per_sec": round(n_rows / flagship_sec, 1),
+        "flagship_input_rows": n_rows,
+    }
+    # attach the latest scaling-efficiency evidence (scripts/scaling_bench.py
+    # writes it; protocol + tables in BENCH_SCALING.md)
+    scaling_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_SCALING.json")
+    if os.path.exists(scaling_path):
+        with open(scaling_path) as f:
+            sc = json.load(f)
+        out["scaling_efficiency"] = sc.get("value")
+        out["scaling_pairs"] = sc.get("pairs")
+        out["scaling_peak_turns_per_sec"] = max(
+            (lv["turns_per_sec"] for lv in sc.get("levels", [])), default=None
         )
-    )
+    print(json.dumps(out))
     spark.stop()
 
 

@@ -285,6 +285,8 @@ def main() -> None:
         "pass": headline["efficiency"] >= 0.8,
     }
     print(json.dumps(summary))
+    with open(os.path.join(REPO, "BENCH_SCALING.json"), "w") as f:
+        json.dump(summary, f)
 
     with open(os.path.join(REPO, "BENCH_SCALING.md"), "w") as f:
         f.write(
