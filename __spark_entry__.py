@@ -130,6 +130,41 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_asof_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6 salted variant: identical semantics to q_asof_join, executed via
+    time-bucket salting + cross-bucket carry (the mega-conversation skew
+    path) — same DuckDB oracle proves the physical strategies equal."""
+    from featureextraction_spark.operators.asof import asof_join_salted
+
+    ev = _load(spark, sf_dir, "events")
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(
+            F.max_by("value", "event_id").alias("click_value"),
+            F.max("event_id").alias("click_event_id"),
+        )
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select("user_id", "event_id", "ts")
+    res = asof_join_salted(
+        purchases,
+        clicks,
+        on="ts",
+        by="user_id",
+        tie="click_event_id",
+        value_cols=["click_value"],
+        matched_cols=True,
+        bucket_seconds=7 * 86400,
+    )
+    return res.select(
+        "user_id",
+        "event_id",
+        epoch_us(res, "ts").alias("ts_us"),
+        epoch_us(res, "matched_ts").alias("matched_ts_us"),
+        F.round("click_value", 4).alias("click_value"),
+    )
+
+
 def q_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A7 transition counts: event_type switches per user along (ts, event_id)."""
     ev = _load(spark, sf_dir, "events")
@@ -391,6 +426,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": q_sessionize,
         "backfill": q_backfill,
         "asof_join": q_asof_join,
+        "asof_join_salted": q_asof_join_salted,
         "transitions": q_transitions,
         "run_length": q_run_length,
         "membership_join": q_membership_join,
@@ -447,6 +483,20 @@ def oracle_sql() -> dict[str, str]:
             FROM events
         """,
         "asof_join": """
+            WITH clicks AS (
+                SELECT user_id, ts, max_by(value, event_id) AS click_value
+                FROM events WHERE event_type = 'click' GROUP BY user_id, ts
+            ), purch AS (
+                SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase'
+            )
+            SELECT p.user_id, p.event_id,
+                   epoch_us(p.ts) AS ts_us,
+                   epoch_us(c.ts) AS matched_ts_us,
+                   round(c.click_value, 4) AS click_value
+            FROM purch p ASOF LEFT JOIN clicks c
+              ON p.user_id = c.user_id AND c.ts <= p.ts
+        """,
+        "asof_join_salted": """
             WITH clicks AS (
                 SELECT user_id, ts, max_by(value, event_id) AS click_value
                 FROM events WHERE event_type = 'click' GROUP BY user_id, ts
