@@ -18,8 +18,10 @@ Used by:
 This is the EXACT baseline; at web scale the sub-quadratic paths (MinHash
 LSH, SimHash bands, hyperplane LSH in ``dedup``/``similarity``) bound the
 candidate set first and verification reuses these kernels per candidate
-block. Block assembly sorts ids with a single global window — fine to
-~10^7 items; beyond that assign blocks by range partition boundaries.
+block. Block/position assignment is fully distributed: range-partition on
+the key, rank within each partition, add per-partition count offsets (the
+DataFrame equivalent of ``zipWithIndex``) — no single-partition Window
+anywhere in these plans.
 """
 
 from __future__ import annotations
@@ -39,10 +41,58 @@ def _popcount(a: np.ndarray) -> np.ndarray:
     return _POP[a.view(np.uint8).reshape(*a.shape[:-1], -1)].sum(axis=-1)
 
 
-def _pack_blocks(df: DataFrame, id_col: str, vec_col: str, block_size: int) -> DataFrame:
-    w = Window.orderBy(id_col)
+def with_global_rank(df: DataFrame, order_col: str, out_col: str = "__rk") -> DataFrame:
+    """Dense global rank 0..n−1 by ``order_col``, computed distributedly.
+
+    ``repartitionByRange`` puts contiguous key ranges in separate
+    partitions; a window PARTITIONED on the range-partition id ranks
+    within each range, and per-partition count offsets (a tiny n_parts-row
+    aggregate collected to the driver, re-attached via broadcast join)
+    lift local ranks to global ones. Equivalent to
+    ``row_number().over(Window.orderBy(order_col)) - 1`` but with no
+    single-partition WindowExec — every stage is parallel, so the
+    assignment survives a 100× scale-up. Keys are assumed unique (ids /
+    distinct shingles); ties across a partition boundary would make the
+    rank non-deterministic, exactly as the global window's would be.
+
+    The repartitioned frame is persisted so the offset count and the
+    ranked output observe the same physical partitioning.
+    """
+    spark = df.sparkSession
+    try:
+        n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except Exception:
+        n_parts = spark.sparkContext.defaultParallelism
+    n_parts = max(n_parts, 1)
+    dfp = (
+        df.repartitionByRange(n_parts, F.col(order_col))
+        .withColumn("__pid", F.spark_partition_id())
+        .persist()
+    )
+    counts = sorted(
+        dfp.groupBy("__pid").agg(F.count(F.lit(1)).alias("__cnt")).collect(),
+        key=lambda r: r["__pid"],
+    )
+    rows, acc = [], 0
+    for r in counts:
+        rows.append((r["__pid"], acc))
+        acc += r["__cnt"]
+    offsets = spark.createDataFrame(rows or [(0, 0)], schema="__pid int, __off long")
+    w = Window.partitionBy("__pid").orderBy(order_col)
     return (
-        df.withColumn("__blk", ((F.row_number().over(w) - 1) / block_size).cast("int"))
+        dfp.join(F.broadcast(offsets), "__pid", "left")
+        .withColumn(
+            out_col,
+            (F.row_number().over(w) - 1 + F.coalesce(F.col("__off"), F.lit(0))).cast("long"),
+        )
+        .drop("__pid", "__off")
+    )
+
+
+def _pack_blocks(df: DataFrame, id_col: str, vec_col: str, block_size: int) -> DataFrame:
+    ranked = with_global_rank(df, id_col, "__rk")
+    return (
+        ranked.withColumn("__blk", (F.col("__rk") / block_size).cast("int"))
         .groupBy("__blk")
         .agg(
             F.sort_array(F.collect_list(F.struct(F.col(id_col).alias("i"),
@@ -69,16 +119,19 @@ def blocked_cosine_pairs(
 
     One GEMM per block pair; ids within blocks are sorted so blocks hold
     contiguous id ranges and ``ab <= bb`` is exactly the ``a_id < b_id``
-    ordering predicate.
+    ordering predicate. The id column keeps its Spark type (long / string /
+    …) end-to-end; string ids compare lexicographically in the kernel just
+    as Spark sorts them.
     """
+    id_type = dict(df.dtypes)[id_col]
     pairs = _block_pairs(_pack_blocks(df, id_col, vec_col, block_size))
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             for row in pdf.itertuples(index=False):
-                aids = np.array([r["i"] for r in row.arows], dtype=np.int64)
+                aids = np.asarray([r["i"] for r in row.arows])
                 av = np.array([r["v"] for r in row.arows], dtype=np.float64)
-                bids = np.array([r["i"] for r in row.brows], dtype=np.int64)
+                bids = np.asarray([r["i"] for r in row.brows])
                 bv = np.array([r["v"] for r in row.brows], dtype=np.float64)
                 an = av / np.linalg.norm(av, axis=1, keepdims=True)
                 bn = bv / np.linalg.norm(bv, axis=1, keepdims=True)
@@ -94,22 +147,21 @@ def blocked_cosine_pairs(
                     }
                 )
 
-    schema = "a_id long, b_id long, cosine double"
+    schema = f"a_id {id_type}, b_id {id_type}, cosine double"
     return pairs.mapInPandas(kernel, schema=schema)
 
 
 def shingle_vocab(shingles: DataFrame, shingle_col: str = "shingle") -> DataFrame:
     """Distinct shingles with dense positions 0..V−1, ordered by shingle.
 
-    The single-partition window is fine in the broadcast-vocabulary regime
-    this path targets; open-vocabulary corpora take the inverted-index
-    strategies instead.
+    Position assignment is the distributed global rank (range partition +
+    per-partition offsets) — identical values to a global
+    ``row_number().over(orderBy(shingle))`` window, without funnelling the
+    vocabulary through one task.
     """
-    return (
-        shingles.select(shingle_col)
-        .distinct()
-        .withColumn("__pos", F.row_number().over(Window.orderBy(shingle_col)) - 1)
-    )
+    return with_global_rank(
+        shingles.select(shingle_col).distinct(), shingle_col, "__rk"
+    ).withColumn("__pos", F.col("__rk").cast("int")).drop("__rk")
 
 
 def doc_positions(
@@ -206,17 +258,18 @@ def blocked_jaccard_pairs(
     packed = pack_bitsets(shingles, id_col, shingle_col, vocab, n_vocab).select(
         id_col, F.struct("bits", "sz").alias("payload")
     )
+    id_type = dict(packed.dtypes)[id_col]
     pairs = _block_pairs(_pack_blocks(packed, id_col, "payload", block_size))
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             for row in pdf.itertuples(index=False):
-                aids = np.array([r["i"] for r in row.arows], dtype=np.int64)
+                aids = np.asarray([r["i"] for r in row.arows])
                 abits = np.array(
                     [r["v"]["bits"] for r in row.arows], dtype=np.int64
                 ).astype(np.uint64)
                 asz = np.array([r["v"]["sz"] for r in row.arows], dtype=np.int64)
-                bids = np.array([r["i"] for r in row.brows], dtype=np.int64)
+                bids = np.asarray([r["i"] for r in row.brows])
                 bbits = np.array(
                     [r["v"]["bits"] for r in row.brows], dtype=np.int64
                 ).astype(np.uint64)
@@ -243,4 +296,4 @@ def blocked_jaccard_pairs(
                         }
                     )
 
-    return pairs.mapInPandas(kernel, schema="a_id long, b_id long, jaccard double")
+    return pairs.mapInPandas(kernel, schema=f"a_id {id_type}, b_id {id_type}, jaccard double")

@@ -78,6 +78,28 @@ def exact_dedup(df: DataFrame, id_col: str = "doc_id", text: str = "text") -> Da
     return fp.join(groups, "fp").select(id_col, "canonical_id", "group_size")
 
 
+def _cap_shingle_df(sh: DataFrame, max_df: int) -> tuple[DataFrame, int]:
+    """Drop shingles whose document frequency exceeds ``max_df``.
+
+    Returns (filtered shingle table, number of dropped shingles). The
+    per-shingle df aggregate has map-side combine; the filter join is an
+    equi-join on the shingle key.
+    """
+    import logging
+
+    dfs = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df_")).persist()
+    n_dropped = dfs.filter(F.col("df_") > max_df).count()
+    if n_dropped:
+        logging.getLogger(__name__).info(
+            "dropped %d stop-shingles with df > %d (recall contract: pairs "
+            "sharing only stop-shingles are missed)",
+            n_dropped,
+            max_df,
+        )
+    keep = dfs.filter(F.col("df_") <= max_df).select("shingle")
+    return sh.join(keep, "shingle"), n_dropped
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -87,6 +109,7 @@ def ngram_jaccard_pairs(
     max_shingle_df: int | None = None,
     strategy: str = "auto",
     vocab_limit: int = 200_000,
+    auto_max_shingle_df: int | None = 100_000,
 ) -> DataFrame:
     """EXACT n-gram Jaccard similar pairs; physical strategy auto-selected.
 
@@ -100,9 +123,23 @@ def ngram_jaccard_pairs(
       inverted index degenerates to Σ df² pair-rows there.
     - ``auto``: count the vocabulary (one cheap aggregate) and pick.
 
-    Both strategies return identical rows — the tests assert it.
+    ``max_shingle_df`` is applied BEFORE the strategy branch, so both
+    physical strategies see the same (possibly stop-shingle-filtered)
+    shingle table and return identical rows — the tests assert it.
+
+    Recall contract of the hot-shingle cap: a shingle appearing in more
+    than ``max_shingle_df`` documents stops contributing to |A∩B| (and to
+    the per-doc set sizes), so reported Jaccard shifts slightly and pairs
+    whose ONLY shared shingles are stop-shingles are missed. At web scale
+    an uncapped stop-shingle appearing in d docs emits d²/2 join rows —
+    quadratic in the hot key — so ``auto`` applies ``auto_max_shingle_df``
+    whenever it routes an open-vocabulary corpus (> ``vocab_limit``
+    distinct shingles) to the index path and no explicit cap was given;
+    the number of dropped shingles is logged. Pass
+    ``auto_max_shingle_df=None`` for exactness regardless of scale.
     """
     sh = char_shingles(df, id_col, text, n)
+    capped_df = max_shingle_df
     if strategy in ("auto", "bitset"):
         from featureextraction_spark.operators.blockpair import (
             blocked_jaccard_pairs,
@@ -112,18 +149,23 @@ def ngram_jaccard_pairs(
         # persist the exploded shingles + vocabulary: every downstream
         # action (vocab count, positions, packing) reuses this lineage
         sh = sh.persist()
-        vocab = shingle_vocab(sh).persist()
-        n_vocab = vocab.count()
-        if strategy == "bitset" or n_vocab <= vocab_limit:
+        use_bitset = True
+        if strategy == "auto":
+            n_pre_vocab = sh.select("shingle").distinct().count()
+            use_bitset = n_pre_vocab <= vocab_limit
+            if not use_bitset and capped_df is None:
+                capped_df = auto_max_shingle_df
+        if capped_df is not None:
+            sh, _ = _cap_shingle_df(sh, capped_df)
+            sh = sh.persist()
+        if use_bitset:
+            vocab = shingle_vocab(sh).persist()
+            n_vocab = vocab.count()
             return blocked_jaccard_pairs(
                 sh, id_col=id_col, threshold=threshold, vocab=vocab, n_vocab=n_vocab
             )
-        strategy = "index"
-    if max_shingle_df is not None:
-        keep = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df_")).filter(
-            F.col("df_") <= max_shingle_df
-        )
-        sh = sh.join(keep.select("shingle"), "shingle")
+    elif capped_df is not None:
+        sh, _ = _cap_shingle_df(sh, capped_df)
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("set_size"))
 
     a = sh.select(F.col(id_col).alias("a_id"), "shingle")
@@ -181,13 +223,24 @@ def minhash_signatures(
         schema="j int, a long, b long",
     )
     sh = shingles if shingles is not None else char_shingles(df, id_col, text, n).persist()
+    if strategy == "auto":
+        if n_vocab is None:
+            n_vocab = (
+                vocab.count()
+                if vocab is not None
+                else sh.select("shingle").distinct().count()
+            )
+        strategy = "gather" if n_vocab <= vocab_limit else "explode"
+    # the explode path never needs dense vocabulary positions — building
+    # them for an open vocabulary would be pure overhead
+    if vocab is None and strategy == "gather":
+        vocab = shingle_vocab(sh).persist()
+    distinct_sh = vocab if vocab is not None else sh.select("shingle").distinct()
     # hash the DISTINCT vocabulary once, never per (doc, shingle) instance:
     # (a*h + b) % P needs decimal(38) (60-bit h × 61-bit a overflows int64)
     # and md5 is not free — both costs now scale with |vocab|, not |corpus|
-    if vocab is None:
-        vocab = shingle_vocab(sh).persist()
     vocab_hv = (
-        vocab.withColumn("h", portable_hash60(F.col("shingle")))
+        distinct_sh.withColumn("h", portable_hash60(F.col("shingle")))
         .crossJoin(F.broadcast(params))
         .withColumn(
             "hv",
@@ -198,10 +251,6 @@ def minhash_signatures(
             ).cast("long"),
         )
     )
-    if strategy == "auto":
-        if n_vocab is None:
-            n_vocab = vocab.count()
-        strategy = "gather" if n_vocab <= vocab_limit else "explode"
     if strategy == "gather":
         # per-document numpy min-gather over the broadcast (V × k) matrix
         import numpy as np
@@ -256,6 +305,8 @@ def minhash_lsh_pairs(
     num_hashes: int = 32,
     bands: int = 8,
     threshold: float = 0.4,
+    vocab_limit: int = 200_000,
+    broadcast_limit_bytes: int = 64 << 20,
 ) -> DataFrame:
     """MinHash-LSH candidate generation + exact-Jaccard verification.
 
@@ -264,14 +315,23 @@ def minhash_lsh_pairs(
     shuffle-friendly, no theta join); candidates are verified with exact
     n-gram Jaccard and filtered at ``threshold``. Output ⊆ exact pairs;
     recall governed by the (bands, r) S-curve.
+
+    Verification strategy follows the vocabulary size (both produce
+    identical pairs — tested):
+    - closed vocabulary (≤ ``vocab_limit`` distinct shingles): per-doc
+      bitsets + JVM popcount; the packed table is broadcast only when its
+      estimated size fits ``broadcast_limit_bytes``, otherwise it joins
+      by shuffle — the broadcast never grows with the corpus.
+    - open vocabulary: candidate-restricted inverted-index join (bitsets
+      would be ceil(V/64) words per document — unbounded).
     """
     from featureextraction_spark.operators.blockpair import shingle_vocab
 
     assert num_hashes % bands == 0
     r = num_hashes // bands
     sh = char_shingles(df, id_col, text, n).persist()
-    vocab = shingle_vocab(sh).persist()
-    n_vocab = vocab.count()
+    n_vocab = sh.select("shingle").distinct().count()
+    vocab = shingle_vocab(sh).persist() if n_vocab <= vocab_limit else None
     sig = minhash_signatures(
         df, id_col, text, n, num_hashes, shingles=sh, vocab=vocab, n_vocab=n_vocab
     )
@@ -301,29 +361,67 @@ def minhash_lsh_pairs(
         .distinct()
     )
     # exact-Jaccard verification of the CANDIDATES ONLY — never the full
-    # pair table: join each candidate to the two docs' vocabulary BITSETS
-    # and popcount the intersection JVM-side (O(|cand| · vocab/64) longs;
-    # the packed table is one small row per doc, broadcast when it fits)
-    from featureextraction_spark.operators.blockpair import (
-        jaccard_from_bitsets,
-        pack_bitsets,
-    )
+    # pair table
+    if vocab is not None:
+        # closed vocabulary: per-doc bitsets, popcount JVM-side
+        # (O(|cand| · vocab/64) longs)
+        from featureextraction_spark.operators.blockpair import (
+            jaccard_from_bitsets,
+            pack_bitsets,
+        )
 
-    packed = pack_bitsets(sh, id_col, vocab=vocab, n_vocab=n_vocab).persist()
-    pa = packed.select(
-        F.col(id_col).alias("a_id"), F.col("bits").alias("__ab"), F.col("sz").alias("__asz")
+        packed = pack_bitsets(sh, id_col, vocab=vocab, n_vocab=n_vocab).persist()
+        n_docs = packed.count()
+        n_words = max((int(n_vocab) + 63) // 64, 1)
+        # ~8 B/word payload + per-row array/offset overhead; broadcast only
+        # when the whole packed table fits, else a plain shuffle join —
+        # never let the broadcast grow with the corpus
+        est_bytes = n_docs * (n_words * 8 + 48)
+        hint = F.broadcast if est_bytes <= broadcast_limit_bytes else (lambda d: d)
+        pa = packed.select(
+            F.col(id_col).alias("a_id"), F.col("bits").alias("__ab"), F.col("sz").alias("__asz")
+        )
+        pb = packed.select(
+            F.col(id_col).alias("b_id"), F.col("bits").alias("__bb"), F.col("sz").alias("__bsz")
+        )
+        return (
+            cand.join(hint(pa), "a_id")
+            .join(hint(pb), "b_id")
+            .withColumn(
+                "jaccard",
+                jaccard_from_bitsets(
+                    F.col("__ab"), F.col("__bb"), F.col("__asz"), F.col("__bsz")
+                ),
+            )
+            .filter(F.col("jaccard") >= threshold)
+            .select("a_id", "b_id", F.round("jaccard", 6).alias("jaccard"))
+        )
+    return _verify_pairs_shingle_join(cand, sh, id_col, threshold)
+
+
+def _verify_pairs_shingle_join(
+    cand: DataFrame, sh: DataFrame, id_col: str, threshold: float
+) -> DataFrame:
+    """Exact Jaccard for an explicit candidate-pair table via the shingle
+    inverted index, restricted to the candidates (open-vocabulary
+    verification: work is O(Σ |A| over candidate pairs), never df²)."""
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("set_size"))
+    sa = sh.select(F.col(id_col).alias("a_id"), "shingle")
+    sb = sh.select(F.col(id_col).alias("b_id"), "shingle")
+    inter = (
+        cand.join(sa, "a_id")
+        .join(sb, ["b_id", "shingle"])
+        .groupBy("a_id", "b_id")
+        .agg(F.count(F.lit(1)).alias("inter"))
     )
-    pb = packed.select(
-        F.col(id_col).alias("b_id"), F.col("bits").alias("__bb"), F.col("sz").alias("__bsz")
-    )
+    za = sizes.select(F.col(id_col).alias("a_id"), F.col("set_size").alias("a_size"))
+    zb = sizes.select(F.col(id_col).alias("b_id"), F.col("set_size").alias("b_size"))
     return (
-        cand.join(F.broadcast(pa), "a_id")
-        .join(F.broadcast(pb), "b_id")
+        inter.join(za, "a_id")
+        .join(zb, "b_id")
         .withColumn(
             "jaccard",
-            jaccard_from_bitsets(
-                F.col("__ab"), F.col("__bb"), F.col("__asz"), F.col("__bsz")
-            ),
+            F.col("inter") / (F.col("a_size") + F.col("b_size") - F.col("inter")),
         )
         .filter(F.col("jaccard") >= threshold)
         .select("a_id", "b_id", F.round("jaccard", 6).alias("jaccard"))
@@ -357,9 +455,9 @@ def simhash(
         from featureextraction_spark.operators.blockpair import shingle_vocab
 
         sh0 = sh0.persist()
-        vocab = shingle_vocab(sh0).persist()
-        n_vocab = vocab.count()
+        n_vocab = sh0.select("shingle").distinct().count()
         if strategy == "gemm" or n_vocab <= vocab_limit:
+            vocab = shingle_vocab(sh0).persist()
             return _simhash_gemm(sh0, id_col, bits, vocab=vocab, n_vocab=n_vocab)
         strategy = "explode"
     sh = sh0.withColumn("h", portable_hash60(F.col("shingle")))
@@ -452,9 +550,8 @@ def _simhash_gemm(
             ).sum(axis=1)
             yield pd.DataFrame({id_col: ids, "simhash": fp.astype(np.int64)})
 
-    return packed.mapInPandas(kernel, schema=f"{id_col} string, simhash long") \
-        if dict(packed.dtypes)[id_col] == "string" \
-        else packed.mapInPandas(kernel, schema=f"{id_col} long, simhash long")
+    id_type = dict(packed.dtypes)[id_col]
+    return packed.mapInPandas(kernel, schema=f"{id_col} {id_type}, simhash long")
 
 
 def simhash_near_dup_pairs(

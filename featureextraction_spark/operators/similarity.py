@@ -132,7 +132,6 @@ def ann_lsh_topk(
             out.append(
                 df.select(
                     F.col(id_col).alias(alias),
-                    F.col(vec_col).alias(f"__{alias}_v"),
                     F.lit(t).alias("table"),
                     lsh_bucket_col(F.col(vec_col), planes).alias("bucket"),
                 )
@@ -144,19 +143,25 @@ def ann_lsh_topk(
 
     qk = keyed(queries, "query_id")
     ck = keyed(corpus, "neighbor_id")
+    # candidate id pairs only — the bucket join and the distinct shuffle
+    # narrow rows; each side's vector joins back exactly once
     cand = (
         qk.join(ck, ["table", "bucket"])
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id", "__query_id_v", "__neighbor_id_v")
+        .select("query_id", "neighbor_id")
         .distinct()
     )
-    scored = cand.withColumn(
-        "cosine",
-        F.round(
-            cosine_similarity_col(F.col("__query_id_v"), F.col("__neighbor_id_v")),
-            round_digits,
-        ),
-    ).drop("__query_id_v", "__neighbor_id_v")
+    qv = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv"))
+    cv = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv"))
+    scored = (
+        cand.join(qv, "query_id")
+        .join(cv, "neighbor_id")
+        .withColumn(
+            "cosine",
+            F.round(cosine_similarity_col(F.col("__qv"), F.col("__cv")), round_digits),
+        )
+        .drop("__qv", "__cv")
+    )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
     )
@@ -186,22 +191,22 @@ def embedding_near_dup_pairs(
     for t in range(n_tables):
         planes = random_hyperplanes(dim, n_planes, seed + 1000 * t)
         keyed = corpus.select(
-            F.col(id_col),
-            F.col(vec_col),
-            lsh_bucket_col(F.col(vec_col), planes).alias("bucket"),
+            F.col(id_col), lsh_bucket_col(F.col(vec_col), planes).alias("bucket")
         )
-        a = keyed.select(
-            F.col(id_col).alias("a_id"), F.col(vec_col).alias("__a"), "bucket"
-        )
-        b = keyed.select(
-            F.col(id_col).alias("b_id"), F.col(vec_col).alias("__b"), "bucket"
-        )
+        a = keyed.select(F.col(id_col).alias("a_id"), "bucket")
+        b = keyed.select(F.col(id_col).alias("b_id"), "bucket")
         cand = a.join(b, "bucket").filter(F.col("a_id") < F.col("b_id")).select(
-            "a_id", "b_id", "__a", "__b"
+            "a_id", "b_id"
         )
         out = cand if out is None else out.unionByName(cand)
+    # dedup candidates on the NARROW (a_id, b_id) pairs, then attach each
+    # side's vector once — never shuffle full vectors through the distinct
+    va = corpus.select(F.col(id_col).alias("a_id"), F.col(vec_col).alias("__a"))
+    vb = corpus.select(F.col(id_col).alias("b_id"), F.col(vec_col).alias("__b"))
     return (
         out.distinct()
+        .join(va, "a_id")
+        .join(vb, "b_id")
         .withColumn(
             "cosine",
             F.round(cosine_similarity_col(F.col("__a"), F.col("__b")), round_digits),

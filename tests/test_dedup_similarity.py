@@ -248,3 +248,90 @@ def test_minhash_strategies_identical(spark, docs):
     a["sig"] = a["sig"].apply(list)
     b["sig"] = b["sig"].apply(list)
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_minhash_lsh_verification_paths_identical(spark, docs):
+    """Broadcast / shuffle-join / open-vocab shingle-join verification all
+    produce the same verified pairs (only the physical join differs)."""
+    base = (
+        D.minhash_lsh_pairs(docs, num_hashes=32, bands=16, threshold=0.4)
+        .toPandas().sort_values(["a_id", "b_id"]).reset_index(drop=True)
+    )
+    no_bcast = (
+        D.minhash_lsh_pairs(
+            docs, num_hashes=32, bands=16, threshold=0.4, broadcast_limit_bytes=0
+        )
+        .toPandas().sort_values(["a_id", "b_id"]).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(base, no_bcast)
+    open_vocab = (
+        D.minhash_lsh_pairs(docs, num_hashes=32, bands=16, threshold=0.4, vocab_limit=0)
+        .toPandas().sort_values(["a_id", "b_id"]).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(base, open_vocab)
+
+
+def test_jaccard_strategies_identical_string_ids(spark, docs):
+    """Both physical strategies support non-integral id columns and keep
+    the id type end-to-end (lexicographic a_id < b_id ordering)."""
+    sdocs = docs.select(
+        F.concat(F.lit("doc_"), F.lpad(F.col("doc_id").cast("string"), 7, "0")).alias("doc_id"),
+        "text",
+    )
+    a = (
+        D.ngram_jaccard_pairs(sdocs, threshold=0.3, strategy="bitset")
+        .toPandas().sort_values(["a_id", "b_id"]).reset_index(drop=True)
+    )
+    b = (
+        D.ngram_jaccard_pairs(sdocs, threshold=0.3, strategy="index")
+        .toPandas().sort_values(["a_id", "b_id"]).reset_index(drop=True)
+    )
+    assert a["a_id"].dtype == object and len(a) > 0
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_blocked_cosine_string_ids(spark, emb):
+    from featureextraction_spark.operators.blockpair import blocked_cosine_pairs
+
+    semb = emb.limit(60).select(
+        F.concat(F.lit("v"), F.lpad(F.col("vec_id").cast("string"), 6, "0")).alias("vec_id"),
+        "embedding",
+    )
+    got = blocked_cosine_pairs(
+        semb, threshold=0.2, block_size=16
+    ).toPandas().sort_values(["a_id", "b_id"]).reset_index(drop=True)
+    pdf = semb.toPandas()
+    M = np.stack(pdf["embedding"].map(np.asarray))
+    Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+    ids = pdf["vec_id"].tolist()
+    exp = []
+    cos = Mn @ Mn.T
+    for i in range(len(ids)):
+        for j in range(len(ids)):
+            if ids[i] < ids[j] and round(float(cos[i, j]), 6) >= 0.2:
+                exp.append((ids[i], ids[j], round(float(cos[i, j]), 6)))
+    exp_df = pd.DataFrame(sorted(exp), columns=["a_id", "b_id", "cosine"])
+    assert list(got["a_id"]) == list(exp_df["a_id"])
+    assert list(got["b_id"]) == list(exp_df["b_id"])
+    np.testing.assert_allclose(got["cosine"], exp_df["cosine"], atol=2e-6)
+
+
+def test_hot_shingle_cap_bounds_pairs(spark):
+    """An adversarial stop-shingle shared by every doc must not generate
+    d²/2 join rows when capped; both strategies agree under the cap."""
+    stop = "ZZZZZ"
+    rows = [(i, f"unique text number {i:04d} with filler " + stop) for i in range(40)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    # uncapped: the shared shingle links everything above threshold 0.0 —
+    # capped at df<=5 the stop-shingle (df=40) is dropped on BOTH paths
+    capped_idx = (
+        D.ngram_jaccard_pairs(docs, threshold=0.12, max_shingle_df=5, strategy="index")
+        .toPandas().sort_values(["a_id", "b_id"]).reset_index(drop=True)
+    )
+    capped_bit = (
+        D.ngram_jaccard_pairs(docs, threshold=0.12, max_shingle_df=5, strategy="bitset")
+        .toPandas().sort_values(["a_id", "b_id"]).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(capped_idx, capped_bit)
+    uncapped = D.ngram_jaccard_pairs(docs, threshold=0.12, strategy="index").toPandas()
+    assert len(capped_idx) < len(uncapped)

@@ -104,3 +104,27 @@ def test_whole_stage_codegen_covers_window_arithmetic(spark, tr_parquet):
         assert re.search(r"\*\(\d+\) (Project|Sort|ColumnarToRow)", plan), plan
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
+def test_blockpair_plans_have_no_single_partition_exchange(spark):
+    """Block/vocab/position assignment must never funnel the table through
+    one task: no `Exchange SinglePartition` (the physical footprint of a
+    partitionless Window) anywhere in the blocked-pair / bitset plans."""
+    from featureextraction_spark.operators.blockpair import (
+        blocked_cosine_pairs,
+        pack_bitsets,
+    )
+    from featureextraction_spark.operators.dedup import char_shingles
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").filter(
+        F.col("vec_id") < 100
+    )
+    plan = plan_of(blocked_cosine_pairs(emb, threshold=0.3, block_size=32))
+    assert "Exchange SinglePartition" not in plan, plan
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").filter(
+        F.col("doc_id") < 80
+    )
+    sh = char_shingles(docs, "doc_id", "text", 5)
+    plan = plan_of(pack_bitsets(sh, "doc_id"))
+    assert "Exchange SinglePartition" not in plan, plan
