@@ -44,13 +44,16 @@ def triplet_sample(
     per_anchor: int = 1,
     seed: int = 42,
 ) -> DataFrame:
-    """(anchor, positive, negative) triplets, ``per_anchor`` per row.
+    """(anchor, positive, negative) triplets — ``min(per_anchor, n−1)``
+    triplets per anchor, where n is the anchor's label group size.
 
-    positive: next same-label row in a seeded pseudo-random ring ordering
-    (never the anchor itself); negative: a pseudo-randomly ranked row of the
-    nearest other label rank-wise. Labels with a single row yield no
-    triplet (no positive exists — the reference's sampler would loop
-    forever there; we drop instead, documented).
+    positives: the ``per_anchor`` next same-label rows in a seeded
+    pseudo-random ring ordering (ring offsets 1..per_anchor, capped at
+    n−1 so an offset never wraps onto the anchor itself); negative: a
+    pseudo-randomly ranked row of the nearest other label rank-wise.
+    Labels with a single row yield no triplet (no positive exists — the
+    reference's sampler would loop forever there; we drop instead,
+    documented).
     """
     a = _ranked(df, id_col, label, seed, "anchor")
     p = _ranked(df, id_col, label, seed, "pos")
@@ -60,6 +63,12 @@ def triplet_sample(
     pairs = (
         a.join(F.broadcast(sizes), "anchor_label")
         .filter(F.col("__n") >= 2)
+        .withColumn(
+            "__o",
+            F.explode(
+                F.expr(f"sequence(1, int(least({int(per_anchor)}, __n - 1)))")
+            ),
+        )
         .join(
             p.withColumnRenamed("pos_label", "anchor_label"),
             on=[
@@ -68,9 +77,9 @@ def triplet_sample(
         )
         .filter(
             F.col("pos_rank")
-            == F.pmod(F.col("anchor_rank") + per_anchor - 1, F.col("__n")) + 1
+            == F.pmod(F.col("anchor_rank") - 1 + F.col("__o"), F.col("__n")) + 1
         )
-        .filter(F.col("pos_id") != F.col("anchor_id"))
+        .drop("__o")
     )
     # negative: deterministic different-label pick — hash-join the anchor to
     # the label ring of the "next" label (anti-condition l1 != l2)

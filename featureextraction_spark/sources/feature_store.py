@@ -93,10 +93,15 @@ class FeatureStore:
         snaps = self.snapshots()
         return snaps[-1]["version"] if snaps else None
 
-    def _commit(self, op: str, files: list[str], schema: list[str]) -> int:
+    def _commit(
+        self, op: str, files: list[str], schema: list[str], tag: str | None = None
+    ) -> int:
         snaps = self.snapshots()
         version = (snaps[-1]["version"] + 1) if snaps else 0
-        snaps.append({"version": version, "op": op, "files": files, "schema": schema})
+        snap = {"version": version, "op": op, "files": files, "schema": schema}
+        if tag is not None:
+            snap["tag"] = tag
+        snaps.append(snap)
         tmp = self._log_path() + f".tmp.{uuid.uuid4().hex}"
         with open(tmp, "w") as f:
             json.dump(snaps, f, indent=1)
@@ -110,12 +115,27 @@ class FeatureStore:
 
     # -- operations --------------------------------------------------------
 
-    def append(self, df: DataFrame) -> int:
+    def find_version_by_tag(self, tag: str) -> int | None:
+        """Latest snapshot version committed with ``tag``, or None.
+
+        Tags make appends idempotent across job restarts: a writer that
+        crashed AFTER committing but BEFORE recording its own bookkeeping
+        can look its commit up instead of appending the same rows again
+        (Iceberg analog: snapshot summary properties).
+        """
+        for s in reversed(self.snapshots()):
+            if s.get("tag") == tag:
+                return s["version"]
+        return None
+
+    def append(self, df: DataFrame, tag: str | None = None) -> int:
         """S4 row append: new snapshot = previous files + one new file group.
 
         Columns are matched BY NAME against the current schema (the
         reference appends headerless CSV rows positionally,
         ``writer.py:32-34`` — a silent-corruption hazard we do not copy).
+        ``tag`` stamps the snapshot for idempotent-restart lookup
+        (``find_version_by_tag``).
         """
         snaps = self.snapshots()
         if snaps:
@@ -128,7 +148,7 @@ class FeatureStore:
             schema = df.columns
         group = self._write_group(df)
         prev_files = snaps[-1]["files"] if snaps else []
-        return self._commit("append", prev_files + [group], schema)
+        return self._commit("append", prev_files + [group], schema, tag=tag)
 
     def merge_columns(self, df: DataFrame, new_cols: list[str] | None = None) -> int:
         """S5 column merge KEYED ON ``key_cols`` (never positional).
@@ -202,8 +222,13 @@ class IcebergFeatureStore:
         self.table = table
         self.key_cols = list(key_cols)
 
-    def append(self, df: DataFrame) -> None:
-        df.writeTo(self.table).append()
+    def append(self, df: DataFrame, tag: str | None = None) -> None:
+        w = df.writeTo(self.table)
+        if tag is not None:
+            # public Iceberg write option: lands in the snapshot summary,
+            # queryable via the table's .snapshots metadata table
+            w = w.option("snapshot-property.run-tag", tag)
+        w.append()
 
     def merge_columns(self, df: DataFrame, new_cols: list[str]) -> None:
         for c in new_cols:

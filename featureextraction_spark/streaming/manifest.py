@@ -145,10 +145,13 @@ class CheckpointedRunner:
         total_rows: int,
         wall_ms: int,
         extra: dict | None = None,
+        resumed: bool = False,
     ) -> None:
         """Manifest a side-effect stage (e.g. a feature-store append) that
         has no checkpoint parquet of its own — same atomic commit protocol,
-        so restarts can skip the side effect too."""
+        so restarts can skip the side effect too. ``resumed=True`` records
+        the manifest without counting the stage as recomputed (healing a
+        lost manifest for a side effect that had already committed)."""
         entry = {
             "run_id": self.run_id,
             "stage": name,
@@ -165,7 +168,7 @@ class CheckpointedRunner:
         with open(tmp, "w") as f:
             json.dump(entry, f, indent=1)
         os.replace(tmp, self._manifest_path(name))
-        self.recomputed.append(name)
+        (self.resumed if resumed else self.recomputed).append(name)
 
     def metrics(self) -> DataFrame:
         """All manifest rows as a DataFrame (stage-level metrics sink, S9)."""

@@ -105,18 +105,26 @@ def main(argv: list[str] | None = None) -> dict:
         spark, os.path.join(args.work, "feature_store"), key_cols=["conv_id", "ts"]
     )
     store_manifest = ckpt.read_manifest("store")
+    store_tag = f"{args.run_id}:{fp}:store"
     if store_manifest is not None and store_manifest.get("input_fingerprint") == fp:
         ckpt.resumed.append("store")
-        version = store.current_version()
+        version = store_manifest.get("store_version", store.current_version())
     else:
         import time as _t
 
         t0 = _t.perf_counter()
-        version = store.append(features)
+        # idempotent under restart: if a previous attempt committed the
+        # snapshot but crashed before recording the manifest, adopt that
+        # commit instead of appending the same feature rows again
+        version = store.find_version_by_tag(store_tag)
+        adopted = version is not None
+        if not adopted:
+            version = store.append(features, tag=store_tag)
         n = store.read(version=version).count()
         ckpt.record(
             "store", fp, n, int((_t.perf_counter() - t0) * 1000),
             extra={"store_version": version},
+            resumed=adopted,
         )
 
     summary = {

@@ -65,3 +65,22 @@ def test_changed_input_recomputes(spark, input_path, tmp_path):
     pq.write_table(t.slice(0, t.num_rows - 1), input_path)
     out = run_pipeline.main(args)
     assert "features" in out["recomputed"] and "turn_state" in out["recomputed"]
+
+
+def test_crash_between_append_and_manifest_is_idempotent(spark, input_path, tmp_path):
+    """If a run commits the store snapshot but dies before writing the
+    store manifest, the rerun must ADOPT that snapshot (tag lookup), not
+    append the same feature rows again."""
+    import run_pipeline
+
+    work = str(tmp_path / "work3")
+    args = ["--input", input_path, "--work", work, "--probes-per-conv", "2", "--cpus", "4"]
+    first = run_pipeline.main(args)
+
+    # simulate the crash window: snapshot committed, manifest record lost
+    os.remove(os.path.join(work, "ckpt", "run1", "manifest", "store.json"))
+
+    second = run_pipeline.main(args)
+    assert second["store_version"] == first["store_version"]
+    assert second["feature_rows"] == first["feature_rows"]
+    assert "store" in second["resumed"] and "store" not in second["recomputed"]

@@ -49,3 +49,21 @@ def test_stratified_sample_respects_labels(spark, labeled):
     out = stratified_sample(labeled, "label", {0: 1.0, 1: 0.0}, seed=1).toPandas()
     assert set(out.label) == {0}
     assert len(out) == 4
+
+
+def test_triplet_per_anchor_counts(spark, labeled):
+    """per_anchor=k yields min(k, n-1) distinct positives per anchor and
+    never wraps onto the anchor itself."""
+    t = triplet_sample(labeled, per_anchor=3).toPandas()
+    assert (t.anchor_id != t.pos_id).all()
+    counts = t.groupby("anchor_id")["pos_id"].nunique()
+    sizes = labeled.toPandas().groupby("label")["vec_id"].count().to_dict()
+    lab = dict(zip(labeled.toPandas().vec_id, labeled.toPandas().label))
+    for aid, c in counts.items():
+        n = sizes[lab[aid]]
+        assert c == min(3, n - 1), (aid, c, n)
+    # per_anchor larger than any group: every anchor still keeps n-1 positives
+    big = triplet_sample(labeled, per_anchor=100).toPandas()
+    bcounts = big.groupby("anchor_id")["pos_id"].nunique()
+    for aid, c in bcounts.items():
+        assert c == sizes[lab[aid]] - 1
