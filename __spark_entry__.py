@@ -165,6 +165,51 @@ def q_asof_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sessionize_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W6 salted variant: identical semantics to q_sessionize, executed via
+    time-bucket salting + cross-bucket offset merge (the mega-conversation
+    skew path) — same DuckDB oracle proves the physical strategies equal."""
+    from featureextraction_spark.operators.sessionize import sessionize_salted
+
+    ev = _load(spark, sf_dir, "events")
+    s = sessionize_salted(
+        ev,
+        key="user_id",
+        ts="ts",
+        tie="event_id",
+        gap_seconds=SESSION_GAP_SECONDS,
+        bucket_seconds=7 * 86400,
+    )
+    us, sec = epoch_us(s, "ts"), epoch_seconds(s, "ts")
+    return s.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.min(us).alias("start_us"),
+        F.max(us).alias("end_us"),
+        F.round(F.max(sec) - F.min(sec), 6).alias("duration_sec"),
+    )
+
+
+def q_backfill_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W12 salted variant: identical semantics to q_backfill via in-bucket
+    fill + cross-bucket carry join — same oracle as the plain form."""
+    from featureextraction_spark.operators.backfill import forward_fill_salted
+
+    ev = _load(spark, sf_dir, "events").withColumn(
+        "purchase_value", F.when(F.col("event_type") == "purchase", F.col("value"))
+    )
+    out = forward_fill_salted(
+        ev,
+        ["purchase_value"],
+        key="user_id",
+        ts="ts",
+        tie="event_id",
+        bucket_seconds=7 * 86400,
+    )
+    return out.select(
+        "user_id", "event_id", F.round("last_purchase_value", 4).alias("last_purchase_value")
+    )
+
+
 def q_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A7 transition counts: event_type switches per user along (ts, event_id)."""
     ev = _load(spark, sf_dir, "events")
@@ -281,6 +326,103 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """60-bit SimHash fingerprint per document."""
     docs = _load(spark, sf_dir, "documents")
     return dedup_ops.simhash(docs)
+
+
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash banded near-dup pair generation + hamming verification; the
+    oracle replays the fingerprint, the 15-bit banding and the xor-popcount
+    in SQL."""
+    docs = _load(spark, sf_dir, "documents")
+    out = dedup_ops.simhash_near_dup_pairs(docs, band_bits=15, max_hamming=8)
+    return out.select("a_id", "b_id", F.col("hamming").cast("long").alias("hamming"))
+
+
+FEATURE_FAMILY_PREFIX = 48  # < ZONES_MAX_HIST: the SQL oracle replays the
+# unbinned histogram grid; binning is pytest-oracled (test_kernels.py)
+
+
+def q_feature_families(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The numeric feature spine (A1–A6, A8–A10) externally oracled.
+
+    zones + median width + contour-OLS slant + slantness angles over each
+    user's series of text lengths (first ``FEATURE_FAMILY_PREFIX`` events
+    by (ts, event_id)) — the same ``series_kernels`` the point-in-time
+    pipeline's Arrow kernel calls, here per full prefix so DuckDB can
+    replay every formula (grid argmin with round-half-even idealization,
+    closed-white-run median, clamped-cumsum contour OLS, drift-vote
+    angle histogram)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import Window
+
+    from featureextraction_spark.functions import series_kernels as K
+
+    ev = _load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    d = (
+        ev.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= FEATURE_FAMILY_PREFIX)
+        .select(
+            "user_id",
+            "__rn",
+            F.length(F.coalesce(F.col("props"), F.lit(""))).cast("double").alias("n_chars"),
+        )
+    )
+
+    schema = (
+        "user_id long, n_points long, upper_zone double, middle_zone double, "
+        "lower_zone double, median_width double, slant double, slant_mse double, "
+        "slant_max_angle double, slant_avg_angle double, slant_stdev_angle double"
+    )
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("__rn")
+        s = pdf["n_chars"].to_numpy(dtype=np.float64)
+        lc = s[s > 0]
+        z1, z2, z3 = K.zones(s)
+        mw = K.median_width(s)
+        cf = K.contour_features(lc)
+        mx, av, sd = K.slantness(K.characteristic_contour(lc))
+        return pd.DataFrame(
+            [
+                {
+                    "user_id": pdf["user_id"].iloc[0],
+                    "n_points": len(s),
+                    "upper_zone": z1,
+                    "middle_zone": z2,
+                    "lower_zone": z3,
+                    "median_width": mw,
+                    "slant": cf["slant"],
+                    "slant_mse": cf["slant_mse"],
+                    "slant_max_angle": mx,
+                    "slant_avg_angle": av,
+                    "slant_stdev_angle": sd,
+                }
+            ]
+        )
+
+    # explicit repartition before the CPU-heavy Python stage — AQE would
+    # coalesce these small-byte groups onto 1-2 tasks (same pattern as
+    # point_in_time_features)
+    out = (
+        d.repartition(256, "user_id")
+        .groupBy("user_id")
+        .applyInPandas(kernel, schema=schema)
+    )
+    num_cols = [
+        "upper_zone", "middle_zone", "lower_zone", "median_width",
+        "slant", "slant_mse", "slant_max_angle", "slant_avg_angle",
+        "slant_stdev_angle",
+    ]
+    # NaN → NULL so the DuckDB side (which yields NULLs) hashes identically
+    return out.select(
+        "user_id",
+        "n_points",
+        *[
+            F.round(F.when(~F.isnan(F.col(c)), F.col(c)), 6).alias(c)
+            for c in num_cols
+        ],
+    )
 
 
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -424,7 +566,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "lag_lead": q_lag_lead,
         "sessionize": q_sessionize,
+        "sessionize_salted": q_sessionize_salted,
         "backfill": q_backfill,
+        "backfill_salted": q_backfill_salted,
         "asof_join": q_asof_join,
         "asof_join_salted": q_asof_join_salted,
         "transitions": q_transitions,
@@ -432,11 +576,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "membership_join": q_membership_join,
         "pricing_summary": q_pricing_summary,
         "contour_ols": q_contour_ols,
+        "feature_families": q_feature_families,
         "feature_vectors": q_feature_vectors,
         "exact_dedup": q_exact_dedup,
         "ngram_jaccard": q_ngram_jaccard,
         "minhash_lsh": q_minhash_lsh,
         "simhash": q_simhash,
+        "simhash_pairs": q_simhash_pairs,
         "text_quality": q_text_quality,
         "language_id": q_language_id,
         "cosine_topk": q_cosine_topk,
@@ -591,8 +737,196 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY l_returnflag, l_linestatus
         """,
     }
+    # the salted physical variants share the plain forms' oracles — the
+    # external gate proves the skew strategies compute the same relation
+    base["sessionize_salted"] = base["sessionize"]
+    base["backfill_salted"] = base["backfill"]
+    base["feature_families"] = _feature_families_oracle_sql()
     base.update(_training_ops_oracle_sql())
     return base
+
+
+def _feature_families_oracle_sql() -> str:
+    """DuckDB replay of the numeric feature families over the first
+    ``FEATURE_FAMILY_PREFIX`` events per user (series = text lengths).
+
+    Mirrors ``series_kernels`` exactly: round-half-even idealization in the
+    zones SSE grid (numpy's banker rounding ↔ DuckDB ``round_even``), grid
+    argmin with (err, ub, lb) first-win ordering, closed-white-run median
+    with leading-run drop, clamped-cumsum contour + regr_* OLS with the
+    n==1→slope-0 / n<3→no-mse conventions, and the drift-vote angle
+    histogram (clip to bins 1..39, score-weighted mean/stdev, first-max
+    argmax, 180−degrees mapping at 1 decimal)."""
+    k = FEATURE_FAMILY_PREFIX
+    return f"""
+        WITH base AS (
+            SELECT user_id,
+                   row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+                   length(coalesce(props, ''))::DOUBLE AS v
+            FROM events
+            QUALIFY rn <= {k}
+        ),
+        n AS (SELECT user_id, count(*) AS h, sum(v) AS total FROM base GROUP BY user_id),
+        cum AS (
+            SELECT user_id, rn AS kk,
+                   sum(v)   OVER (PARTITION BY user_id ORDER BY rn) AS s1,
+                   sum(v*v) OVER (PARTITION BY user_id ORDER BY rn) AS s2
+            FROM base
+            UNION ALL
+            SELECT user_id, 0, 0.0, 0.0 FROM n
+        ),
+        grid AS (
+            SELECT n.user_id, ub.ub, lb.lb, n.h,
+                   round_even(n.total * 0.8, 0) AS mz,
+                   round_even(n.total * 0.1, 0) AS ulz
+            FROM n
+            JOIN generate_series(2, {k} - 1) ub(ub) ON ub.ub <= n.h - 1
+            JOIN generate_series(1, {k} - 2) lb(lb) ON lb.lb <= n.h - 2 AND lb.lb < ub.ub
+            WHERE n.h >= 3
+        ),
+        scored AS (
+            SELECT g.user_id, g.ub, g.lb, g.h,
+                   (cl.s2 - 0.0)
+                     - 2 * round_even(g.ulz / g.lb, 0) * (cl.s1 - 0.0)
+                     + g.lb * round_even(g.ulz / g.lb, 0) * round_even(g.ulz / g.lb, 0)
+                   + (cu.s2 - cl.s2)
+                     - 2 * round_even(g.mz / (g.ub - g.lb), 0) * (cu.s1 - cl.s1)
+                     + (g.ub - g.lb) * round_even(g.mz / (g.ub - g.lb), 0)
+                                     * round_even(g.mz / (g.ub - g.lb), 0)
+                   + (ch.s2 - cu.s2)
+                     - 2 * round_even(g.ulz / (g.h - g.ub), 0) * (ch.s1 - cu.s1)
+                     + (g.h - g.ub) * round_even(g.ulz / (g.h - g.ub), 0)
+                                    * round_even(g.ulz / (g.h - g.ub), 0) AS err
+            FROM grid g
+            JOIN cum cl ON cl.user_id = g.user_id AND cl.kk = g.lb
+            JOIN cum cu ON cu.user_id = g.user_id AND cu.kk = g.ub
+            JOIN cum ch ON ch.user_id = g.user_id AND ch.kk = g.h
+        ),
+        zsel AS (
+            SELECT user_id,
+                   (h - ub) * 1.0 / h AS upper_zone,
+                   (ub - lb) * 1.0 / h AS middle_zone,
+                   lb * 1.0 / h AS lower_zone,
+                   row_number() OVER (PARTITION BY user_id ORDER BY err, ub, lb) AS zrn
+            FROM scored
+        ),
+        mw_base AS (
+            SELECT b.user_id, b.rn,
+                   b.v < avg(b.v) OVER (PARTITION BY b.user_id) AS white
+            FROM base b
+        ),
+        mw_runs0 AS (
+            SELECT user_id, rn, white,
+                   CASE WHEN lag(white) OVER (PARTITION BY user_id ORDER BY rn)
+                             IS DISTINCT FROM white THEN 1 ELSE 0 END AS chg
+            FROM mw_base
+        ),
+        mw_runs AS (
+            SELECT user_id, rn, white,
+                   sum(chg) OVER (PARTITION BY user_id ORDER BY rn) AS run_id
+            FROM mw_runs0
+        ),
+        mw_w AS (
+            SELECT r.user_id, r.run_id, min(r.rn) AS srn, max(r.rn) AS ern,
+                   count(*) AS len, any_value(n.h) AS h
+            FROM mw_runs r JOIN n ON n.user_id = r.user_id
+            WHERE r.white GROUP BY r.user_id, r.run_id
+        ),
+        mw AS (
+            SELECT user_id, median(len::DOUBLE) AS median_width
+            FROM mw_w WHERE ern < h AND srn > 1 GROUP BY user_id
+        ),
+        lc AS (
+            SELECT user_id,
+                   row_number() OVER (PARTITION BY user_id ORDER BY rn) - 1 AS x,
+                   v
+            FROM base WHERE v > 0
+        ),
+        lci AS (
+            SELECT user_id, x,
+                   coalesce(sign(v - lag(v) OVER (PARTITION BY user_id ORDER BY x)), 0)
+                     + CASE WHEN x = 0 THEN v ELSE 0 END AS inc
+            FROM lc
+        ),
+        lcraw AS (
+            SELECT user_id, x,
+                   sum(inc) OVER (PARTITION BY user_id ORDER BY x
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS raw
+            FROM lci
+        ),
+        lcc AS (
+            SELECT user_id, x,
+                   raw - least(0, min(raw) OVER (PARTITION BY user_id)) AS c
+            FROM lcraw
+        ),
+        ols AS (
+            SELECT user_id,
+                   CASE WHEN count(*) = 1 THEN 0.0 ELSE regr_slope(c, x) END AS slant,
+                   CASE WHEN count(*) > 2 AND regr_sxx(c, x) <> 0
+                        THEN (regr_syy(c, x)
+                              - regr_sxy(c, x) * regr_sxy(c, x) / regr_sxx(c, x))
+                             / (count(*) - 2)
+                   END AS slant_mse
+            FROM lcc GROUP BY user_id
+        ),
+        drift AS (
+            SELECT user_id,
+                   lead(c, 8) OVER (PARTITION BY user_id ORDER BY x) - c AS d
+            FROM lcc
+            QUALIFY d IS NOT NULL
+        ),
+        sbins AS (
+            SELECT user_id,
+                   CAST(least(greatest(
+                       round_even((pi()/2 - atan(d / 8.0)) / (pi()/40), 0), 1), 39) AS INT)
+                       AS bin
+            FROM drift
+        ),
+        sscore AS (SELECT user_id, bin, count(*) AS score FROM sbins GROUP BY user_id, bin),
+        -- weighted stats over EXACT integer bin sums (S = Σ bin·score,
+        -- Q = Σ bin²·score) — same factoring as series_kernels.slantness,
+        -- so the doubles match bit-for-bit regardless of aggregation order
+        sagg AS (
+            SELECT user_id, sum(score) AS sn,
+                   sum(bin * score) AS s_sum,
+                   sum(bin * bin * score) AS q_sum,
+                   (pi()/40 * sum(bin * score)) / sum(score) AS wmean
+            FROM sscore GROUP BY user_id
+        ),
+        sstd AS (
+            SELECT user_id,
+                   sqrt(greatest(((pi()/40) * (pi()/40))
+                                 * (q_sum - s_sum * s_sum * 1.0 / sn), 0.0)
+                        / (sn - 1)) AS stdev_rad
+            FROM sagg WHERE sn > 1
+        ),
+        smax AS (
+            SELECT user_id, bin FROM (
+                SELECT user_id, bin,
+                       row_number() OVER (PARTITION BY user_id
+                                          ORDER BY score DESC, bin) AS r
+                FROM sscore) WHERE r = 1
+        )
+        SELECT n.user_id,
+               CAST(n.h AS BIGINT) AS n_points,
+               round(z.upper_zone, 6) AS upper_zone,
+               round(z.middle_zone, 6) AS middle_zone,
+               round(z.lower_zone, 6) AS lower_zone,
+               round(mw.median_width, 6) AS median_width,
+               round(o.slant, 6) AS slant,
+               round(o.slant_mse, 6) AS slant_mse,
+               round(180 - degrees(coalesce(x.bin, 1) * pi()/40), 1) AS slant_max_angle,
+               coalesce(round_even(180 - degrees(a.wmean), 1), 0.0) AS slant_avg_angle,
+               CASE WHEN a.sn > 1 THEN round_even(degrees(t.stdev_rad), 1)
+                    ELSE 0.0 END AS slant_stdev_angle
+        FROM n
+        LEFT JOIN (SELECT * FROM zsel WHERE zrn = 1) z USING (user_id)
+        LEFT JOIN mw USING (user_id)
+        LEFT JOIN ols o USING (user_id)
+        LEFT JOIN sagg a USING (user_id)
+        LEFT JOIN sstd t USING (user_id)
+        LEFT JOIN smax x USING (user_id)
+    """
 
 
 # Shingle/CTE fragments shared by the dedup oracles (DuckDB SQL mirrors of
@@ -723,6 +1057,43 @@ def _training_ops_oracle_sql() -> dict[str, str]:
                    CAST(sum(CASE WHEN v > 0 THEN (1::BIGINT << CAST(k AS INT))
                             ELSE 0 END) AS BIGINT) AS simhash
             FROM bits GROUP BY doc_id
+        """,
+        "simhash_pairs": f"""
+            WITH {_SHINGLES_CTE},
+            hashed AS (
+                SELECT DISTINCT doc_id,
+                       ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS h
+                FROM sh
+            ),
+            bits AS (
+                SELECT doc_id, k,
+                       sum(CASE WHEN (h // (1::BIGINT << CAST(k AS INT))) % 2 = 1
+                                THEN 1 ELSE -1 END) AS v
+                FROM hashed, generate_series(0, 59) t(k)
+                GROUP BY doc_id, k
+            ),
+            s AS (
+                SELECT doc_id,
+                       CAST(sum(CASE WHEN v > 0 THEN (1::BIGINT << CAST(k AS INT))
+                                ELSE 0 END) AS BIGINT) AS simhash
+                FROM bits GROUP BY doc_id
+            ),
+            banded AS (
+                SELECT doc_id, simhash, b AS band,
+                       (simhash // (1::BIGINT << CAST(b * 15 AS INT)))
+                           % (1::BIGINT << 15) AS key
+                FROM s, generate_series(0, 3) t(b)
+            ),
+            pairs AS (
+                SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+                       a.simhash AS a_sh, b.simhash AS b_sh
+                FROM banded a
+                JOIN banded b ON a.band = b.band AND a.key = b.key
+                             AND a.doc_id < b.doc_id
+            )
+            SELECT a_id, b_id,
+                   CAST(bit_count(xor(a_sh, b_sh)) AS BIGINT) AS hamming
+            FROM pairs WHERE bit_count(xor(a_sh, b_sh)) <= 8
         """,
         "text_quality": f"""
             SELECT doc_id,

@@ -76,9 +76,11 @@ def zones(s: np.ndarray, max_hist: int = ZONES_MAX_HIST) -> tuple[float, float, 
 
     middle_zone = np.round(0.8 * total)
     upper_lower_zone = np.round(0.1 * total)
-    mid_ideal = np.round(middle_zone / (ub_grid - lb_grid))
-    up_ideal = np.round(upper_lower_zone / (h - ub_grid))
-    low_ideal = np.round(upper_lower_zone / lb_grid)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        # invalid cells (lb >= ub) divide by <= 0; masked to inf below
+        mid_ideal = np.round(middle_zone / (ub_grid - lb_grid))
+        up_ideal = np.round(upper_lower_zone / (h - ub_grid))
+        low_ideal = np.round(upper_lower_zone / lb_grid)
 
     def sse(lo, hi, ideal):
         cnt = hi - lo
@@ -303,20 +305,29 @@ def slantness(
     if len(bins):
         np.add.at(score, bins, 1)
 
-    angles = np.arange(n_angles) * step
+    # weighted mean/variance factored over EXACT integer bin sums
+    # (S = Σ bin·score, Q = Σ bin²·score): angle = bin·step, so
+    # mean = step·S/n and Σ score·(angle−mean)² = step²·(Q − S²/n).
+    # Mathematically identical to summing float angles, but every
+    # intermediate is an exact integer — the SQL oracle reproduces the
+    # same doubles bit-for-bit regardless of aggregation order (float
+    # angle sums are order-dependent in the last ulp, which flips values
+    # sitting exactly on the 1-decimal rounding boundary).
+    bin_idx = np.arange(n_angles, dtype=np.int64)
     sample_n = int(score[1:].sum())
+    S = int((bin_idx[1:] * score[1:]).sum())
+    Q = int((bin_idx[1:] * bin_idx[1:] * score[1:]).sum())
     if sample_n >= 1:
-        wsum = float((angles[1:] * score[1:]).sum())
-        mean = wsum / sample_n
+        mean = step * S / sample_n
         avg_angle = float(np.round(180.0 - math.degrees(mean), 1))
     else:
         avg_angle = 0.0
     if sample_n > 1:
-        wsq = float((((angles[1:] - (wsum / sample_n)) ** 2) * score[1:]).sum())
-        stdev = math.sqrt(wsq / (sample_n - 1))
+        wsq = (step * step) * (Q - S * S / sample_n)
+        stdev = math.sqrt(max(wsq, 0.0) / (sample_n - 1))
         stdev_angle = float(np.round(math.degrees(stdev), 1))
     else:
         stdev_angle = 0.0
     max_i = 1 + int(np.argmax(score[1:]))  # first max in angle order (slantness.py:50)
-    max_angle = float(np.round(180.0 - math.degrees(angles[max_i]), 1))
+    max_angle = float(np.round(180.0 - math.degrees(max_i * step), 1))
     return (max_angle, avg_angle, stdev_angle)

@@ -186,23 +186,45 @@ def contour_features_naive(raw, extremes_window=10, slope_distance=10):
 
 
 def slantness_naive(contour, n_angles=40, window=8):
-    """slantness.py:20-52 aggregate stage over drift-angle votes."""
+    """slantness.py:20-52 aggregate stage over drift-angle votes.
+
+    The per-vote loop (drift → theta → clipped bin) is the verbatim
+    transcription. The mean/stdev aggregate uses the exact integer
+    factoring (angle = bin·step ⇒ mean = step·S/n,
+    var = step²·(Q − S²/n)/(n−1)) — mathematically identical to the
+    reference's float-sample mean/stdev, and bit-identical to the engine
+    and the SQL oracle. Summation ORDER only matters at exact .x5°
+    rounding boundaries (a score-weighted mean is a small-denominator
+    rational times 4.5°, so those boundaries are actually hit), where the
+    reference's own float accumulation is a coin flip; the factored form
+    makes all three implementations agree deterministically.
+    """
     step = math.pi / n_angles
-    score = {i * step: 0 for i in range(1, n_angles)}
+    score = {i: 0 for i in range(1, n_angles)}
     for k in range(len(contour) - window):
         drift = contour[k + window] - contour[k]
         theta = math.pi / 2.0 - math.atan(drift / float(window))
         i = int(np.clip(np.round(theta / step), 1, n_angles - 1))
-        score[i * step] += 1
+        score[i] += 1
     # slantness.py:47-51
-    sample = []
-    for angle, cnt in score.items():
-        sample.extend([angle] * cnt)
-    stdev_angle = (
-        float(np.round(math.degrees(statistics.stdev(sample)), 1)) if len(sample) > 1 else 0.0
-    )
+    n = sum(score.values())
+    S = sum(i * c for i, c in score.items())
+    Q = sum(i * i * c for i, c in score.items())
     avg_angle = (
-        float(np.round(180 - math.degrees(statistics.mean(sample)), 1)) if len(sample) >= 1 else 0.0
+        float(np.round(180 - math.degrees(step * S / n), 1)) if n >= 1 else 0.0
     )
-    max_angle = float(np.round(180 - math.degrees(max(score, key=score.get)), 1))
+    stdev_angle = (
+        float(
+            np.round(
+                math.degrees(
+                    math.sqrt(max((step * step) * (Q - S * S / n), 0.0) / (n - 1))
+                ),
+                1,
+            )
+        )
+        if n > 1
+        else 0.0
+    )
+    max_i = max(score, key=score.get)  # dict order = bin asc → first max wins
+    max_angle = float(np.round(180 - math.degrees(max_i * step), 1))
     return (max_angle, avg_angle, stdev_angle)

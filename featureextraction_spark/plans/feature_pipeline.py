@@ -17,6 +17,19 @@ Scale design: the only shuffle key is ``conv_id`` (both cogroup sides);
 the Arrow exchange, so a mega-conversation ships kilobytes per turn, not
 its transcript. Probes are deduplicated on (conv_id, ts) — the vector is a
 pure function of that pair.
+
+Probe-density cost bound: each probe evaluates its full prefix, so a
+conversation of n turns with p probes costs O(p·n) kernel work (plus the
+O(min(n,64)²) zones grid per probe) — quadratic in n only when probing
+EVERY turn. The shipped pipeline defaults to a few probes per conversation
+(``run_pipeline --probes-per-conv``, last-N turns), which keeps the work
+linear. Dense probing is bounded in practice by the numpy kernels'
+throughput — ``bench.py`` reports a ``feature_vectors_dense_sec``
+datapoint (probe = every turn) alongside the sparse default so regressions
+in the dense regime are visible. If your workload probes every turn at
+mega-conversation lengths, precompute prefix-cumulative state instead
+(the zones/contour families are cumsum-expressible; the extremes/slopes
+families are not — they would need a sliding-window reformulation).
 """
 
 from __future__ import annotations

@@ -134,6 +134,135 @@ def decode_features(df: DataFrame, fake: bool = False, batch_note: bool = True) 
     return cols.mapInPandas(gen, schema=out_schema)
 
 
+_EXT_MODALITY = {
+    "png": "image", "jpg": "image", "jpeg": "image", "gif": "image",
+    "bmp": "image", "tif": "image", "tiff": "image",
+    "wav": "audio", "mp3": "audio", "flac": "audio", "ogg": "audio",
+    "mp4": "video", "mkv": "video", "avi": "video", "webm": "video", "mov": "video",
+}
+
+
+def _parse_media_header(b: bytes | None) -> dict:
+    """Header-only metadata from raw bytes — pure byte parsing, no codec
+    libraries (PNG IHDR dims; WAV fmt/data → sample rate + duration).
+    Unknown containers return all-null metadata; the payload itself stays
+    opaque either way."""
+    meta = {"width": None, "height": None, "sample_rate": None,
+            "duration_ms": None, "codec": None}
+    if not b:
+        return meta
+    if b[:8] == b"\x89PNG\r\n\x1a\n" and len(b) >= 24:
+        meta["codec"] = "png"
+        meta["width"] = int.from_bytes(b[16:20], "big")
+        meta["height"] = int.from_bytes(b[20:24], "big")
+    elif b[:4] == b"RIFF" and b[8:12] == b"WAVE":
+        meta["codec"] = "wav"
+        # walk RIFF chunks for fmt (sample rate, byte rate) and data (size)
+        pos, byte_rate = 12, None
+        while pos + 8 <= len(b):
+            cid = b[pos : pos + 4]
+            csz = int.from_bytes(b[pos + 4 : pos + 8], "little")
+            if cid == b"fmt " and pos + 16 <= len(b):
+                meta["sample_rate"] = int.from_bytes(b[pos + 12 : pos + 16], "little")
+                byte_rate = int.from_bytes(b[pos + 16 : pos + 20], "little")
+            elif cid == b"data" and byte_rate:
+                meta["duration_ms"] = int(csz * 1000 // byte_rate)
+            pos += 8 + csz + (csz % 2)
+    elif b[:3] == b"\xff\xd8\xff":
+        meta["codec"] = "jpeg"  # dims need an SOF-marker scan; left null
+    return meta
+
+
+def _to_multimodal_rows(pdf: pd.DataFrame) -> pd.DataFrame:
+    """(path, content) pandas batch → MULTIMODAL_SCHEMA-shaped batch."""
+    metas = [_parse_media_header(bytes(c) if c is not None else None)
+             for c in pdf["content"]]
+    ext = pdf["path"].map(lambda p: p.rsplit(".", 1)[-1].lower() if "." in p else "")
+    return pd.DataFrame(
+        {
+            "sample_id": [
+                int(hashlib.md5(p.encode("utf-8")).hexdigest()[:15], 16)
+                for p in pdf["path"]
+            ],
+            "modality": ext.map(lambda e: _EXT_MODALITY.get(e, "unknown")),
+            "payload": pdf["content"],
+            "meta": metas,
+            "source_path": pdf["path"],
+        }
+    )
+
+
+_INGEST_SCHEMA = T.StructType(
+    list(MULTIMODAL_SCHEMA.fields) + [T.StructField("source_path", T.StringType())]
+)
+
+
+def read_binary_dir(
+    spark: SparkSession, path: str, glob: str | None = None
+) -> DataFrame:
+    """S1 ingestion: a directory (or glob) of media files → MULTIMODAL_SCHEMA
+    (+ ``source_path``) via Spark's ``binaryFile`` source.
+
+    Reference analog ``src/preparation/iamloader.py:10-53`` (tarball image
+    scan + per-file decode); here the scan is the distributed binaryFile
+    reader (one task per file split, driver never touches payloads),
+    sample_id is the 60-bit md5 of the file path (stable across runs and
+    cluster layouts), and metadata comes from the pure-byte header parse —
+    the decode stays stubbed (``decode_features``)."""
+    reader = spark.read.format("binaryFile")
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    raw = reader.load(path).select(F.col("path"), F.col("content"))
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf):
+                yield _to_multimodal_rows(pdf)
+
+    return raw.mapInPandas(gen, schema=_INGEST_SCHEMA)
+
+
+def read_tarballs(spark: SparkSession, path: str, glob: str = "*.tar*") -> DataFrame:
+    """S1 ingestion, tar flavor: each ``.tar``/``.tar.gz`` under ``path``
+    expands to one row per member file, same MULTIMODAL_SCHEMA (+
+    ``source_path`` = ``tarpath::member``).
+
+    Distribution contract: one Arrow row per ARCHIVE enters the Python
+    worker (binaryFile), the expansion happens inside the task — tarballs
+    parallelize across the cluster; no driver-side unpacking. Archives are
+    assumed executor-memory-sized (tar archives of many small media files,
+    the reference's layout); huge single archives should be split upstream."""
+    raw = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", glob)
+        .load(path)
+        .select("path", "content")
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+        import tarfile
+
+        for pdf in batches:
+            for row in pdf.itertuples(index=False):
+                with tarfile.open(fileobj=io.BytesIO(bytes(row.content))) as tf:
+                    paths, contents = [], []
+                    for m in tf.getmembers():
+                        if not m.isfile():
+                            continue
+                        fh = tf.extractfile(m)
+                        if fh is None:
+                            continue
+                        paths.append(f"{row.path}::{m.name}")
+                        contents.append(fh.read())
+                if paths:
+                    yield _to_multimodal_rows(
+                        pd.DataFrame({"path": paths, "content": contents})
+                    )
+
+    return raw.mapInPandas(gen, schema=_INGEST_SCHEMA)
+
+
 def frame_sample(df: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Frame-sampling plan for video/audio rows: one output row per sampled
     frame timestamp — pure relational explode over metadata (the payload

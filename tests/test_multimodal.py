@@ -74,3 +74,99 @@ def test_resize_meta(spark, mm):
     orig_ratio = m.apply(lambda r: r["meta"]["width"] / r["meta"]["height"], axis=1)
     new_ratio = m["target_width"] / m["target_height"]
     np.testing.assert_allclose(new_ratio, orig_ratio, rtol=0.15)
+
+
+def _png_bytes(w: int, h: int) -> bytes:
+    import struct
+    import zlib
+
+    ihdr = struct.pack(">II5B", w, h, 8, 0, 0, 0, 0)
+    chunk = b"IHDR" + ihdr
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + struct.pack(">I", len(ihdr))
+        + chunk
+        + struct.pack(">I", zlib.crc32(chunk))
+    )
+
+
+def _wav_bytes(sample_rate: int, n_samples: int) -> bytes:
+    import struct
+
+    data = b"\x00\x01" * n_samples  # 16-bit mono
+    byte_rate = sample_rate * 2
+    fmt = struct.pack("<HHIIHH", 1, 1, sample_rate, byte_rate, 2, 16)
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+@pytest.fixture(scope="module")
+def media_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("media")
+    (d / "a.png").write_bytes(_png_bytes(320, 200))
+    (d / "b.wav").write_bytes(_wav_bytes(16000, 8000))  # 0.5 s
+    (d / "c.bin").write_bytes(b"\x00\x01\x02opaque")
+    return d
+
+
+def test_read_binary_dir_roundtrip_and_meta(spark, media_dir):
+    from featureextraction_spark.sources.multimodal import read_binary_dir
+
+    out = read_binary_dir(spark, str(media_dir)).toPandas()
+    assert len(out) == 3
+    by_name = {r.source_path.rsplit("/", 1)[-1]: r for r in out.itertuples(index=False)}
+    # byte-equal payloads
+    assert bytes(by_name["a.png"].payload) == _png_bytes(320, 200)
+    assert bytes(by_name["b.wav"].payload) == _wav_bytes(16000, 8000)
+    assert bytes(by_name["c.bin"].payload) == b"\x00\x01\x02opaque"
+    # header-parsed metadata
+    png = by_name["a.png"]
+    assert png.modality == "image" and png.meta["codec"] == "png"
+    assert png.meta["width"] == 320 and png.meta["height"] == 200
+    wav = by_name["b.wav"]
+    assert wav.modality == "audio" and wav.meta["codec"] == "wav"
+    assert wav.meta["sample_rate"] == 16000 and wav.meta["duration_ms"] == 500
+    other = by_name["c.bin"]
+    assert other.modality == "unknown" and other.meta["codec"] is None
+    # sample_id is the stable 60-bit md5 of the path
+    assert png.sample_id == int(hashlib.md5(png.source_path.encode()).hexdigest()[:15], 16)
+
+
+def test_read_binary_dir_glob(spark, media_dir):
+    from featureextraction_spark.sources.multimodal import read_binary_dir
+
+    out = read_binary_dir(spark, str(media_dir), glob="*.png").toPandas()
+    assert len(out) == 1 and out.iloc[0]["modality"] == "image"
+
+
+def test_read_tarballs_expand_members(spark, media_dir, tmp_path):
+    import tarfile
+
+    from featureextraction_spark.sources.multimodal import read_tarballs
+
+    tarp = tmp_path / "bundle.tar.gz"
+    with tarfile.open(tarp, "w:gz") as tf:
+        tf.add(media_dir / "a.png", arcname="imgs/a.png")
+        tf.add(media_dir / "b.wav", arcname="audio/b.wav")
+    out = read_tarballs(spark, str(tmp_path)).toPandas()
+    assert len(out) == 2
+    by_member = {
+        r.source_path.split("::", 1)[1]: r for r in out.itertuples(index=False)
+    }
+    assert bytes(by_member["imgs/a.png"].payload) == _png_bytes(320, 200)
+    assert by_member["imgs/a.png"].meta["width"] == 320
+    assert bytes(by_member["audio/b.wav"].payload) == _wav_bytes(16000, 8000)
+    assert by_member["audio/b.wav"].modality == "audio"
+
+
+def test_ingested_rows_feed_decode_pipeline(spark, media_dir):
+    from featureextraction_spark.sources.multimodal import (
+        decode_features,
+        read_binary_dir,
+    )
+
+    df = read_binary_dir(spark, str(media_dir))
+    feats = decode_features(df, fake=True).toPandas()
+    assert len(feats) == 3
+    assert all(len(f) == FEATURE_DIM for f in feats["features"])
