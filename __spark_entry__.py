@@ -328,6 +328,17 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_ops.simhash(docs)
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs → transitive-closure clusters with canonical ids
+    (min-label propagation; the DuckDB oracle replays the closure with a
+    recursive CTE over the same exact-Jaccard pair set)."""
+    from featureextraction_spark.operators.graph import dedup_clusters
+
+    docs = _load(spark, sf_dir, "documents")
+    pairs = dedup_ops.ngram_jaccard_pairs(docs, threshold=0.35)
+    return dedup_clusters(pairs)
+
+
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash banded near-dup pair generation + hamming verification; the
     oracle replays the fingerprint, the 15-bit banding and the xor-popcount
@@ -580,6 +591,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "feature_vectors": q_feature_vectors,
         "exact_dedup": q_exact_dedup,
         "ngram_jaccard": q_ngram_jaccard,
+        "dedup_clusters": q_dedup_clusters,
         "minhash_lsh": q_minhash_lsh,
         "simhash": q_simhash,
         "simhash_pairs": q_simhash_pairs,
@@ -976,6 +988,29 @@ def _training_ops_oracle_sql() -> dict[str, str]:
         "ngram_jaccard": f"""
             WITH {_SHINGLES_CTE}, {jaccard_tail}
             SELECT a_id, b_id, round(j, 6) AS jaccard FROM jac WHERE j >= 0.35
+        """,
+        "dedup_clusters": f"""
+            WITH RECURSIVE {_SHINGLES_CTE}, {jaccard_tail},
+            p AS (SELECT a_id, b_id FROM jac WHERE j >= 0.35),
+            edges AS (
+                SELECT a_id AS s, b_id AS d FROM p
+                UNION SELECT b_id, a_id FROM p
+            ),
+            reach(id, r) AS (
+                SELECT s, s FROM (SELECT DISTINCT s FROM edges)
+                UNION
+                SELECT e.s, reach.r FROM edges e JOIN reach ON reach.id = e.d
+            ),
+            comp AS (
+                SELECT id AS doc_id, min(r) AS cluster_id
+                FROM reach GROUP BY id
+            ),
+            csizes AS (
+                SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size
+                FROM comp GROUP BY cluster_id
+            )
+            SELECT c.doc_id, c.cluster_id, s.cluster_size
+            FROM comp c JOIN csizes s USING (cluster_id)
         """,
         "minhash_lsh": f"""
             WITH params(j, a, b) AS (VALUES
