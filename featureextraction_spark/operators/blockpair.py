@@ -151,17 +151,27 @@ def blocked_cosine_pairs(
     return pairs.mapInPandas(kernel, schema=schema)
 
 
-def shingle_vocab(shingles: DataFrame, shingle_col: str = "shingle") -> DataFrame:
+def shingle_vocab(
+    shingles: DataFrame, shingle_col: str = "shingle", assume_distinct: bool = False
+) -> DataFrame:
     """Distinct shingles with dense positions 0..V−1, ordered by shingle.
 
     Position assignment is the distributed global rank (range partition +
     per-partition offsets) — identical values to a global
     ``row_number().over(orderBy(shingle))`` window, without funnelling the
     vocabulary through one task.
+
+    ``assume_distinct=True`` skips the distinct pass — callers that
+    already hold (and usually persisted) the distinct-shingle table for a
+    vocabulary count pass it straight in, so the explode→distinct shuffle
+    runs once per pipeline, not once per consumer.
     """
-    return with_global_rank(
-        shingles.select(shingle_col).distinct(), shingle_col, "__rk"
-    ).withColumn("__pos", F.col("__rk").cast("int")).drop("__rk")
+    d = shingles.select(shingle_col)
+    if not assume_distinct:
+        d = d.distinct()
+    return with_global_rank(d, shingle_col, "__rk").withColumn(
+        "__pos", F.col("__rk").cast("int")
+    ).drop("__rk")
 
 
 def doc_positions(
@@ -189,14 +199,16 @@ def pack_bitsets(
     shingle_col: str = "shingle",
     vocab: DataFrame | None = None,
     n_vocab: int | None = None,
+    positions: DataFrame | None = None,
 ) -> DataFrame:
     """(id, bits: array<long>, sz) — each id's shingle set as a vocabulary
     bitset, assembled in numpy per Arrow batch (no per-position JVM work
     beyond one collect_set aggregation).
 
-    ``vocab``/``n_vocab`` let callers share an already-persisted vocabulary
-    across several consumers (signatures + verification + packing) — the
-    explode/distinct lineage is expensive to recompute per action.
+    ``vocab``/``n_vocab``/``positions`` let callers share already-persisted
+    intermediates across several consumers (signatures + verification +
+    packing) — the explode/distinct lineage and the per-doc position
+    aggregation are expensive to recompute per action.
     """
     from collections.abc import Iterator
 
@@ -205,7 +217,11 @@ def pack_bitsets(
     if n_vocab is None:
         n_vocab = vocab.count()
     n_words = max((int(n_vocab) + 63) // 64, 1)
-    pos = doc_positions(shingles, vocab, id_col, shingle_col)
+    pos = (
+        positions
+        if positions is not None
+        else doc_positions(shingles, vocab, id_col, shingle_col)
+    )
     id_type = dict(pos.dtypes)[id_col]
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -242,7 +258,11 @@ def blocked_jaccard_pairs(
     id_col: str = "doc_id",
     shingle_col: str = "shingle",
     threshold: float = 0.4,
-    block_size: int = 2048,
+    # 512 balances task parallelism against pair-count growth: a 512×512
+    # bitset GEMM is still fully BLAS-bound, while 2048-blocks leave a
+    # 32-core executor under-parallelized below ~10^5 docs (measured:
+    # 4.9s → 3.8s at sf0.1)
+    block_size: int = 512,
     round_digits: int = 6,
     vocab: DataFrame | None = None,
     n_vocab: int | None = None,

@@ -150,17 +150,22 @@ def ngram_jaccard_pairs(
         # action (vocab count, positions, packing) reuses this lineage
         sh = sh.persist()
         use_bitset = True
+        dsh, n_vocab = None, None
         if strategy == "auto":
-            n_pre_vocab = sh.select("shingle").distinct().count()
-            use_bitset = n_pre_vocab <= vocab_limit
+            dsh = sh.select("shingle").distinct().persist()
+            n_vocab = dsh.count()
+            use_bitset = n_vocab <= vocab_limit
             if not use_bitset and capped_df is None:
                 capped_df = auto_max_shingle_df
         if capped_df is not None:
             sh, _ = _cap_shingle_df(sh, capped_df)
             sh = sh.persist()
+            dsh, n_vocab = None, None  # vocabulary changed under the cap
         if use_bitset:
-            vocab = shingle_vocab(sh).persist()
-            n_vocab = vocab.count()
+            if dsh is None:
+                dsh = sh.select("shingle").distinct().persist()
+                n_vocab = dsh.count()
+            vocab = shingle_vocab(dsh, assume_distinct=True).persist()
             return blocked_jaccard_pairs(
                 sh, id_col=id_col, threshold=threshold, vocab=vocab, n_vocab=n_vocab
             )
@@ -201,6 +206,7 @@ def minhash_signatures(
     shingles: DataFrame | None = None,
     vocab: DataFrame | None = None,
     n_vocab: int | None = None,
+    positions: DataFrame | None = None,
 ) -> DataFrame:
     """(id, sig: array<long>) — minhash over portable shingle hashes.
 
@@ -265,7 +271,7 @@ def minhash_signatures(
         )
         mat = np.array(hv_pdf["hvs"].tolist(), dtype=np.int64)
         bmat = spark.sparkContext.broadcast(mat)
-        pos = doc_positions(sh, vocab, id_col)
+        pos = positions if positions is not None else doc_positions(sh, vocab, id_col)
         id_type = dict(pos.dtypes)[id_col]
 
         def kernel(batches):
@@ -329,11 +335,25 @@ def minhash_lsh_pairs(
 
     assert num_hashes % bands == 0
     r = num_hashes // bands
+    from featureextraction_spark.operators.blockpair import doc_positions
+
     sh = char_shingles(df, id_col, text, n).persist()
-    n_vocab = sh.select("shingle").distinct().count()
-    vocab = shingle_vocab(sh).persist() if n_vocab <= vocab_limit else None
+    dsh = sh.select("shingle").distinct().persist()
+    n_vocab = dsh.count()
+    vocab = (
+        shingle_vocab(dsh, assume_distinct=True).persist()
+        if n_vocab <= vocab_limit
+        else None
+    )
+    # per-doc vocabulary positions are shared by the signature gather AND
+    # the bitset verification — compute the (broadcast-join + collect_set)
+    # aggregation once
+    pos = (
+        doc_positions(sh, vocab, id_col).persist() if vocab is not None else None
+    )
     sig = minhash_signatures(
-        df, id_col, text, n, num_hashes, shingles=sh, vocab=vocab, n_vocab=n_vocab
+        df, id_col, text, n, num_hashes,
+        shingles=sh, vocab=vocab, n_vocab=n_vocab, positions=pos,
     )
     banded = sig.select(
         id_col,
@@ -370,7 +390,9 @@ def minhash_lsh_pairs(
             pack_bitsets,
         )
 
-        packed = pack_bitsets(sh, id_col, vocab=vocab, n_vocab=n_vocab).persist()
+        packed = pack_bitsets(
+            sh, id_col, vocab=vocab, n_vocab=n_vocab, positions=pos
+        ).persist()
         n_docs = packed.count()
         n_words = max((int(n_vocab) + 63) // 64, 1)
         # ~8 B/word payload + per-row array/offset overhead; broadcast only
@@ -455,9 +477,10 @@ def simhash(
         from featureextraction_spark.operators.blockpair import shingle_vocab
 
         sh0 = sh0.persist()
-        n_vocab = sh0.select("shingle").distinct().count()
+        dsh = sh0.select("shingle").distinct().persist()
+        n_vocab = dsh.count()
         if strategy == "gemm" or n_vocab <= vocab_limit:
-            vocab = shingle_vocab(sh0).persist()
+            vocab = shingle_vocab(dsh, assume_distinct=True).persist()
             return _simhash_gemm(sh0, id_col, bits, vocab=vocab, n_vocab=n_vocab)
         strategy = "explode"
     sh = sh0.withColumn("h", portable_hash60(F.col("shingle")))
