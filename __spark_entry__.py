@@ -506,6 +506,67 @@ def q_component_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_components_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A13–A15, 2-D reading: the real image kernel
+    (``find_components_and_blobs_2d``) over a deterministic 8×8 grid per
+    user (cell k = k-th event, black ⇔ non-click — the dense phase, so
+    interior white islands exist and the blob path is exercised),
+    externally oracled by a
+    DuckDB recursive-CTE replay of 4-connected components, blob
+    containment and border-pixel perimeters."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import Window
+
+    from featureextraction_spark.operators.components import (
+        find_components_and_blobs_2d,
+    )
+
+    ev = _load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    d = (
+        ev.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= 64)
+        .select("user_id", "__rn", "event_type")
+    )
+    schema = (
+        "user_id long, n_components long, total_component_area long, "
+        "max_comp_width long, max_comp_height long, n_blobs long, "
+        "total_blob_area long, total_blob_perimeter long"
+    )
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        img = np.full((8, 8), 255, dtype=np.uint8)
+        idx = pdf["__rn"].to_numpy(dtype=np.int64) - 1
+        black = (pdf["event_type"] != "click").to_numpy()
+        img[idx // 8, idx % 8] = np.where(black, 0, 255)
+        comps, blobs = find_components_and_blobs_2d(img, threshold=200, min_blob_size=3)
+        return pd.DataFrame(
+            [
+                {
+                    "user_id": pdf["user_id"].iloc[0],
+                    "n_components": len(comps),
+                    "total_component_area": sum(c["area"] for c in comps),
+                    "max_comp_width": max(
+                        (c["max_x"] - c["min_x"] + 1 for c in comps), default=0
+                    ),
+                    "max_comp_height": max(
+                        (c["max_y"] - c["min_y"] + 1 for c in comps), default=0
+                    ),
+                    "n_blobs": len(blobs),
+                    "total_blob_area": sum(b["area"] for b in blobs),
+                    "total_blob_perimeter": sum(b["perimeter"] for b in blobs),
+                }
+            ]
+        )
+
+    return (
+        d.repartition(128, "user_id")
+        .groupBy("user_id")
+        .applyInPandas(kernel, schema=schema)
+    )
+
+
 EVAL_THRESHOLDS = [0.5, 1.0, 1.25, 1.5, 2.0]
 
 
@@ -601,6 +662,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup": q_embedding_near_dup,
         "embedding_eval": q_embedding_eval,
         "component_gaps": q_component_gaps,
+        "components_2d": q_components_2d,
     }
 
 
@@ -754,8 +816,135 @@ def oracle_sql() -> dict[str, str]:
     base["sessionize_salted"] = base["sessionize"]
     base["backfill_salted"] = base["backfill"]
     base["feature_families"] = _feature_families_oracle_sql()
+    base["components_2d"] = _components_2d_oracle_sql()
     base.update(_training_ops_oracle_sql())
     return base
+
+
+def _components_2d_oracle_sql() -> str:
+    """DuckDB replay of the 2-D components/blobs kernel over the 8×8
+    per-user grid: 4-connected components via recursive min-label closure
+    (black for components, white for blobs), blob rule = white region of
+    area ≥ 3 not touching the border contained in a component's bbox
+    (counted once per containing component, the reference's duplicate
+    semantics), perimeter = #region cells with a 4-neighbor outside the
+    region (off-grid counts as outside — the kernel's zero-padding)."""
+    return """
+        WITH RECURSIVE base AS (
+            SELECT user_id,
+                   row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+                   event_type
+            FROM events
+            QUALIFY rn <= 64
+        ),
+        users AS (SELECT DISTINCT user_id FROM events),
+        cells AS (
+            SELECT u.user_id, r.r, c.c, coalesce(b.black, FALSE) AS black
+            FROM users u
+            CROSS JOIN generate_series(0, 7) r(r)
+            CROSS JOIN generate_series(0, 7) c(c)
+            LEFT JOIN (
+                SELECT user_id,
+                       CAST((rn - 1) // 8 AS BIGINT) AS r,
+                       CAST((rn - 1) % 8 AS BIGINT) AS c,
+                       (event_type <> 'click') AS black
+                FROM base
+            ) b ON b.user_id = u.user_id AND b.r = r.r AND b.c = c.c
+        ),
+        bcell AS (SELECT user_id, r, c, r * 8 + c AS id FROM cells WHERE black),
+        bedge AS (
+            SELECT a.user_id, a.id AS s, b.id AS d
+            FROM bcell a JOIN bcell b
+              ON a.user_id = b.user_id AND abs(a.r - b.r) + abs(a.c - b.c) = 1
+        ),
+        breach(user_id, id, rt) AS (
+            SELECT user_id, id, id FROM bcell
+            UNION
+            SELECT e.user_id, e.s, breach.rt
+            FROM bedge e JOIN breach
+              ON breach.user_id = e.user_id AND breach.id = e.d
+        ),
+        bcomp AS (SELECT user_id, id, min(rt) AS lbl FROM breach GROUP BY user_id, id),
+        bstats AS (
+            SELECT k.user_id, k.lbl, count(*) AS area,
+                   min(c.c) AS min_x, max(c.c) AS max_x,
+                   min(c.r) AS min_y, max(c.r) AS max_y
+            FROM bcomp k JOIN bcell c ON c.user_id = k.user_id AND c.id = k.id
+            GROUP BY k.user_id, k.lbl
+        ),
+        comp_agg AS (
+            SELECT user_id, CAST(count(*) AS BIGINT) AS n_components,
+                   CAST(sum(area) AS BIGINT) AS total_component_area,
+                   CAST(max(max_x - min_x + 1) AS BIGINT) AS max_comp_width,
+                   CAST(max(max_y - min_y + 1) AS BIGINT) AS max_comp_height
+            FROM bstats GROUP BY user_id
+        ),
+        wcell AS (
+            SELECT user_id, r, c, r * 8 + c AS id,
+                   (r = 0 OR r = 7 OR c = 0 OR c = 7) AS at_border
+            FROM cells WHERE NOT black
+        ),
+        wedge AS (
+            SELECT a.user_id, a.id AS s, b.id AS d
+            FROM wcell a JOIN wcell b
+              ON a.user_id = b.user_id AND abs(a.r - b.r) + abs(a.c - b.c) = 1
+        ),
+        wreach(user_id, id, rt) AS (
+            SELECT user_id, id, id FROM wcell
+            UNION
+            SELECT e.user_id, e.s, wreach.rt
+            FROM wedge e JOIN wreach
+              ON wreach.user_id = e.user_id AND wreach.id = e.d
+        ),
+        wcomp AS (SELECT user_id, id, min(rt) AS lbl FROM wreach GROUP BY user_id, id),
+        wedge_cell AS (
+            -- region cell with a 4-neighbor outside the region: off-grid
+            -- (at_border) or a black neighbor — adjacent white cells are
+            -- always in the SAME white region, so "outside" = black/off-grid
+            SELECT w.user_id, w.id,
+                   (w.at_border OR EXISTS (
+                        SELECT 1 FROM cells n
+                        WHERE n.user_id = w.user_id AND n.black
+                          AND abs(n.r - w.r) + abs(n.c - w.c) = 1
+                   )) AS on_edge
+            FROM wcell w
+        ),
+        wstats AS (
+            SELECT k.user_id, k.lbl, count(*) AS area,
+                   min(c.c) AS min_x, max(c.c) AS max_x,
+                   min(c.r) AS min_y, max(c.r) AS max_y,
+                   bool_or(c.at_border) AS touches_border,
+                   sum(CASE WHEN p.on_edge THEN 1 ELSE 0 END) AS perimeter
+            FROM wcomp k
+            JOIN wcell c ON c.user_id = k.user_id AND c.id = k.id
+            JOIN wedge_cell p ON p.user_id = k.user_id AND p.id = k.id
+            GROUP BY k.user_id, k.lbl
+        ),
+        blobs AS (
+            SELECT w.user_id, w.area, w.perimeter
+            FROM wstats w JOIN bstats k ON k.user_id = w.user_id
+             AND w.area >= 3 AND NOT w.touches_border
+             AND w.min_x >= k.min_x AND w.max_x <= k.max_x
+             AND w.min_y >= k.min_y AND w.max_y <= k.max_y
+        ),
+        blob_agg AS (
+            SELECT user_id, CAST(count(*) AS BIGINT) AS n_blobs,
+                   CAST(sum(area) AS BIGINT) AS total_blob_area,
+                   CAST(sum(perimeter) AS BIGINT) AS total_blob_perimeter
+            FROM blobs GROUP BY user_id
+        )
+        SELECT u.user_id,
+               coalesce(ca.n_components, 0) AS n_components,
+               coalesce(ca.total_component_area, 0) AS total_component_area,
+               coalesce(ca.max_comp_width, 0) AS max_comp_width,
+               coalesce(ca.max_comp_height, 0) AS max_comp_height,
+               coalesce(ba.n_blobs, 0) AS n_blobs,
+               coalesce(ba.total_blob_area, 0) AS total_blob_area,
+               coalesce(ba.total_blob_perimeter, 0) AS total_blob_perimeter
+        FROM users u
+        LEFT JOIN comp_agg ca USING (user_id)
+        LEFT JOIN blob_agg ba USING (user_id)
+    """
 
 
 def _feature_families_oracle_sql() -> str:
