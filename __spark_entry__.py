@@ -250,6 +250,67 @@ def q_membership_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_column_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3/S5 keyed column merge: two independently-derived feature frames
+    adopted onto the customer spine BY KEY (never position) — the engine
+    behavior behind FeatureStore.merge_columns, relationally."""
+    from featureextraction_spark.operators.joins import merge_feature_columns
+
+    cust = _load(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    orders = _load(spark, sf_dir, "orders")
+    f1 = orders.groupBy(F.col("o_custkey").alias("c_custkey")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_spend"),
+    )
+    f2 = orders.filter(F.col("o_orderstatus") == "O").groupBy(
+        F.col("o_custkey").alias("c_custkey")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_open_orders"))
+    merged = merge_feature_columns(cust, f1, keys=["c_custkey"])
+    merged = merge_feature_columns(merged, f2, keys=["c_custkey"])
+    return merged.select(
+        "c_custkey",
+        F.round("c_acctbal", 2).alias("c_acctbal"),
+        "n_orders",
+        "total_spend",
+        "n_open_orders",
+    )
+
+
+def q_categorise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EP2 categorisation plan end-to-end (P5 derive key → J2/P6 membership
+    label with default → P3 split filter → P4 drop+cast)."""
+    from featureextraction_spark.plans.categorise import (
+        categorise,
+        derive_key,
+        drop_and_cast,
+        split_filter,
+    )
+
+    docs = _load(spark, sf_dir, "documents").select(
+        F.concat(F.col("doc_id").cast("string"), F.lit(".png")).alias("filename"),
+        F.col("doc_id"),
+        F.length("text").cast("double").alias("n_chars"),
+    )
+    keyed = derive_key(docs, "filename", "line_id", ".png")
+    splits = (
+        _load(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 5 != 0)
+        .select(
+            F.col("doc_id").cast("string").alias("line_id"),
+            F.element_at(
+                F.array(F.lit("train"), F.lit("test"), F.lit("validation_1"), F.lit("validation_2")),
+                (F.col("doc_id") % 4 + 1).cast("int"),
+            ).alias("type"),
+        )
+    )
+    labeled = categorise(keyed, splits, key="line_id", label="type")
+    train = split_filter(labeled, "train")
+    out = drop_and_cast(train, drop_cols=["filename"], feature_cols=["n_chars"], dtype="float")
+    return out.select(
+        "doc_id", "line_id", "type", F.round(F.col("n_chars").cast("double"), 2).alias("n_chars")
+    )
+
+
 def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A18 partial/final aggregation showcase (TPC-H Q1 shape) over lineitem."""
     li = _load(spark, sf_dir, "lineitem")
@@ -506,6 +567,17 @@ def q_component_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_triplet_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5 per-label sampling join: deterministic (anchor, positive,
+    negative) triplets over the labeled embeddings — 2 ring-offset
+    positives per anchor; ranks are the portable md5 hash, so DuckDB
+    replays the exact same triplets."""
+    from featureextraction_spark.operators.sampling import triplet_sample
+
+    emb = _load(spark, sf_dir, "embeddings").select("vec_id", "label")
+    return triplet_sample(emb, id_col="vec_id", label="label", per_anchor=2, seed=42)
+
+
 def q_components_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A13–A15, 2-D reading: the real image kernel
     (``find_components_and_blobs_2d``) over a deterministic 8×8 grid per
@@ -646,6 +718,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transitions": q_transitions,
         "run_length": q_run_length,
         "membership_join": q_membership_join,
+        "column_merge": q_column_merge,
+        "categorise": q_categorise,
         "pricing_summary": q_pricing_summary,
         "contour_ols": q_contour_ols,
         "feature_families": q_feature_families,
@@ -663,6 +737,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_eval": q_embedding_eval,
         "component_gaps": q_component_gaps,
         "components_2d": q_components_2d,
+        "triplet_sample": q_triplet_sample,
     }
 
 
@@ -771,6 +846,42 @@ def oracle_sql() -> dict[str, str]:
             FROM customer LEFT JOIN dim USING (c_custkey)
             GROUP BY 1
         """,
+        "column_merge": """
+            WITH f1 AS (
+                SELECT o_custkey AS c_custkey,
+                       CAST(count(*) AS BIGINT) AS n_orders,
+                       round(sum(o_totalprice), 2) AS total_spend
+                FROM orders GROUP BY o_custkey
+            ),
+            f2 AS (
+                SELECT o_custkey AS c_custkey,
+                       CAST(count(*) AS BIGINT) AS n_open_orders
+                FROM orders WHERE o_orderstatus = 'O' GROUP BY o_custkey
+            )
+            SELECT c.c_custkey, round(c.c_acctbal, 2) AS c_acctbal,
+                   f1.n_orders, f1.total_spend, f2.n_open_orders
+            FROM customer c
+            LEFT JOIN f1 USING (c_custkey)
+            LEFT JOIN f2 USING (c_custkey)
+        """,
+        "categorise": """
+            WITH keyed AS (
+                SELECT doc_id::VARCHAR || '.png' AS filename, doc_id,
+                       length(text)::DOUBLE AS n_chars,
+                       regexp_replace(doc_id::VARCHAR || '.png', '\\.png$', '') AS line_id
+                FROM documents
+            ),
+            splits AS (
+                SELECT doc_id::VARCHAR AS line_id,
+                       (['train', 'test', 'validation_1', 'validation_2'])[(doc_id % 4 + 1)::INT] AS type
+                FROM documents WHERE doc_id % 5 <> 0
+            )
+            SELECT k.doc_id, k.line_id,
+                   coalesce(s.type, 'unknown') AS type,
+                   round(CAST(CAST(k.n_chars AS FLOAT) AS DOUBLE), 2) AS n_chars
+            FROM keyed k LEFT JOIN splits s USING (line_id)
+            WHERE coalesce(s.type, 'unknown') = 'train'
+        """,
         "contour_ols": f"""
             WITH s AS (
                 SELECT user_id,
@@ -817,6 +928,47 @@ def oracle_sql() -> dict[str, str]:
     base["backfill_salted"] = base["backfill"]
     base["feature_families"] = _feature_families_oracle_sql()
     base["components_2d"] = _components_2d_oracle_sql()
+    base["triplet_sample"] = """
+        WITH v AS (SELECT vec_id, label FROM embeddings),
+        r AS (
+            SELECT vec_id, label,
+                   row_number() OVER (PARTITION BY label ORDER BY
+                       ('0x' || substr(md5(vec_id::VARCHAR || ':42'), 1, 15))::BIGINT
+                   ) AS rk
+            FROM v
+        ),
+        n AS (SELECT label, count(*) AS cnt FROM v GROUP BY label),
+        pairs AS (
+            SELECT a.vec_id AS anchor_id, a.label AS anchor_label,
+                   p.vec_id AS pos_id
+            FROM r a
+            JOIN n ON n.label = a.label AND n.cnt >= 2
+            JOIN generate_series(1, 2) o(o) ON o.o <= least(2, n.cnt - 1)
+            JOIN r p ON p.label = a.label
+                    AND p.rk = ((a.rk - 1 + o.o) % n.cnt) + 1
+        ),
+        neg_rank AS (
+            SELECT vec_id, label,
+                   row_number() OVER (PARTITION BY label ORDER BY
+                       ('0x' || substr(md5(vec_id::VARCHAR || ':43'), 1, 15))::BIGINT
+                   ) AS rk
+            FROM v
+        ),
+        neg_first AS (SELECT label AS neg_label, vec_id AS neg_id
+                      FROM neg_rank WHERE rk = 1),
+        labs AS (SELECT DISTINCT label FROM v),
+        ring AS (
+            SELECT a.label AS anchor_label,
+                   coalesce((SELECT min(b.label) FROM labs b WHERE b.label > a.label),
+                            (SELECT min(label) FROM labs)) AS neg_label
+            FROM labs a
+        )
+        SELECT p.anchor_id, p.anchor_label, p.pos_id, nf.neg_id, rg.neg_label
+        FROM pairs p
+        JOIN ring rg USING (anchor_label)
+        JOIN neg_first nf USING (neg_label)
+        WHERE rg.neg_label <> p.anchor_label
+    """
     base.update(_training_ops_oracle_sql())
     return base
 

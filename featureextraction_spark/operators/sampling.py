@@ -10,9 +10,11 @@ driver-side ``random.choice`` loops. Relationally:
   deterministic pseudo-random rank, negative via a different-label join
   (the ``l1 != l2`` anti-condition) — fully distributed, no driver loop.
 
-Determinism: "randomness" is ``xxhash64(id, seed)`` ranks, so the same
-seed always yields the same triplets (reproducible training batches, and
-testable without statistical assertions).
+Determinism: "randomness" is the portable 60-bit md5 hash of
+``"<id>:<seed>"`` (the same cross-engine contract as
+``dedup.portable_hash60``), so the same seed always yields the same
+triplets — reproducible training batches, testable without statistical
+assertions, and replayable in DuckDB for the driver's external oracle.
 """
 
 from __future__ import annotations
@@ -28,8 +30,15 @@ def stratified_sample(
     return df.sampleBy(label, fractions=fractions, seed=seed)
 
 
+def _seed_hash(id_col: str, seed: int) -> F.Column:
+    """60-bit md5 of "<id>:<seed>" — int(md5[:15], 16), reproducible in
+    DuckDB as ``('0x' || substr(md5(id::VARCHAR || ':<seed>'), 1, 15))::BIGINT``."""
+    s = F.concat_ws(":", F.col(id_col).cast("string"), F.lit(str(seed)))
+    return F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")
+
+
 def _ranked(df: DataFrame, id_col: str, label: str, seed: int, name: str) -> DataFrame:
-    w = Window.partitionBy(label).orderBy(F.xxhash64(F.col(id_col), F.lit(seed)))
+    w = Window.partitionBy(label).orderBy(_seed_hash(id_col, seed))
     return df.select(
         F.col(id_col).alias(f"{name}_id"),
         F.col(label).alias(f"{name}_label"),
@@ -82,14 +91,18 @@ def triplet_sample(
         .drop("__o")
     )
     # negative: deterministic different-label pick — hash-join the anchor to
-    # the label ring of the "next" label (anti-condition l1 != l2)
+    # the label ring of the "next" label (anti-condition l1 != l2). The ring
+    # is built join-relationally (next = min greater label, wrap to global
+    # min) — no partitionless window, even on this tiny dim table.
     labels = df.select(label).distinct()
-    lw = Window.orderBy(label)
-    ring = labels.select(
-        F.col(label).alias("anchor_label"),
-        F.lead(label, 1).over(lw).alias("__next_label"),
-        F.first(label).over(lw.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)).alias("__first_label"),
-    ).select(
+    nxt = (
+        labels.alias("a")
+        .join(labels.alias("b"), F.col(f"b.{label}") > F.col(f"a.{label}"), "left")
+        .groupBy(F.col(f"a.{label}").alias("anchor_label"))
+        .agg(F.min(F.col(f"b.{label}")).alias("__next_label"))
+    )
+    first = labels.agg(F.min(label).alias("__first_label"))
+    ring = nxt.crossJoin(F.broadcast(first)).select(
         "anchor_label",
         F.coalesce("__next_label", "__first_label").alias("neg_label"),
     )
