@@ -214,3 +214,119 @@ def embedding_near_dup_pairs(
         .filter(F.col("cosine") >= threshold)
         .select("a_id", "b_id", "cosine")
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN — the coarse-quantizer scale path
+# ---------------------------------------------------------------------------
+
+
+def ivf_fit(
+    corpus: DataFrame,
+    n_lists: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    max_iter: int = 20,
+) -> tuple[list[list[float]], DataFrame]:
+    """Train the IVF coarse quantizer and assign every corpus vector to its
+    nearest centroid list.
+
+    Spherical k-means via the built-in ``pyspark.ml`` KMeans over
+    L2-NORMALIZED vectors (argmin euclidean over unit vectors == argmax
+    cosine), seeded for determinism. Returns (centroids as plain lists,
+    corpus with a ``list_id`` column). At 10^9+ vectors, fit on a sample
+    (`corpus.sample`) — assignment is the only full pass, and it is one
+    narrow projection + a model transform (no shuffle).
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    normed = corpus.select(
+        F.col(id_col),
+        F.col(vec_col),
+        array_to_vector(
+            F.transform(
+                vec_col, lambda x: x.cast("double") / _norm(F.col(vec_col))
+            )
+        ).alias("__nv"),
+    )
+    km = KMeans(k=n_lists, seed=seed, maxIter=max_iter, featuresCol="__nv",
+                predictionCol="list_id")
+    model = km.fit(normed)
+    assigned = model.transform(normed).select(id_col, vec_col, "list_id")
+    centroids = [c.tolist() for c in model.clusterCenters()]
+    return centroids, assigned
+
+
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    n_lists: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    round_digits: int = 6,
+    assigned: DataFrame | None = None,
+    centroids: list[list[float]] | None = None,
+) -> DataFrame:
+    """Approximate top-k via IVF: probe the ``n_probe`` nearest centroid
+    lists per query, exact cosine + rank over those lists' members only.
+
+    The probe→list join is a plain equi-join on ``list_id`` — shuffle is
+    bounded by list sizes × n_probe, never a cartesian. Recall grows with
+    n_probe (n_probe == n_lists ≡ exact brute force); measured against
+    ``cosine_topk`` in the tests. Pass a prebuilt (``centroids``,
+    ``assigned``) pair to reuse one index across query batches.
+    """
+    from pyspark.sql import Window
+
+    if assigned is None or centroids is None:
+        centroids, assigned = ivf_fit(
+            corpus, n_lists, id_col, vec_col, seed=seed
+        )
+
+    # per-query centroid scores JVM-side: cosine(query, centroid_i) for the
+    # (tiny, literal) centroid matrix; take the n_probe best list ids
+    scores = F.array(
+        *[
+            F.struct(
+                cosine_similarity_col(
+                    F.col(vec_col), F.array(*[F.lit(float(v)) for v in c])
+                ).alias("s"),
+                F.lit(i).alias("list_id"),
+            )
+            for i, c in enumerate(centroids)
+        ]
+    )
+    probed = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("__qv"),
+        F.slice(F.reverse(F.array_sort(scores)), 1, n_probe).alias("__top"),
+    ).select(
+        "query_id",
+        "__qv",
+        F.explode(F.transform("__top", lambda t: t["list_id"])).alias("list_id"),
+    )
+    cand = probed.join(
+        assigned.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("__cv"),
+            "list_id",
+        ),
+        "list_id",
+    ).filter(F.col("query_id") != F.col("neighbor_id"))
+    scored = cand.withColumn(
+        "cosine",
+        F.round(cosine_similarity_col(F.col("__qv"), F.col("__cv")), round_digits),
+    ).select("query_id", "neighbor_id", "cosine")
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", F.col("rank").cast("long").alias("rank"))
+    )

@@ -1,0 +1,191 @@
+"""Structured Streaming operators over transcript streams.
+
+The batch engine's sessionize/lag/backfill assume the full history is
+addressable; on a LIVE transcript stream (turns arriving as conversations
+happen) the same semantics need Structured Streaming's stateful
+machinery. Two operators:
+
+- ``streaming_sessionize``: gap-based session assembly as a custom
+  stateful operator (``applyInPandasWithState``) — per ``conv_id`` the
+  state holds the open session's (id, start, last ts, turn count); a turn
+  arriving more than ``gap_seconds`` after the last one closes the open
+  session and starts the next. Closed sessions are EMITTED (append mode);
+  the open session is held in state and flushed either by a later turn or
+  by the event-time timeout once the watermark passes
+  ``last_ts + gap_seconds``. The emitted rows match the batch
+  ``sessionize`` → groupBy(session) aggregate exactly — the tests replay
+  a file stream and diff against the batch result.
+
+- ``streaming_turn_stats``: watermarked sliding-window aggregation
+  (turns/sec, distinct conversations, token counts per window) — the
+  built-in-operator path; late turns beyond the watermark are dropped by
+  Spark, on-time turns update their window.
+
+Scale notes: state is keyed by ``conv_id`` (the same shuffle key as every
+batch operator), one state row per OPEN conversation — memory is bounded
+by concurrency, not history. The watermark bounds both state retention
+and late-data acceptance; ``gap_seconds`` doubles as the timeout, so an
+abandoned conversation's state is reclaimed at exactly the moment its
+session is defined to be closed. RocksDB state store
+(``spark.sql.streaming.stateStore.providerClass``) is the production
+setting at 10^8 concurrent conversations; the default HDFS-backed store
+is fine for tests.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+SESSION_SCHEMA = T.StructType(
+    [
+        T.StructField("conv_id", T.StringType()),
+        T.StructField("session_id", T.LongType()),
+        T.StructField("n_turns", T.LongType()),
+        T.StructField("start_us", T.LongType()),
+        T.StructField("end_us", T.LongType()),
+    ]
+)
+
+_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("session_id", T.LongType()),
+        T.StructField("n_turns", T.LongType()),
+        T.StructField("start_us", T.LongType()),
+        T.StructField("end_us", T.LongType()),
+    ]
+)
+
+
+def _make_session_update(gap_seconds: int):
+    """Build the per-conv stateful kernel: fold sorted turn timestamps into
+    sessions. Pure function of (state, sorted batch) — emits every session
+    CLOSED by this batch (or by timeout) and parks the still-open one in
+    state."""
+    gap_us = gap_seconds * 1_000_000
+
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            if state.exists:
+                sid, n, start, end = state.get
+                yield pd.DataFrame(
+                    [
+                        {
+                            "conv_id": key[0],
+                            "session_id": sid,
+                            "n_turns": n,
+                            "start_us": start,
+                            "end_us": end,
+                        }
+                    ]
+                )
+            state.remove()
+            return
+
+        ts_us: list[int] = []
+        for pdf in pdfs:
+            ts_us.extend(
+                int(v) for v in pdf["ts"].astype("datetime64[us]").astype("int64")
+            )
+        ts_us.sort()
+        if not ts_us:
+            return
+
+        if state.exists:
+            sid, n, start, end = state.get
+        else:
+            sid, n, start, end = 1, 0, ts_us[0], -(10**18)
+
+        closed = []
+        for t in ts_us:
+            if n > 0 and (t - end) > gap_us:
+                closed.append((sid, n, start, end))
+                sid, n, start = sid + 1, 0, t
+            n += 1
+            end = t
+        state.update((sid, n, start, end))
+        # event-time timeout: fire when the watermark passes last_ts + gap —
+        # exactly when the open session becomes closable by definition
+        state.setTimeoutTimestamp(end // 1000 + gap_seconds * 1000)
+        if closed:
+            yield pd.DataFrame(
+                [
+                    {
+                        "conv_id": key[0],
+                        "session_id": s,
+                        "n_turns": c,
+                        "start_us": st,
+                        "end_us": en,
+                    }
+                    for (s, c, st, en) in closed
+                ]
+            )
+
+    return update
+
+
+def streaming_sessionize(
+    stream: DataFrame,
+    gap_seconds: int = 1800,
+    watermark: str = "0 seconds",
+) -> DataFrame:
+    """Gap-based sessionization over a streaming transcript DataFrame.
+
+    ``stream`` needs (conv_id, ts) columns; returns an APPEND-mode stream
+    of closed sessions (conv_id, session_id 1-based, n_turns, start_us,
+    end_us). Within-batch ordering is handled by the kernel's sort; across
+    batches, correctness relies on the watermark — turns older than it are
+    Spark-dropped before the operator.
+    """
+    return (
+        # NTZ timestamps (pandas/arrow parquet) → TIMESTAMP: watermarks
+        # require the instant type (identity under the UTC session tz)
+        stream.select("conv_id", F.col("ts").cast("timestamp").alias("ts"))
+        .withWatermark("ts", watermark)
+        .groupBy("conv_id")
+        .applyInPandasWithState(
+            _make_session_update(gap_seconds),
+            outputStructType=SESSION_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
+def streaming_turn_stats(
+    stream: DataFrame,
+    window: str = "10 minutes",
+    slide: str | None = None,
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Watermarked (sliding) window aggregates over the turn stream —
+    pure built-in operators (incremental partial aggregation, no custom
+    state): turns, distinct-ish conversations, token count."""
+    w = F.window("ts", window, slide) if slide else F.window("ts", window)
+    return (
+        stream.withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", watermark)
+        .groupBy(w.alias("win"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_turns"),
+            F.approx_count_distinct("conv_id").alias("approx_convs"),
+            F.sum(F.regexp_count(F.col("text"), F.lit(r"[^ \t\n\r\f]+")))
+            .cast("long")
+            .alias("n_tokens"),
+        )
+        .select(
+            F.unix_micros(F.col("win.start")).alias("win_start_us"),
+            F.unix_micros(F.col("win.end")).alias("win_end_us"),
+            "n_turns",
+            "approx_convs",
+            "n_tokens",
+        )
+    )

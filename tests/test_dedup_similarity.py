@@ -335,3 +335,43 @@ def test_hot_shingle_cap_bounds_pairs(spark):
     pd.testing.assert_frame_equal(capped_idx, capped_bit)
     uncapped = D.ngram_jaccard_pairs(docs, threshold=0.12, strategy="index").toPandas()
     assert len(capped_idx) < len(uncapped)
+
+
+def test_ivf_topk_full_probe_equals_exact(spark, emb):
+    """Probing every IVF list is exhaustive search — must equal the exact
+    brute-force ranking row for row."""
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = S.cosine_topk(queries, emb, k=5).toPandas().sort_values(
+        ["query_id", "rank"]).reset_index(drop=True)
+    ivf = S.ivf_topk(
+        queries, emb, k=5, n_lists=8, n_probe=8
+    ).toPandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(exact, ivf)
+
+
+def test_ivf_topk_partial_probe_recall(spark, emb):
+    queries = emb.filter(F.col("vec_id") < 20)
+    exact = S.cosine_topk(queries, emb, k=5).toPandas()
+    approx = S.ivf_topk(queries, emb, k=5, n_lists=8, n_probe=4).toPandas()
+    e = set(zip(exact["query_id"], exact["neighbor_id"]))
+    a = set(zip(approx["query_id"], approx["neighbor_id"]))
+    recall = len(e & a) / len(e)
+    assert recall >= 0.5, f"IVF recall too low: {recall}"
+    # approximate results carry exact cosines, correctly ranked
+    merged = approx.merge(exact, on=["query_id", "neighbor_id"], suffixes=("_a", "_e"))
+    np.testing.assert_allclose(merged["cosine_a"], merged["cosine_e"], atol=1e-9)
+
+
+def test_ivf_index_reuse(spark, emb):
+    """A prebuilt (centroids, assigned) index returns identical results."""
+    centroids, assigned = S.ivf_fit(emb, n_lists=8)
+    assigned = assigned.persist()
+    queries = emb.filter(F.col("vec_id") < 5)
+    a = S.ivf_topk(queries, emb, k=5, n_lists=8, n_probe=3).toPandas()
+    b = S.ivf_topk(
+        queries, emb, k=5, n_probe=3, assigned=assigned, centroids=centroids
+    ).toPandas()
+    pd.testing.assert_frame_equal(
+        a.sort_values(["query_id", "rank"]).reset_index(drop=True),
+        b.sort_values(["query_id", "rank"]).reset_index(drop=True),
+    )

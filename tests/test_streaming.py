@@ -1,0 +1,150 @@
+"""Structured Streaming operators vs their batch twins.
+
+The stream is a time-ordered file source (3 parquet chunks) replayed with
+``availableNow`` + ``maxFilesPerTrigger=1`` — multiple real micro-batches,
+state carried across them, event-time timeouts fired by the advancing
+watermark.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from featureextraction_spark.datagen import make_transcripts
+from featureextraction_spark.operators.sessionize import sessionize
+
+GAP = 600
+
+
+@pytest.fixture(scope="module")
+def stream_dir(spark, tmp_path_factory):
+    base = tmp_path_factory.mktemp("stream")
+    pdf = make_transcripts(n_conversations=30, mean_turns=15, seed=11)
+    pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+    pdf = pdf.sort_values("ts", kind="mergesort").reset_index(drop=True)
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    third = len(pdf) // 3
+    for i, chunk in enumerate(
+        [pdf.iloc[:third], pdf.iloc[third : 2 * third], pdf.iloc[2 * third :]]
+    ):
+        pq.write_table(
+            pa.Table.from_pandas(chunk, preserve_index=False),
+            os.path.join(str(base), f"chunk_{i}.parquet"),
+        )
+    return str(base)
+
+
+@pytest.fixture(scope="module")
+def batch_df(spark, stream_dir):
+    df = spark.read.parquet(stream_dir)
+    df.persist().count()
+    return df
+
+
+def _run_stream(spark, stream_dir, batch_df, transform, out_mode, name):
+    schema = batch_df.schema
+    src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stream_dir)
+    )
+    q = (
+        transform(src)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode(out_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.table(name).toPandas()
+
+
+def test_streaming_sessionize_matches_batch(spark, stream_dir, batch_df):
+    from featureextraction_spark.streaming.sessions import streaming_sessionize
+
+    got = _run_stream(
+        spark,
+        stream_dir,
+        batch_df,
+        lambda s: streaming_sessionize(s, gap_seconds=GAP),
+        "append",
+        "sess_out",
+    )
+
+    # batch twin: sessionize + per-session aggregate (parquet ts is NTZ;
+    # unix_micros below wants the instant type — identity under UTC)
+    bdf = batch_df.withColumn("ts", F.col("ts").cast("timestamp"))
+    b = sessionize(bdf, key="conv_id", ts="ts", tie="turn_idx", gap_seconds=GAP)
+    exp = (
+        b.groupBy("conv_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_turns"),
+            F.unix_micros(F.min("ts")).alias("start_us"),
+            F.unix_micros(F.max("ts")).alias("end_us"),
+        )
+        .toPandas()
+    )
+    max_ts_us = int(
+        bdf.agg(F.unix_micros(F.max("ts"))).collect()[0][0]
+    )
+    # sessions still OPEN at end-of-stream (end + gap beyond the final
+    # watermark) are legitimately unemitted; everything else must match
+    last = exp.sort_values("session_id").groupby("conv_id").tail(1)
+    open_keys = {
+        (r.conv_id, r.session_id)
+        for r in last.itertuples(index=False)
+        if r.end_us + GAP * 1_000_000 >= max_ts_us
+    }
+    exp_closed = exp[
+        ~exp.apply(lambda r: (r["conv_id"], r["session_id"]) in open_keys, axis=1)
+    ]
+    key = ["conv_id", "session_id"]
+    g = got.sort_values(key).reset_index(drop=True)
+    e = exp_closed.sort_values(key).reset_index(drop=True)
+    assert len(g) == len(e), (len(g), len(e))
+    for c in ["conv_id", "session_id", "n_turns", "start_us", "end_us"]:
+        assert list(g[c]) == list(e[c]), c
+    assert len(g) > 0  # the stream actually closed sessions
+
+
+def test_streaming_turn_stats_matches_batch(spark, stream_dir, batch_df):
+    from featureextraction_spark.streaming.sessions import streaming_turn_stats
+
+    got = _run_stream(
+        spark,
+        stream_dir,
+        batch_df,
+        lambda s: streaming_turn_stats(s, window="15 minutes", watermark="1 minute"),
+        "complete",
+        "stats_out",
+    )
+    exp = (
+        batch_df.withColumn("ts", F.col("ts").cast("timestamp"))
+        .groupBy(F.window("ts", "15 minutes").alias("win"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_turns"),
+            F.approx_count_distinct("conv_id").alias("approx_convs"),
+            F.sum(F.regexp_count(F.col("text"), F.lit(r"[^ \t\n\r\f]+")))
+            .cast("long")
+            .alias("n_tokens"),
+        )
+        .select(
+            F.unix_micros(F.col("win.start")).alias("win_start_us"),
+            F.unix_micros(F.col("win.end")).alias("win_end_us"),
+            "n_turns",
+            "approx_convs",
+            "n_tokens",
+        )
+        .toPandas()
+    )
+    g = got.sort_values("win_start_us").reset_index(drop=True)
+    e = exp.sort_values("win_start_us").reset_index(drop=True)
+    assert len(g) == len(e) and len(g) > 0
+    for c in g.columns:
+        assert list(g[c]) == list(e[c]), c
