@@ -128,3 +128,24 @@ def test_blockpair_plans_have_no_single_partition_exchange(spark):
     sh = char_shingles(docs, "doc_id", "text", 5)
     plan = plan_of(pack_bitsets(sh, "doc_id"))
     assert "Exchange SinglePartition" not in plan, plan
+
+
+def test_ivf_candidate_join_is_equi_join(spark):
+    """IVF probing must join queries to corpus lists on list_id — a hash
+    equi-join, never a cartesian/nested-loop over the corpus."""
+    from featureextraction_spark.operators.similarity import ivf_fit, ivf_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    centroids, assigned = ivf_fit(emb, n_lists=4)
+    plan = plan_of(
+        ivf_topk(
+            emb.filter(F.col("vec_id") < 5),
+            emb,
+            k=3,
+            n_probe=2,
+            assigned=assigned,
+            centroids=centroids,
+        )
+    )
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
