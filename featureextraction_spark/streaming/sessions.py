@@ -3,7 +3,13 @@
 The batch engine's sessionize/lag/backfill assume the full history is
 addressable; on a LIVE transcript stream (turns arriving as conversations
 happen) the same semantics need Structured Streaming's stateful
-machinery. Two operators:
+machinery. Three operators:
+
+- ``streaming_turn_state``: per-turn enrichment of the live stream with
+  the batch ``turn_state`` relational half (session id, turn count, prev
+  role, forward-filled tool, running transitions) — one narrow state row
+  per conversation, emitted per arriving turn, leakage-free by
+  construction; proven row-equal to the batch operator in the tests.
 
 - ``streaming_sessionize``: gap-based session assembly as a custom
   stateful operator (``applyInPandasWithState``) — per ``conv_id`` the
@@ -187,5 +193,122 @@ def streaming_turn_stats(
             "n_turns",
             "approx_convs",
             "n_tokens",
+        )
+    )
+
+
+TURN_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("conv_id", T.StringType()),
+        T.StructField("turn_idx", T.IntegerType()),
+        T.StructField("ts_us", T.LongType()),
+        T.StructField("session_id", T.LongType()),
+        T.StructField("turn_count", T.LongType()),
+        T.StructField("prev_role", T.StringType()),
+        T.StructField("last_tool", T.StringType()),
+        T.StructField("role_transitions", T.LongType()),
+    ]
+)
+
+_TURN_STATE_STATE = T.StructType(
+    [
+        T.StructField("session_id", T.LongType()),
+        T.StructField("turn_count", T.LongType()),
+        T.StructField("last_ts_us", T.LongType()),
+        T.StructField("last_role", T.StringType()),
+        T.StructField("last_tool", T.StringType()),
+        T.StructField("role_transitions", T.LongType()),
+    ]
+)
+
+
+def _make_turn_state_update(gap_seconds: int):
+    """Per-conv running state fold: the streaming twin of the batch
+    ``plans.feature_pipeline.turn_state`` relational half. Each arriving
+    turn is emitted ENRICHED with the leakage-free state as of itself
+    (session id, running turn count, previous role, forward-filled tool,
+    running role-transition count)."""
+    gap_us = gap_seconds * 1_000_000
+
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:  # no timeout configured; defensive
+            state.remove()
+            return
+        if state.exists:
+            sid, cnt, last_ts, last_role, last_tool, trans = state.get
+        else:
+            sid, cnt, last_ts, last_role, last_tool, trans = 0, 0, None, None, None, 0
+
+        rows = []
+        for pdf in pdfs:
+            p = pdf.sort_values(["ts", "turn_idx"], kind="mergesort")
+            ts_us = p["ts"].astype("datetime64[us]").astype("int64")
+            for turn_idx, t, role, tool in zip(
+                p["turn_idx"], ts_us, p["role"], p["tool"]
+            ):
+                t = int(t)
+                if last_ts is None or (t - last_ts) > gap_us:
+                    sid += 1
+                if last_role is not None and role != last_role:
+                    trans += 1
+                cnt += 1
+                if tool is not None and not (isinstance(tool, float) and pd.isna(tool)):
+                    last_tool = tool
+                rows.append(
+                    {
+                        "conv_id": key[0],
+                        "turn_idx": int(turn_idx),
+                        "ts_us": t,
+                        "session_id": sid,
+                        "turn_count": cnt,
+                        "prev_role": last_role,
+                        "last_tool": last_tool,
+                        "role_transitions": trans,
+                    }
+                )
+                last_ts, last_role = t, role
+        state.update((sid, cnt, last_ts, last_role, last_tool, trans))
+        if rows:
+            yield pd.DataFrame(rows)
+
+    return update
+
+
+def streaming_turn_state(
+    stream: DataFrame,
+    gap_seconds: int = 1800,
+    watermark: str = "0 seconds",
+) -> DataFrame:
+    """Enrich a LIVE transcript stream with the per-turn relational state
+    the batch ``turn_state`` computes over full history — session id,
+    turn count, prev role, forward-filled tool, running role transitions
+    — emitted per arriving turn, leakage-free by construction (state only
+    ever folds past turns).
+
+    Ordering contract: within a micro-batch the kernel sorts by
+    (ts, turn_idx); ACROSS batches correctness relies on the source
+    delivering each conversation's turns in non-decreasing event-time
+    order beyond the watermark (true for log-structured transcript
+    feeds). State is one narrow row per conversation — bounded by live
+    concurrency, not history.
+    """
+    return (
+        stream.select(
+            "conv_id",
+            "turn_idx",
+            F.col("ts").cast("timestamp").alias("ts"),
+            "role",
+            "tool",
+        )
+        .withWatermark("ts", watermark)
+        .groupBy("conv_id")
+        .applyInPandasWithState(
+            _make_turn_state_update(gap_seconds),
+            outputStructType=TURN_STATE_SCHEMA,
+            stateStructType=_TURN_STATE_STATE,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )

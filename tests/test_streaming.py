@@ -148,3 +148,41 @@ def test_streaming_turn_stats_matches_batch(spark, stream_dir, batch_df):
     assert len(g) == len(e) and len(g) > 0
     for c in g.columns:
         assert list(g[c]) == list(e[c]), c
+
+
+def test_streaming_turn_state_matches_batch(spark, stream_dir, batch_df):
+    """Every emitted turn's enrichment must equal the batch turn_state
+    row at the same (conv_id, turn_idx) — same sessions, same running
+    counts, zero leakage (streaming state can only fold the past)."""
+    from featureextraction_spark.plans.feature_pipeline import turn_state
+    from featureextraction_spark.streaming.sessions import streaming_turn_state
+
+    got = _run_stream(
+        spark,
+        stream_dir,
+        batch_df,
+        lambda s: streaming_turn_state(s, gap_seconds=GAP),
+        "append",
+        "tstate_out",
+    )
+    assert len(got) == batch_df.count()
+
+    bdf = batch_df.withColumn("ts", F.col("ts").cast("timestamp"))
+    exp = turn_state(bdf, gap_seconds=GAP).select(
+        "conv_id",
+        "turn_idx",
+        F.unix_micros("ts").alias("ts_us"),
+        "session_id",
+        "turn_count",
+        "prev_role",
+        "last_tool",
+        F.col("role_transitions").cast("long").alias("role_transitions"),
+    ).toPandas()
+    key = ["conv_id", "turn_idx"]
+    g = got.sort_values(key).reset_index(drop=True)
+    e = exp.sort_values(key).reset_index(drop=True)
+    for c in ["conv_id", "turn_idx", "ts_us", "session_id", "turn_count",
+              "role_transitions"]:
+        assert list(g[c]) == list(e[c]), c
+    for c in ["prev_role", "last_tool"]:
+        assert list(g[c].fillna("∅")) == list(e[c].fillna("∅")), c
