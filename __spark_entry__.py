@@ -499,12 +499,15 @@ def q_feature_families(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-scoring signals (length/alpha/punct/stopword ratios)."""
+    from featureextraction_spark.functions.textstats import bpe_ish_token_count
+
     docs = _load(spark, sf_dir, "documents")
     q = with_quality_features(docs)
     return q.select(
         "doc_id",
         F.col("n_chars").cast("long").alias("n_chars_calc"),
         "n_tokens",
+        bpe_ish_token_count("text").alias("n_tokens_bpe"),
         F.round("alpha_ratio", 6).alias("alpha_ratio"),
         F.round("punct_ratio", 6).alias("punct_ratio"),
         F.round("mean_token_len", 6).alias("mean_token_len"),
@@ -1475,6 +1478,9 @@ def _training_ops_oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    CAST(length(text) AS BIGINT) AS n_chars_calc,
                    CAST(length(regexp_extract_all(text, {_TOKENS_RE})) AS BIGINT) AS n_tokens,
+                   CAST(length(regexp_extract_all(text,
+                        '''(?:s|t|re|ve|m|ll|d)| ?\\p{{L}}+| ?\\p{{N}}+| ?[^\\s\\p{{L}}\\p{{N}}]+|\\s+'
+                   )) AS BIGINT) AS n_tokens_bpe,
                    round(CASE WHEN length(text) > 0
                          THEN length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) * 1.0
                               / length(text) ELSE 0 END, 6) AS alpha_ratio,

@@ -30,6 +30,21 @@ def token_count(text: str | Column) -> Column:
     return F.regexp_count(c, F.lit(TOKEN_REGEX)).cast("long")
 
 
+# GPT-2-style pre-tokenizer shape, restricted to constructs Java regex
+# (Spark) and RE2 (DuckDB) evaluate IDENTICALLY — no lookahead:
+# contractions | space?+letters | space?+digits | space?+other | whitespace.
+# Counts approximate real BPE pre-token counts (the usual LLM-pipeline
+# budget proxy); the cross-engine agreement is verified by the
+# text_quality oracle.
+BPE_ISH_REGEX = r"'(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+
+
+def bpe_ish_token_count(text: str | Column) -> Column:
+    """BPE-pre-tokenizer-shaped token count (LLM token-budget proxy)."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.regexp_count(c, F.lit(BPE_ISH_REGEX)).cast("long")
+
+
 def fingerprint(text: str | Column) -> Column:
     """Deterministic document fingerprint: md5 of the whitespace-normalized,
     lowercased text. Exact-duplicate detection key; portable to any SQL

@@ -375,3 +375,21 @@ def test_ivf_index_reuse(spark, emb):
         a.sort_values(["query_id", "rank"]).reset_index(drop=True),
         b.sort_values(["query_id", "rank"]).reset_index(drop=True),
     )
+
+
+def test_bpe_ish_token_count_fixtures(spark):
+    from featureextraction_spark.functions.textstats import bpe_ish_token_count
+
+    cases = [
+        ("Hello world, it's 2024! foo_bar baz-qux", 13),
+        ("  leading and trailing  ", 5),
+        ("naïve café 123abc !!!", 5),
+        ("", 0),
+        ("word's won't we're I'll I'd I'm you've", 14),
+    ]
+    df = spark.createDataFrame([(t,) for t, _ in cases], "t string")
+    got = [
+        r["n"]
+        for r in df.select(bpe_ish_token_count("t").alias("n")).collect()
+    ]
+    assert got == [n for _, n in cases]
