@@ -393,3 +393,24 @@ def test_bpe_ish_token_count_fixtures(spark):
         for r in df.select(bpe_ish_token_count("t").alias("n")).collect()
     ]
     assert got == [n for _, n in cases]
+
+
+def test_auto_strategy_applies_hot_shingle_cap_on_open_vocab(spark):
+    """When auto routes an 'open-vocabulary' corpus (> vocab_limit) to the
+    index path with no explicit cap, auto_max_shingle_df kicks in — same
+    pairs as an explicit index+cap call."""
+    rows = [(i, f"distinct text number {i:04d} with shared ZZZZZ") for i in range(30)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    auto = (
+        D.ngram_jaccard_pairs(
+            docs, threshold=0.12, strategy="auto", vocab_limit=10, auto_max_shingle_df=5
+        )
+        .toPandas().sort_values(["a_id", "b_id"]).reset_index(drop=True)
+    )
+    explicit = (
+        D.ngram_jaccard_pairs(
+            docs, threshold=0.12, strategy="index", max_shingle_df=5
+        )
+        .toPandas().sort_values(["a_id", "b_id"]).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(auto, explicit)
