@@ -270,6 +270,14 @@ def main() -> None:
         "pure-CPU control job isolating engine scaling from memory bandwidth",
     )
     ap.add_argument(
+        "--rounds",
+        type=int,
+        default=1,
+        help="interleaved visits per level (each a fresh JVM running "
+        "--reps reps); >1 makes the pair ratio robust to one-sided "
+        "host-noise windows",
+    )
+    ap.add_argument(
         "--control",
         action="store_true",
         help="also run the compute control at every level and report "
@@ -286,7 +294,20 @@ def main() -> None:
 
     path = ensure_data(args.conversations, args.mean_turns)
     levels = [int(x) for x in args.levels.split(",")]
-    results = [run_worker(lv, path, args.reps, args.job) for lv in levels]
+    # interleave level visits across rounds: host-noise windows hit BOTH
+    # levels instead of whichever level happened to be running, making the
+    # pair ratio robust to one-sided contamination. Each visit is still a
+    # fresh multi-rep JVM (in-JVM reps carry the JIT warmup).
+    def merge(a: dict, b: dict) -> dict:
+        best = a if a["best_sec"] <= b["best_sec"] else b
+        return {**best, "times": a["times"] + b["times"]}
+
+    by_level: dict[int, dict] = {}
+    for _ in range(max(args.rounds, 1)):
+        for lv in levels:
+            r = run_worker(lv, path, args.reps, args.job)
+            by_level[lv] = merge(by_level[lv], r) if lv in by_level else r
+    results = [by_level[lv] for lv in levels]
 
     # the north rule compares N vs 4N executors: report every 4x pair the
     # measured levels admit (plus adjacent pairs when no 4x pair exists)
