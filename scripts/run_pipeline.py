@@ -9,10 +9,14 @@ reference's every-10-entities flush, ``src/preparation/writer.py:122-126``).
 Usage (local or cluster — same file)::
 
     zip -r fex.zip featureextraction_spark
-    spark-submit --py-files fex.zip scripts/run_pipeline.py \
+    spark-submit --driver-memory 24g --py-files fex.zip scripts/run_pipeline.py \
         --input /path/to/transcripts.parquet \
         --work  /path/to/workdir \
         [--gap-seconds 1800] [--probes-per-conv 3] [--run-id r1]
+
+Driver/executor memory MUST be sized via spark-submit flags (the JVM is
+already running by the time session-level conf is read); local-mode runs
+at 10^7+ turns want >= 16g.
 
 Stages (each checkpointed + manifested):
   1. turn_state  — sessionize + lag + forward-fill + running transitions
