@@ -400,6 +400,14 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_clusters(pairs)
 
 
+def q_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints (rolling-hash local minima, SIGMOD'03) per
+    document — the substring-match-guaranteeing signature; the oracle
+    replays the positional k-grams, md5 hashes and window minima in SQL."""
+    docs = _load(spark, sf_dir, "documents")
+    return dedup_ops.winnow_fingerprints(docs, k=5, window=4)
+
+
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash banded near-dup pair generation + hamming verification; the
     oracle replays the fingerprint, the 15-bit banding and the xor-popcount
@@ -733,6 +741,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh": q_minhash_lsh,
         "simhash": q_simhash,
         "simhash_pairs": q_simhash_pairs,
+        "winnow": q_winnow,
         "text_quality": q_text_quality,
         "language_id": q_language_id,
         "cosine_topk": q_cosine_topk,
@@ -1436,6 +1445,23 @@ def _training_ops_oracle_sql() -> dict[str, str]:
                    CAST(sum(CASE WHEN v > 0 THEN (1::BIGINT << CAST(k AS INT))
                             ELSE 0 END) AS BIGINT) AS simhash
             FROM bits GROUP BY doc_id
+        """,
+        "winnow": """
+            WITH lists AS (
+                SELECT doc_id,
+                       list_transform(range(1, greatest(length(text) - 3, 1)),
+                           i -> ('0x' || substr(md5(substr(text, CAST(i AS INT), 5)), 1, 15))::BIGINT
+                       ) AS hs
+                FROM documents
+            ),
+            wins AS (
+                SELECT doc_id,
+                       unnest(list_transform(range(1, greatest(len(hs) - 2, 1)),
+                           i -> list_min(list_slice(hs, CAST(i AS INT), CAST(i + 3 AS INT)))
+                       )) AS fingerprint
+                FROM lists WHERE len(hs) >= 4
+            )
+            SELECT DISTINCT doc_id, fingerprint FROM wins
         """,
         "simhash_pairs": f"""
             WITH {_SHINGLES_CTE},

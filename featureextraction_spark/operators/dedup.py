@@ -616,3 +616,45 @@ def simhash_near_dup_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("a_id", "b_id", "hamming")
     )
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text: str = "text",
+    k: int = 5,
+    window: int = 4,
+) -> DataFrame:
+    """Winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03): the
+    distinct minima of k-gram hashes over every ``window`` consecutive
+    positions — the rolling-hash document signature that guarantees any
+    shared substring of length >= k + window − 1 produces a shared
+    fingerprint.
+
+    Relational shape: positional k-grams (posexplode — NOT the distinct
+    shingle set), portable 60-bit hash per position, per-doc window min
+    over full windows, distinct (id, fingerprint). The only shuffle keys
+    are ``id`` (window + distinct) — per-document windows, never global.
+    Returns (id, fingerprint) rows.
+    """
+    from pyspark.sql import Window as W
+
+    grams = F.when(
+        F.length(text) >= k,
+        F.expr(
+            f"transform(sequence(1, length({text}) - {k - 1}),"
+            f" i -> substring({text}, i, {k}))"
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    pos_sh = df.select(id_col, F.posexplode(grams).alias("pos", "gram"))
+    hashed = pos_sh.select(
+        id_col, "pos", portable_hash60(F.col("gram")).alias("h")
+    )
+    frame = W.partitionBy(id_col).orderBy("pos").rowsBetween(0, window - 1)
+    return (
+        hashed.withColumn("__wmin", F.min("h").over(frame))
+        .withColumn("__wlen", F.count(F.lit(1)).over(frame))
+        .filter(F.col("__wlen") == window)  # full windows only
+        .select(id_col, F.col("__wmin").alias("fingerprint"))
+        .distinct()
+    )

@@ -414,3 +414,18 @@ def test_auto_strategy_applies_hot_shingle_cap_on_open_vocab(spark):
         .toPandas().sort_values(["a_id", "b_id"]).reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(auto, explicit)
+
+
+def test_winnow_fingerprints_match_python(spark, docs, docs_pdf):
+    got = (
+        D.winnow_fingerprints(docs, k=5, window=4)
+        .toPandas().groupby("doc_id")["fingerprint"].apply(set).to_dict()
+    )
+    for r in docs_pdf.head(40).itertuples(index=False):
+        t = r.text
+        hs = [_h60(t[i : i + 5]) for i in range(max(len(t) - 4, 0))]
+        exp = {min(hs[i : i + 4]) for i in range(len(hs) - 3)} if len(hs) >= 4 else set()
+        assert got.get(r.doc_id, set()) == exp, r.doc_id
+    # guarantee: exact duplicate docs share ALL fingerprints
+    for d in range(3):
+        assert got[d] == got[d + 100000]
