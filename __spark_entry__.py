@@ -210,6 +210,40 @@ def q_backfill_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_asof_join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6 third physical strategy: broadcast + range predicate + max_by
+    (the small-data-side path) — same DuckDB oracle as the plain and
+    salted forms proves all three strategies compute one relation."""
+    from featureextraction_spark.operators.asof import asof_join_broadcast
+
+    ev = _load(spark, sf_dir, "events")
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(
+            F.max_by("value", "event_id").alias("click_value"),
+            F.max("event_id").alias("click_event_id"),
+        )
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select("user_id", "event_id", "ts")
+    res = asof_join_broadcast(
+        purchases,
+        clicks,
+        on="ts",
+        by="user_id",
+        tie="click_event_id",
+        value_cols=["click_value"],
+        matched_cols=True,
+    )
+    return res.select(
+        "user_id",
+        "event_id",
+        epoch_us(res, "ts").alias("ts_us"),
+        epoch_us(res, "matched_ts").alias("matched_ts_us"),
+        F.round("click_value", 4).alias("click_value"),
+    )
+
+
 def q_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A7 transition counts: event_type switches per user along (ts, event_id)."""
     ev = _load(spark, sf_dir, "events")
@@ -726,6 +760,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "backfill_salted": q_backfill_salted,
         "asof_join": q_asof_join,
         "asof_join_salted": q_asof_join_salted,
+        "asof_join_broadcast": q_asof_join_broadcast,
         "transitions": q_transitions,
         "run_length": q_run_length,
         "membership_join": q_membership_join,
@@ -938,6 +973,7 @@ def oracle_sql() -> dict[str, str]:
     # external gate proves the skew strategies compute the same relation
     base["sessionize_salted"] = base["sessionize"]
     base["backfill_salted"] = base["backfill"]
+    base["asof_join_broadcast"] = base["asof_join"]
     base["feature_families"] = _feature_families_oracle_sql()
     base["components_2d"] = _components_2d_oracle_sql()
     base["triplet_sample"] = """
