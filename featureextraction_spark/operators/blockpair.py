@@ -41,7 +41,13 @@ def _popcount(a: np.ndarray) -> np.ndarray:
     return _POP[a.view(np.uint8).reshape(*a.shape[:-1], -1)].sum(axis=-1)
 
 
-def with_global_rank(df: DataFrame, order_col: str, out_col: str = "__rk") -> DataFrame:
+def with_global_rank(
+    df: DataFrame,
+    order_col: str,
+    out_col: str = "__rk",
+    n_rows: int | None = None,
+    rows_per_partition: int = 65536,
+) -> DataFrame:
     """Dense global rank 0..n−1 by ``order_col``, computed distributedly.
 
     ``repartitionByRange`` puts contiguous key ranges in separate
@@ -64,6 +70,11 @@ def with_global_rank(df: DataFrame, order_col: str, out_col: str = "__rk") -> Da
     except Exception:
         n_parts = spark.sparkContext.defaultParallelism
     n_parts = max(n_parts, 1)
+    if n_rows is not None:
+        # size the range partitioning to the data: a 2k-row vocabulary on
+        # 32 partitions pays 32-task scheduling for nothing, while huge
+        # inputs still spread over the full shuffle width
+        n_parts = max(1, min(n_parts, -(-int(n_rows) // rows_per_partition)))
     dfp = (
         df.repartitionByRange(n_parts, F.col(order_col))
         .withColumn("__pid", F.spark_partition_id())
@@ -152,7 +163,10 @@ def blocked_cosine_pairs(
 
 
 def shingle_vocab(
-    shingles: DataFrame, shingle_col: str = "shingle", assume_distinct: bool = False
+    shingles: DataFrame,
+    shingle_col: str = "shingle",
+    assume_distinct: bool = False,
+    n_rows: int | None = None,
 ) -> DataFrame:
     """Distinct shingles with dense positions 0..V−1, ordered by shingle.
 
@@ -169,7 +183,7 @@ def shingle_vocab(
     d = shingles.select(shingle_col)
     if not assume_distinct:
         d = d.distinct()
-    return with_global_rank(d, shingle_col, "__rk").withColumn(
+    return with_global_rank(d, shingle_col, "__rk", n_rows=n_rows).withColumn(
         "__pos", F.col("__rk").cast("int")
     ).drop("__rk")
 

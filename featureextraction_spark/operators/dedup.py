@@ -165,7 +165,7 @@ def ngram_jaccard_pairs(
             if dsh is None:
                 dsh = sh.select("shingle").distinct().persist()
                 n_vocab = dsh.count()
-            vocab = shingle_vocab(dsh, assume_distinct=True).persist()
+            vocab = shingle_vocab(dsh, assume_distinct=True, n_rows=n_vocab).persist()
             return blocked_jaccard_pairs(
                 sh, id_col=id_col, threshold=threshold, vocab=vocab, n_vocab=n_vocab
             )
@@ -341,7 +341,7 @@ def minhash_lsh_pairs(
     dsh = sh.select("shingle").distinct().persist()
     n_vocab = dsh.count()
     vocab = (
-        shingle_vocab(dsh, assume_distinct=True).persist()
+        shingle_vocab(dsh, assume_distinct=True, n_rows=n_vocab).persist()
         if n_vocab <= vocab_limit
         else None
     )
@@ -480,7 +480,7 @@ def simhash(
         dsh = sh0.select("shingle").distinct().persist()
         n_vocab = dsh.count()
         if strategy == "gemm" or n_vocab <= vocab_limit:
-            vocab = shingle_vocab(dsh, assume_distinct=True).persist()
+            vocab = shingle_vocab(dsh, assume_distinct=True, n_rows=n_vocab).persist()
             return _simhash_gemm(sh0, id_col, bits, vocab=vocab, n_vocab=n_vocab)
         strategy = "explode"
     sh = sh0.withColumn("h", portable_hash60(F.col("shingle")))
