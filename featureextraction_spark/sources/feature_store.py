@@ -150,7 +150,12 @@ class FeatureStore:
         prev_files = snaps[-1]["files"] if snaps else []
         return self._commit("append", prev_files + [group], schema, tag=tag)
 
-    def merge_columns(self, df: DataFrame, new_cols: list[str] | None = None) -> int:
+    def merge_columns(
+        self,
+        df: DataFrame,
+        new_cols: list[str] | None = None,
+        tag: str | None = None,
+    ) -> int:
         """S5 column merge KEYED ON ``key_cols`` (never positional).
 
         ``df`` must carry the key columns plus the feature columns to adopt;
@@ -173,7 +178,7 @@ class FeatureStore:
             raise ValueError("merge_columns: right side has duplicate keys")
         merged = current.join(right, on=self.key_cols, how="left")
         group = self._write_group(merged)
-        return self._commit("merge_columns", [group], schema + list(new_cols))
+        return self._commit("merge_columns", [group], schema + list(new_cols), tag=tag)
 
     def read(self, version: int | None = None) -> DataFrame:
         """Read the table at ``version`` (default: latest) — time travel."""
