@@ -3,7 +3,7 @@
 The batch engine's sessionize/lag/backfill assume the full history is
 addressable; on a LIVE transcript stream (turns arriving as conversations
 happen) the same semantics need Structured Streaming's stateful
-machinery. Three operators:
+machinery. The operator set:
 
 - ``streaming_turn_state``: per-turn enrichment of the live stream with
   the batch ``turn_state`` relational half (session id, turn count, prev
@@ -26,6 +26,11 @@ machinery. Three operators:
   (turns/sec, distinct conversations, token counts per window) — the
   built-in-operator path; late turns beyond the watermark are dropped by
   Spark, on-time turns update their window.
+
+- ``streaming_asof_lookup``: point-in-time feature lookup for a live
+  probe stream against a static feature snapshot (stream-static backward
+  join + watermarked max-by finalization) — each probe answered once,
+  leakage-free, equal to the batch as-of join.
 
 Scale notes: state is keyed by ``conv_id`` (the same shuffle key as every
 batch operator), one state row per OPEN conversation — memory is bounded
@@ -311,4 +316,65 @@ def streaming_turn_state(
             outputMode="append",
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
+    )
+
+
+def streaming_asof_lookup(
+    probes: DataFrame,
+    data: DataFrame,
+    on: str = "ts",
+    by: str = "conv_id",
+    tie: str = "turn_idx",
+    value_cols: list[str] | None = None,
+    watermark: str = "0 seconds",
+) -> DataFrame:
+    """Point-in-time feature lookup for a LIVE probe stream: each arriving
+    probe (by, ts) is answered with the latest static-table row at
+    ``ts' <= ts`` — the streaming face of ``operators.asof.asof_join``.
+
+    Shape: stream-static left join on ``by`` with the backward time
+    predicate, then a watermarked per-probe aggregation picking the
+    max-(ts', tie) match (append mode — a probe's answer is emitted once
+    the watermark passes its timestamp, and is final). Leakage-free by the
+    join predicate itself.
+
+    Scale notes: the static side is re-scanned per micro-batch — keep it
+    broadcastable (a feature snapshot) or bucketed by ``by`` so the join
+    is co-located. For data sides that also stream, compose
+    ``streaming_turn_state`` (running state) instead; true
+    stream-stream as-of needs both sides watermarked and is bounded by
+    the join window Spark requires.
+    """
+    if value_cols is None:
+        value_cols = [c for c in data.columns if c not in (by, on, tie)]
+    d = data.select(
+        F.col(by).alias("__d_by"),
+        F.col(on).cast("timestamp").alias("__d_ts"),
+        F.col(tie).alias("__d_tie"),
+        *[F.col(c).alias(f"__d_{c}") for c in value_cols],
+    )
+    p = probes.select(
+        by,
+        F.col(on).cast("timestamp").alias(on),
+        tie,
+    ).withWatermark(on, watermark)
+    joined = p.join(
+        d,
+        (F.col(by) == F.col("__d_by")) & (F.col("__d_ts") <= F.col(on)),
+        "left",
+    )
+    best = F.max_by(
+        F.struct(
+            F.col("__d_ts").alias("matched_ts"),
+            *[F.col(f"__d_{c}").alias(c) for c in value_cols],
+        ),
+        F.struct(F.col("__d_ts"), F.col("__d_tie")),
+    ).alias("__best")
+    out = joined.groupBy(by, on, tie).agg(best)
+    return out.select(
+        by,
+        on,
+        tie,
+        F.col("__best.matched_ts").alias("matched_ts"),
+        *[F.col(f"__best.{c}").alias(c) for c in value_cols],
     )

@@ -186,3 +186,63 @@ def test_streaming_turn_state_matches_batch(spark, stream_dir, batch_df):
         assert list(g[c]) == list(e[c]), c
     for c in ["prev_role", "last_tool"]:
         assert list(g[c].fillna("∅")) == list(e[c].fillna("∅")), c
+
+
+def test_streaming_asof_lookup_matches_batch(spark, stream_dir, batch_df):
+    """Each streamed probe's answer must equal the batch as-of join's row;
+    probes at the final watermark stay pending (unemitted), everything
+    else is final and exact."""
+    from featureextraction_spark.operators.asof import asof_join
+    from featureextraction_spark.streaming.sessions import streaming_asof_lookup
+
+    bdf = batch_df.withColumn("ts", F.col("ts").cast("timestamp"))
+    static = bdf.filter(F.col("role") == "assistant").select(
+        "conv_id",
+        "ts",
+        "turn_idx",
+        F.length("text").cast("double").alias("resp_len"),
+    )
+    static.persist().count()
+
+    got = _run_stream(
+        spark,
+        stream_dir,
+        batch_df,
+        lambda s: streaming_asof_lookup(
+            s.filter(F.col("role") == "user"),
+            static,
+            value_cols=["resp_len"],
+        ),
+        "append",
+        "asof_out",
+    )
+
+    probes = bdf.filter(F.col("role") == "user").select("conv_id", "ts", "turn_idx")
+    exp = asof_join(
+        probes,
+        static.withColumnRenamed("turn_idx", "d_turn_idx"),
+        on="ts",
+        by="conv_id",
+        tie="d_turn_idx",
+        value_cols=["resp_len"],
+        matched_cols=True,
+    ).toPandas()
+    # the watermark tracks the PROBE stream's max event time — probes at
+    # that final watermark are legitimately still pending
+    max_ts = (
+        bdf.filter(F.col("role") == "user").agg(F.max("ts")).collect()[0][0]
+    )
+    exp = exp[exp["ts"] < max_ts]
+
+    key = ["conv_id", "ts", "turn_idx"]
+    g = got.sort_values(key).reset_index(drop=True)
+    e = exp.sort_values(key).reset_index(drop=True)
+    assert len(g) == len(e), (len(g), len(e))
+    for c in ["conv_id", "turn_idx", "matched_ts"]:
+        assert list(g[c].fillna(-1)) == list(e[c].fillna(-1)), c
+    import numpy as np
+
+    np.testing.assert_allclose(
+        g["resp_len"].fillna(-1.0), e["resp_len"].fillna(-1.0)
+    )
+    assert len(g) > 0
