@@ -49,38 +49,40 @@ def connected_components(
         .distinct()
         .persist()
     )
-    labels = (
-        edges.select(F.col("src").alias("id"))
-        .distinct()
-        .withColumn("lbl", F.col("id"))
-        .localCheckpoint()
-    )
-    for _ in range(max_iter):
-        # neighbor labels flow along edges; keep own label in the pool
-        msgs = edges.join(
-            labels.select(F.col("id").alias("src"), "lbl"), "src"
-        ).select(F.col("dst").alias("id"), "lbl")
-        new_labels = (
-            labels.unionByName(msgs)
-            .groupBy("id")
-            .agg(F.min("lbl").alias("lbl"))
+    try:
+        labels = (
+            edges.select(F.col("src").alias("id"))
+            .distinct()
+            .withColumn("lbl", F.col("id"))
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.lbl") != F.col("o.lbl"))
-            .limit(1)
-            .count()
+        for _ in range(max_iter):
+            # neighbor labels flow along edges; keep own label in the pool
+            msgs = edges.join(
+                labels.select(F.col("id").alias("src"), "lbl"), "src"
+            ).select(F.col("dst").alias("id"), "lbl")
+            new_labels = (
+                labels.unionByName(msgs)
+                .groupBy("id")
+                .agg(F.min("lbl").alias("lbl"))
+                .localCheckpoint()
+            )
+            changed = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), "id")
+                .filter(F.col("n.lbl") != F.col("o.lbl"))
+                .limit(1)
+                .count()
+            )
+            labels = new_labels
+            if changed == 0:
+                return labels.select("id", F.col("lbl").alias("component_id"))
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds; "
+            "raise max_iter or use a path-doubling variant for deep graphs"
         )
-        labels = new_labels
-        if changed == 0:
-            edges.unpersist()
-            return labels.select("id", F.col("lbl").alias("component_id"))
-    raise RuntimeError(
-        f"connected_components did not converge in {max_iter} rounds; "
-        "raise max_iter or use a path-doubling variant for deep graphs"
-    )
+    finally:
+        edges.unpersist()
 
 
 def dedup_clusters(
