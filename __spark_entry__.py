@@ -558,6 +558,15 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/RefinedWeb-style word-level repetition filters: duplicate-word
+    fraction, top-word fraction, duplicate-bigram instance fraction."""
+    from featureextraction_spark.functions.textstats import repetition_features
+
+    docs = _load(spark, sf_dir, "documents")
+    return repetition_features(docs)
+
+
 def q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stopword-voting language ID vs the labeled lang column."""
     docs = _load(spark, sf_dir, "documents")
@@ -778,6 +787,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": q_simhash_pairs,
         "winnow": q_winnow,
         "text_quality": q_text_quality,
+        "repetition": q_repetition,
         "language_id": q_language_id,
         "cosine_topk": q_cosine_topk,
         "embedding_near_dup": q_embedding_near_dup,
@@ -1571,6 +1581,51 @@ def _training_ops_oracle_sql() -> dict[str, str]:
                                    / length(regexp_extract_all(text, {_TOKENS_RE}))
                               ELSE 0 END * 4.0, 1.0)) / 4.0, 6) AS quality_score
             FROM documents
+        """,
+        "repetition": f"""
+            WITH toks AS (
+                SELECT doc_id,
+                       regexp_extract_all(text, {_TOKENS_RE}) AS ts
+                FROM documents
+            ),
+            words AS (
+                SELECT doc_id, len(ts) AS n, unnest(ts) AS w FROM toks
+            ),
+            wc AS (
+                SELECT doc_id, n, count(DISTINCT w) AS n_distinct,
+                       max(c) AS topc
+                FROM (SELECT doc_id, n, w, count(*) AS c
+                      FROM words GROUP BY doc_id, n, w)
+                GROUP BY doc_id, n
+            ),
+            bgs AS (
+                SELECT doc_id, len(ts) - 1 AS nb,
+                       unnest(list_transform(range(1, len(ts)),
+                           i -> ts[CAST(i AS INT)] || ' ' || ts[CAST(i + 1 AS INT)]
+                       )) AS b
+                FROM toks WHERE len(ts) >= 2
+            ),
+            bc AS (
+                SELECT doc_id, nb,
+                       sum(CASE WHEN c > 1 THEN c END) AS dupinst
+                FROM (SELECT doc_id, nb, b, count(*) AS c
+                      FROM bgs GROUP BY doc_id, nb, b)
+                GROUP BY doc_id, nb
+            )
+            SELECT t.doc_id,
+                   CAST(len(t.ts) AS BIGINT) AS n_words,
+                   round(CASE WHEN len(t.ts) > 0
+                         THEN 1.0 - wc.n_distinct * 1.0 / len(t.ts)
+                         ELSE 0.0 END, 6) AS frac_dup_words,
+                   round(CASE WHEN len(t.ts) > 0
+                         THEN wc.topc * 1.0 / len(t.ts) ELSE 0.0 END, 6)
+                       AS top_word_frac,
+                   round(CASE WHEN coalesce(bc.nb, 0) > 0
+                         THEN coalesce(bc.dupinst, 0) * 1.0 / bc.nb
+                         ELSE 0.0 END, 6) AS frac_dup_bigrams
+            FROM toks t
+            LEFT JOIN wc USING (doc_id)
+            LEFT JOIN bc USING (doc_id)
         """,
         "language_id": f"""
             WITH dim(word, cand_lang) AS (VALUES

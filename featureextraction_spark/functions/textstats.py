@@ -126,3 +126,91 @@ def language_id(
     return df.join(best, id_col, "left").withColumn(
         out, F.coalesce(F.col(out), F.lit("unknown"))
     )
+
+
+def repetition_features(df: DataFrame, id_col: str = "doc_id", text: str = "text") -> DataFrame:
+    """Repetition-based quality filters (the Gopher/RefinedWeb family,
+    word-level): documents dominated by repeated words/bigrams are
+    low-quality training data.
+
+    Per document:
+    - ``n_words``            whitespace tokens;
+    - ``frac_dup_words``     1 − distinct/total (0 when no repetition);
+    - ``top_word_frac``      occurrences of the most frequent word / total;
+    - ``frac_dup_bigrams``   fraction of word-bigram INSTANCES whose bigram
+                             occurs more than once in the document.
+
+    All JVM-side: per-doc explode → count aggregation → ratios; the only
+    shuffle key is the document id. NULL/empty text → zeros.
+    """
+    toks = F.split(
+        F.trim(F.regexp_replace(F.coalesce(F.col(text), F.lit("")), r"\s+", " ")),
+        " ",
+    )
+    toks = F.filter(toks, lambda t: t != "")
+    base = df.select(F.col(id_col), toks.alias("__toks"))
+    base = base.withColumn("__n", F.size("__toks"))
+
+    words = base.select(id_col, "__n", F.explode_outer("__toks").alias("__w"))
+    wc = (
+        words.groupBy(id_col, "__n", "__w")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .groupBy(id_col, "__n")
+        .agg(
+            F.count(F.when(F.col("__w").isNotNull(), 1)).alias("__distinct"),
+            F.max(F.when(F.col("__w").isNotNull(), F.col("__c"))).alias("__topc"),
+        )
+    )
+
+    # guard: Spark's sequence(1, 0) counts DOWN — only build bigrams when
+    # there are at least two tokens
+    bigrams = base.select(
+        id_col,
+        F.when(
+            F.col("__n") >= 2,
+            F.expr(
+                "transform(sequence(1, size(__toks) - 1),"
+                " i -> concat(__toks[i - 1], ' ', __toks[i]))"
+            ),
+        )
+        .otherwise(F.array().cast("array<string>"))
+        .alias("__bgs"),
+    ).select(id_col, F.size("__bgs").alias("__nb"), F.explode_outer("__bgs").alias("__b"))
+    bc = (
+        bigrams.groupBy(id_col, "__nb", "__b")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .groupBy(id_col, "__nb")
+        .agg(
+            F.sum(
+                F.when((F.col("__b").isNotNull()) & (F.col("__c") > 1), F.col("__c"))
+            ).alias("__dupinst")
+        )
+    )
+
+    return (
+        wc.join(bc, id_col)
+        .select(
+            id_col,
+            F.col("__n").cast("long").alias("n_words"),
+            F.round(
+                F.when(
+                    F.col("__n") > 0,
+                    1.0 - F.col("__distinct") / F.col("__n"),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("frac_dup_words"),
+            F.round(
+                F.when(F.col("__n") > 0, F.col("__topc") / F.col("__n")).otherwise(
+                    F.lit(0.0)
+                ),
+                6,
+            ).alias("top_word_frac"),
+            F.round(
+                F.when(
+                    F.col("__nb") > 0,
+                    F.coalesce(F.col("__dupinst"), F.lit(0)) / F.col("__nb"),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("frac_dup_bigrams"),
+        )
+    )

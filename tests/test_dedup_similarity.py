@@ -429,3 +429,24 @@ def test_winnow_fingerprints_match_python(spark, docs, docs_pdf):
     # guarantee: exact duplicate docs share ALL fingerprints
     for d in range(3):
         assert got[d] == got[d + 100000]
+
+
+def test_repetition_features_fixtures(spark):
+    from featureextraction_spark.functions.textstats import repetition_features
+
+    rows = [
+        (0, "a b c d"),               # no repetition
+        (1, "a a a a"),               # total repetition
+        (2, "x y x y x"),             # repeated bigrams: "x y"x2, "y x"x2
+        (3, ""),                      # empty
+        (4, "solo"),                  # single word, no bigrams
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = repetition_features(df).toPandas().set_index("doc_id")
+    assert out.loc[0, "frac_dup_words"] == 0.0 and out.loc[0, "frac_dup_bigrams"] == 0.0
+    assert out.loc[1, "frac_dup_words"] == 0.75 and out.loc[1, "top_word_frac"] == 1.0
+    assert out.loc[1, "frac_dup_bigrams"] == 1.0  # "a a" x3 all duplicated
+    assert out.loc[2, "top_word_frac"] == 0.6     # x appears 3/5
+    assert out.loc[2, "frac_dup_bigrams"] == 1.0  # all 4 instances duplicated
+    assert out.loc[3, "n_words"] == 0 and out.loc[3, "frac_dup_words"] == 0.0
+    assert out.loc[4, "n_words"] == 1 and out.loc[4, "frac_dup_bigrams"] == 0.0
