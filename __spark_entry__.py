@@ -590,6 +590,18 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return blocked_cosine_pairs(emb, threshold=0.35)
 
 
+def q_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs → transitive-closure clusters (the same
+    min-label propagation as dedup_clusters, over the cosine pair set;
+    oracle = exact-pair SQL + recursive closure)."""
+    from featureextraction_spark.operators.blockpair import blocked_cosine_pairs
+    from featureextraction_spark.operators.graph import dedup_clusters
+
+    emb = _load(spark, sf_dir, "embeddings")
+    pairs = blocked_cosine_pairs(emb, threshold=0.35)
+    return dedup_clusters(pairs)
+
+
 def q_component_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A13 (components family, 1-D reading): islands of consecutive 'click'
     events per user; inter-island distance stats with the reference's
@@ -791,6 +803,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "language_id": q_language_id,
         "cosine_topk": q_cosine_topk,
         "embedding_near_dup": q_embedding_near_dup,
+        "embedding_clusters": q_embedding_clusters,
         "embedding_eval": q_embedding_eval,
         "component_gaps": q_component_gaps,
         "components_2d": q_components_2d,
@@ -1796,6 +1809,39 @@ def _training_ops_oracle_sql() -> dict[str, str]:
                    round(CASE WHEN precision_ = 0 AND recall_ = 0 THEN 0.0
                          ELSE 2 * precision_ * recall_ / (precision_ + recall_) END, 6) AS f1_score
             FROM m
+        """,
+        "embedding_clusters": """
+            WITH RECURSIVE v AS (
+                SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+            ),
+            p AS (
+                SELECT a.vec_id AS a_id, b.vec_id AS b_id
+                FROM v a JOIN v b ON a.vec_id < b.vec_id
+                WHERE list_dot_product(a.e, b.e)
+                      / (sqrt(list_dot_product(a.e, a.e))
+                         * sqrt(list_dot_product(b.e, b.e))) >= 0.3499995
+                  AND round(list_dot_product(a.e, b.e)
+                            / (sqrt(list_dot_product(a.e, a.e))
+                               * sqrt(list_dot_product(b.e, b.e))), 6) >= 0.35
+            ),
+            edges AS (
+                SELECT a_id AS s, b_id AS d FROM p
+                UNION SELECT b_id, a_id FROM p
+            ),
+            reach(id, r) AS (
+                SELECT s, s FROM (SELECT DISTINCT s FROM edges)
+                UNION
+                SELECT e.s, reach.r FROM edges e JOIN reach ON reach.id = e.d
+            ),
+            comp AS (
+                SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id
+            ),
+            csizes AS (
+                SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size
+                FROM comp GROUP BY cluster_id
+            )
+            SELECT c.doc_id, c.cluster_id, s.cluster_size
+            FROM comp c JOIN csizes s USING (cluster_id)
         """,
         "embedding_near_dup": """
             WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)
