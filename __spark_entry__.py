@@ -968,16 +968,31 @@ def oracle_sql() -> dict[str, str]:
                 SELECT user_id, x,
                        raw - least(0, min(raw) OVER (PARTITION BY user_id)) AS contour
                 FROM c0
+            ),
+            -- raw sums are exact integers in float64 (integer contour), so
+            -- the closed form below is accumulation-order independent and
+            -- bit-identical to the engine's ols_aggregate (same expression
+            -- shape); regr_* streaming-float aggregates are NOT (r2 flake)
+            a AS (
+                SELECT user_id, count(*)::DOUBLE AS n,
+                       sum(x::DOUBLE) AS sx, sum(contour) AS sy,
+                       sum(x::DOUBLE * contour) AS sxy,
+                       sum(x::DOUBLE * x::DOUBLE) AS sxx,
+                       sum(contour * contour) AS syy
+                FROM c GROUP BY user_id
             )
             SELECT user_id,
-                   round(regr_slope(contour, x), 6) AS slant,
-                   round(CASE WHEN count(*) > 2 AND regr_sxx(contour, x) <> 0
-                              THEN (regr_syy(contour, x)
-                                    - regr_sxy(contour, x) * regr_sxy(contour, x)
-                                      / regr_sxx(contour, x)) / (count(*) - 2)
+                   round(CASE WHEN (n * sxx - sx * sx) <> 0
+                              THEN (n * sxy - sx * sy) / (n * sxx - sx * sx)
+                         END, 6) AS slant,
+                   round(CASE WHEN n > 2 AND (n * sxx - sx * sx) <> 0
+                              THEN ((n * syy - sy * sy)
+                                    - (n * sxy - sx * sy) * (n * sxy - sx * sy)
+                                      / (n * sxx - sx * sx))
+                                   / (n * (n - 2))
                          END, 6) AS slant_mse,
-                   CAST(count(*) AS BIGINT) AS n_points
-            FROM c GROUP BY user_id
+                   CAST(n AS BIGINT) AS n_points
+            FROM a
         """,
         "pricing_summary": """
             SELECT l_returnflag, l_linestatus,
@@ -1283,15 +1298,33 @@ def _feature_families_oracle_sql() -> str:
                    raw - least(0, min(raw) OVER (PARTITION BY user_id)) AS c
             FROM lcraw
         ),
+        -- exact-integer raw sums (integer contour ⇒ every Σ exact in
+        -- float64) make the OLS closed form accumulation-order independent
+        -- and bit-identical to series_kernels.ols_fit — same expression
+        -- shape: slope = (n·Σxy − ΣxΣy)/(n·Σxx − (Σx)²); the regr_*
+        -- streaming-float aggregates this replaces flipped .xxxxxx5
+        -- boundaries run-to-run (the CORRECTNESS_r02 feature_families flake)
+        ols0 AS (
+            SELECT user_id, count(*)::DOUBLE AS n,
+                   sum(x::DOUBLE) AS sx, sum(c) AS sy,
+                   sum(x::DOUBLE * c) AS sxy,
+                   sum(x::DOUBLE * x::DOUBLE) AS sxx,
+                   sum(c * c) AS syy
+            FROM lcc GROUP BY user_id
+        ),
         ols AS (
             SELECT user_id,
-                   CASE WHEN count(*) = 1 THEN 0.0 ELSE regr_slope(c, x) END AS slant,
-                   CASE WHEN count(*) > 2 AND regr_sxx(c, x) <> 0
-                        THEN (regr_syy(c, x)
-                              - regr_sxy(c, x) * regr_sxy(c, x) / regr_sxx(c, x))
-                             / (count(*) - 2)
+                   CASE WHEN n = 1 THEN 0.0
+                        WHEN (n * sxx - sx * sx) <> 0
+                        THEN (n * sxy - sx * sy) / (n * sxx - sx * sx)
+                   END AS slant,
+                   CASE WHEN n > 2 AND (n * sxx - sx * sx) <> 0
+                        THEN ((n * syy - sy * sy)
+                              - (n * sxy - sx * sy) * (n * sxy - sx * sy)
+                                / (n * sxx - sx * sx))
+                             / (n * (n - 2))
                    END AS slant_mse
-            FROM lcc GROUP BY user_id
+            FROM ols0
         ),
         drift AS (
             SELECT user_id,

@@ -152,6 +152,21 @@ def ols_fit(y: np.ndarray) -> tuple[float, float, float]:
     Closed form matching statsmodels OLS (``contour.py:95-110``):
     mse_resid = SSR / (n - 2). n == 1 → slope 0.0 (pinv least-norm);
     n < 1 → all nan; mse_resid nan when n < 3.
+
+    Deliberately computed from RAW sums (Σx, Σy, Σxy, Σxx, Σyy) rather
+    than centered sums: for integer-valued series (the contour is one —
+    integer start + ±1 steps) every Σ is an exact integer in float64, so
+    the result is independent of accumulation order and bit-identical to
+    any other engine (Spark aggregates, the DuckDB oracle) that evaluates
+    the same expression shape:
+
+        slope = (n·Σxy − Σx·Σy) / (n·Σxx − (Σx)²)
+        mse   = (n·Σyy − (Σy)² − (n·Σxy − Σx·Σy)² / (n·Σxx − (Σx)²))
+                / (n·(n−2))
+
+    DuckDB's ``regr_*`` streaming-float aggregates are accumulation-order
+    nondeterministic at the last ulp, which flipped values on .xxxxxx5
+    rounding boundaries run-to-run (CORRECTNESS_r02 feature_families).
     """
     y = np.asarray(y, dtype=np.float64)
     n = len(y)
@@ -160,14 +175,21 @@ def ols_fit(y: np.ndarray) -> tuple[float, float, float]:
     if n == 1:
         return (float(y[0]), 0.0, math.nan)
     x = np.arange(n, dtype=np.float64)
-    xbar, ybar = x.mean(), y.mean()
-    sxx = float(((x - xbar) ** 2).sum())
-    sxy = float(((x - xbar) * (y - ybar)).sum())
-    slope = sxy / sxx
-    intercept = ybar - slope * xbar
-    resid = y - (intercept + slope * x)
-    ssr = float((resid**2).sum())
-    mse = ssr / (n - 2) if n > 2 else math.nan
+    sx = float(x.sum())
+    sy = float(y.sum())
+    sxy = float((x * y).sum())
+    sxx = float((x * x).sum())
+    syy = float((y * y).sum())
+    sxx_n = n * sxx - sx * sx  # n·Sxx, exact for integer series
+    sxy_n = n * sxy - sx * sy
+    syy_n = n * syy - sy * sy
+    slope = sxy_n / sxx_n
+    intercept = (sy - slope * sx) / n
+    mse = (
+        (syy_n - sxy_n * sxy_n / sxx_n) / (n * (n - 2))
+        if n > 2
+        else math.nan
+    )
     return (intercept, slope, mse)
 
 

@@ -55,25 +55,40 @@ def ols_aggregate(
     mse_out: str = "slant_mse",
     ndigits: int | None = None,
 ) -> DataFrame:
-    """Per-key OLS slope + residual MSE via Spark's regr_* aggregates.
+    """Per-key OLS slope + residual MSE from exact raw sums.
 
     mse_resid = (Syy - Sxy²/Sxx) / (n - 2)  — statsmodels ddof parity.
     NULL when n <= 2 (or Sxx = 0).
+
+    Computed from raw sums (Σx, Σy, Σxy, Σxx, Σyy) instead of Spark's
+    ``regr_*`` aggregates: for integer-valued series every Σ is an exact
+    integer in float64, making the result independent of partition /
+    accumulation order and bit-identical to ``series_kernels.ols_fit``
+    and the DuckDB oracle, which evaluate the same expression shape
+    (n·Σxy − Σx·Σy) / (n·Σxx − (Σx)²). ``regr_*`` streaming-float
+    accumulation is order-nondeterministic at the last ulp, which flips
+    values that land on rounding boundaries run-to-run.
     """
     yc, xc = F.col(y), F.col(x)
     agg = df.groupBy(key).agg(
-        F.regr_slope(yc, xc).alias("__slope"),
-        F.regr_sxx(yc, xc).alias("__sxx"),
-        F.regr_sxy(yc, xc).alias("__sxy"),
-        F.regr_syy(yc, xc).alias("__syy"),
-        F.regr_count(yc, xc).alias("__n"),
+        F.count(F.when(yc.isNotNull() & xc.isNotNull(), 1))
+        .cast("double")
+        .alias("__n"),
+        F.sum(xc).alias("__sx"),
+        F.sum(yc).alias("__sy"),
+        F.sum(xc * yc).alias("__sxy"),
+        F.sum(xc * xc).alias("__sxx"),
+        F.sum(yc * yc).alias("__syy"),
     )
+    n = F.col("__n")
+    sxx_n = n * F.col("__sxx") - F.col("__sx") * F.col("__sx")
+    sxy_n = n * F.col("__sxy") - F.col("__sx") * F.col("__sy")
+    syy_n = n * F.col("__syy") - F.col("__sy") * F.col("__sy")
     mse = F.when(
-        (F.col("__n") > 2) & (F.col("__sxx") != 0),
-        (F.col("__syy") - F.col("__sxy") * F.col("__sxy") / F.col("__sxx"))
-        / (F.col("__n") - 2),
+        (n > 2) & (sxx_n != 0),
+        (syy_n - sxy_n * sxy_n / sxx_n) / (n * (n - 2)),
     )
-    slope = F.col("__slope")
+    slope = F.when(sxx_n != 0, sxy_n / sxx_n)
     if ndigits is not None:
         slope, mse = F.round(slope, ndigits), F.round(mse, ndigits)
     return agg.select(

@@ -228,3 +228,40 @@ def slantness_naive(contour, n_angles=40, window=8):
     max_i = max(score, key=score.get)  # dict order = bin asc → first max wins
     max_angle = float(np.round(180 - math.degrees(max_i * step), 1))
     return (max_angle, avg_angle, stdev_angle)
+
+
+def slantness_naive_float(contour, n_angles=40, window=8):
+    """Verbatim float-sample aggregate from the reference
+    (``slantness.py:47-51``): expand the score dict into a sample of
+    repeated float angles, then ``statistics.mean``/``statistics.stdev``.
+
+    Kept alongside the factored ``slantness_naive`` as an INDEPENDENT
+    upstream-behavior oracle: it can catch an error in the integer
+    factoring itself, at the cost of being a coin flip at exact .x5°
+    rounding boundaries (float accumulation order). Tests therefore
+    compare it against the factored form with a one-last-digit-step
+    tolerance rather than exact equality.
+    """
+    import statistics
+
+    step = math.pi / n_angles
+    score = {i: 0 for i in range(1, n_angles)}
+    for k in range(len(contour) - window):
+        drift = contour[k + window] - contour[k]
+        theta = math.pi / 2.0 - math.atan(drift / float(window))
+        i = int(np.clip(np.round(theta / step), 1, n_angles - 1))
+        score[i] += 1
+    sample = [
+        angle for i, c in score.items() for angle in [i * step] * c
+    ]
+    stdev_angle = (
+        round(math.degrees(statistics.stdev(sample)), 1) if len(sample) > 1 else 0.0
+    )
+    avg_angle = (
+        round(180 - math.degrees(statistics.mean(sample)), 1)
+        if len(sample) >= 1
+        else 0.0
+    )
+    max_i = max(score, key=score.get)
+    max_angle = round(180 - math.degrees(max_i * step), 1)
+    return (float(max_angle), float(avg_angle), float(stdev_angle))

@@ -5,7 +5,11 @@ compares against ``oracle_sql()`` via DuckDB: row count, column names, and
 an order-insensitive value comparison (columns sorted by name, rows sorted
 by all columns). Usage::
 
-    python scripts/check_oracles.py [sf_dir] [query ...]
+    python scripts/check_oracles.py [--exact] [sf_dir] [query ...]
+
+``--exact`` compares floats bit-for-bit (NaN==NaN) instead of isclose at
+1e-9 — the driver hashes values, so this is the mode that actually mimics
+its gate for float columns.
 """
 
 from __future__ import annotations
@@ -33,6 +37,9 @@ def normalize(pdf: pd.DataFrame) -> pd.DataFrame:
     return pdf.sort_values(list(pdf.columns), kind="mergesort").reset_index(drop=True)
 
 
+EXACT = False
+
+
 def compare(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[str]:
     problems = []
     if len(spark_pdf) != len(duck_pdf):
@@ -51,7 +58,10 @@ def compare(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[
         ):
             a = pd.to_numeric(s[c], errors="coerce").to_numpy(dtype=float)
             b = pd.to_numeric(d[c], errors="coerce").to_numpy(dtype=float)
-            ok = np.isclose(a, b, rtol=1e-9, atol=1e-9, equal_nan=True)
+            if EXACT:
+                ok = (a == b) | (np.isnan(a) & np.isnan(b))
+            else:
+                ok = np.isclose(a, b, rtol=1e-9, atol=1e-9, equal_nan=True)
         else:
             ok = (s[c].fillna("∅").astype(str) == d[c].fillna("∅").astype(str)).to_numpy()
         if not ok.all():
@@ -64,8 +74,11 @@ def compare(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    global EXACT
+    argv = [a for a in sys.argv[1:] if a != "--exact"]
+    EXACT = "--exact" in sys.argv[1:]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
 
     import __spark_entry__ as entrymod
     from featureextraction_spark.session import get_spark

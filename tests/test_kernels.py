@@ -91,6 +91,12 @@ def test_slantness(i):
     exp = R.slantness_naive(c_naive)
     for g, e in zip(got, exp):
         _close(g, e, f"case {i}")
+    # independent upstream oracle: the verbatim float-sample aggregate
+    # (statistics.mean/stdev) may differ from the factored form only at
+    # exact .x5° rounding boundaries — one last-digit step at most
+    exp_float = R.slantness_naive_float(c_naive)
+    for g, e in zip(got, exp_float):
+        assert abs(g - e) <= 0.1 + 1e-9, f"case {i}: factored={g} float={e}"
 
 
 @pytest.mark.parametrize("i", range(len(CASES)))
