@@ -581,24 +581,28 @@ def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact embedding-cosine near-dup pairs via the blocked-GEMM engine
-    (one numpy matmul per block pair instead of an expression per pair;
-    the LSH-accelerated variant is ops-tested against this)."""
-    from featureextraction_spark.operators.blockpair import blocked_cosine_pairs
+    """Embedding-cosine near-dup pairs via the auto-gated pair engine:
+    blocked-GEMM exact all-pairs below the corpus-size gate (this sf —
+    one numpy matmul per block pair), hyperplane-LSH candidates + exact
+    verification above it (sub-quadratic; row-equality with the exact
+    engine is pytest-verified on a tight-cluster corpus forcing the LSH
+    path)."""
+    from featureextraction_spark.operators.similarity import embedding_pairs
 
     emb = _load(spark, sf_dir, "embeddings")
-    return blocked_cosine_pairs(emb, threshold=0.35)
+    return embedding_pairs(emb, threshold=0.35)
 
 
 def q_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup pairs → transitive-closure clusters (the same
     min-label propagation as dedup_clusters, over the cosine pair set;
-    oracle = exact-pair SQL + recursive closure)."""
-    from featureextraction_spark.operators.blockpair import blocked_cosine_pairs
+    oracle = exact-pair SQL + recursive closure). Pair generation rides
+    the same auto-gated engine as q_embedding_near_dup."""
     from featureextraction_spark.operators.graph import dedup_clusters
+    from featureextraction_spark.operators.similarity import embedding_pairs
 
     emb = _load(spark, sf_dir, "embeddings")
-    pairs = blocked_cosine_pairs(emb, threshold=0.35)
+    pairs = embedding_pairs(emb, threshold=0.35)
     return dedup_clusters(pairs)
 
 
@@ -1597,7 +1601,7 @@ def _training_ops_oracle_sql() -> dict[str, str]:
                    CAST(length(text) AS BIGINT) AS n_chars_calc,
                    CAST(length(regexp_extract_all(text, {_TOKENS_RE})) AS BIGINT) AS n_tokens,
                    CAST(length(regexp_extract_all(text,
-                        '''(?:s|t|re|ve|m|ll|d)| ?\\p{{L}}+| ?\\p{{N}}+| ?[^\\s\\p{{L}}\\p{{N}}]+|\\s+'
+                        '''(?:s|t|re|ve|m|ll|d)| ?\\p{{L}}+| ?\\p{{N}}+| ?[^ \\t\\n\\r\\f\\x0B\\p{{L}}\\p{{N}}]+|[ \\t\\n\\r\\f\\x0B]+'
                    )) AS BIGINT) AS n_tokens_bpe,
                    round(CASE WHEN length(text) > 0
                          THEN length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) * 1.0

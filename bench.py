@@ -53,12 +53,19 @@ def main() -> None:
     qs = entrymod.queries()
     timings: dict[str, float] = {}
     spreads: dict[str, float] = {}
+    from featureextraction_spark.operators.cache import (
+        release_persisted_intermediates,
+    )
+
     for name, fn in qs.items():
         samples = []
         for _ in range(reps):
             t0 = time.perf_counter()
             force(fn(spark, sf_dir))
             samples.append(time.perf_counter() - t0)
+            # caller-owned cache lifecycle: drop this query's persisted
+            # intermediates so 34 queries × reps don't accumulate blocks
+            release_persisted_intermediates()
         timings[name] = round(min(samples), 3)
         spreads[name] = round(max(samples) - min(samples), 3)
 
@@ -156,11 +163,23 @@ def main() -> None:
         with open(scaling_path) as f:
             sc = json.load(f)
         out["scaling_efficiency"] = sc.get("value")
+        out["scaling_metric"] = sc.get("metric")
+        if "engine_value" in sc:
+            out["scaling_engine_efficiency"] = sc.get("engine_value")
         out["scaling_pairs"] = sc.get("pairs")
         out["scaling_peak_turns_per_sec"] = max(
             (lv["turns_per_sec"] for lv in sc.get("levels", [])), default=None
         )
-    print(json.dumps(out))
+    # the JSON record also goes to a file so the result never depends on
+    # how much log tail a harness captures (BENCH_r02.json got truncated)
+    line = json.dumps(out)
+    with open(
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json"),
+        "w",
+    ) as f:
+        f.write(line + "\n")
+    print(line)
+    sys.stdout.flush()
     spark.stop()
 
 

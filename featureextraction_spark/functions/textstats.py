@@ -31,12 +31,21 @@ def token_count(text: str | Column) -> Column:
 
 
 # GPT-2-style pre-tokenizer shape, restricted to constructs Java regex
-# (Spark) and RE2 (DuckDB) evaluate IDENTICALLY — no lookahead:
+# (Spark) and RE2 (DuckDB) evaluate IDENTICALLY — no lookahead, and the
+# whitespace class spelled out explicitly ([ \t\n\r\f\x0B]) because Java's
+# \s includes \x0B while RE2's does not:
 # contractions | space?+letters | space?+digits | space?+other | whitespace.
 # Counts approximate real BPE pre-token counts (the usual LLM-pipeline
 # budget proxy); the cross-engine agreement is verified by the
 # text_quality oracle.
-BPE_ISH_REGEX = r"'(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+_WS = r" \t\n\r\f\x0B"
+BPE_ISH_REGEX = (
+    r"'(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^"
+    + _WS
+    + r"\p{L}\p{N}]+|["
+    + _WS
+    + r"]+"
+)
 
 
 def bpe_ish_token_count(text: str | Column) -> Column:

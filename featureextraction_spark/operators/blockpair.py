@@ -33,6 +33,8 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from featureextraction_spark.operators.cache import persist_tracked
+
 _POP = np.array([bin(i).count("1") for i in range(256)], dtype=np.int64)
 
 
@@ -62,7 +64,11 @@ def with_global_rank(
     rank non-deterministic, exactly as the global window's would be.
 
     The repartitioned frame is persisted so the offset count and the
-    ranked output observe the same physical partitioning.
+    ranked output observe the same physical partitioning. Cache lifecycle
+    is CALLER-owned: the persist is registered with ``operators.cache``;
+    call ``release_persisted_intermediates()`` after the consuming action
+    completes (long-lived sessions otherwise accumulate cold blocks until
+    LRU eviction).
     """
     spark = df.sparkSession
     try:
@@ -78,7 +84,7 @@ def with_global_rank(
     dfp = (
         df.repartitionByRange(n_parts, F.col(order_col))
         .withColumn("__pid", F.spark_partition_id())
-        .persist()
+        .transform(persist_tracked)
     )
     counts = sorted(
         dfp.groupBy("__pid").agg(F.count(F.lit(1)).alias("__cnt")).collect(),
@@ -227,7 +233,7 @@ def pack_bitsets(
     from collections.abc import Iterator
 
     if vocab is None:
-        vocab = shingle_vocab(shingles, shingle_col).persist()
+        vocab = shingle_vocab(shingles, shingle_col).transform(persist_tracked)
     if n_vocab is None:
         n_vocab = vocab.count()
     n_words = max((int(n_vocab) + 63) // 64, 1)

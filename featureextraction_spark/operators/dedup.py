@@ -23,6 +23,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from featureextraction_spark.operators.cache import persist_tracked
+
 from featureextraction_spark.functions.textstats import fingerprint
 
 # deterministic affine permutation constants for minhash: h_j(x) = (a_j*x + b_j) % P
@@ -87,7 +89,7 @@ def _cap_shingle_df(sh: DataFrame, max_df: int) -> tuple[DataFrame, int]:
     """
     import logging
 
-    dfs = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df_")).persist()
+    dfs = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df_")).transform(persist_tracked)
     n_dropped = dfs.filter(F.col("df_") > max_df).count()
     if n_dropped:
         logging.getLogger(__name__).info(
@@ -148,24 +150,24 @@ def ngram_jaccard_pairs(
 
         # persist the exploded shingles + vocabulary: every downstream
         # action (vocab count, positions, packing) reuses this lineage
-        sh = sh.persist()
+        sh = sh.transform(persist_tracked)
         use_bitset = True
         dsh, n_vocab = None, None
         if strategy == "auto":
-            dsh = sh.select("shingle").distinct().persist()
+            dsh = sh.select("shingle").distinct().transform(persist_tracked)
             n_vocab = dsh.count()
             use_bitset = n_vocab <= vocab_limit
             if not use_bitset and capped_df is None:
                 capped_df = auto_max_shingle_df
         if capped_df is not None:
             sh, _ = _cap_shingle_df(sh, capped_df)
-            sh = sh.persist()
+            sh = sh.transform(persist_tracked)
             dsh, n_vocab = None, None  # vocabulary changed under the cap
         if use_bitset:
             if dsh is None:
-                dsh = sh.select("shingle").distinct().persist()
+                dsh = sh.select("shingle").distinct().transform(persist_tracked)
                 n_vocab = dsh.count()
-            vocab = shingle_vocab(dsh, assume_distinct=True, n_rows=n_vocab).persist()
+            vocab = shingle_vocab(dsh, assume_distinct=True, n_rows=n_vocab).transform(persist_tracked)
             return blocked_jaccard_pairs(
                 sh, id_col=id_col, threshold=threshold, vocab=vocab, n_vocab=n_vocab
             )
@@ -228,7 +230,7 @@ def minhash_signatures(
         [(j, a, b) for j, (a, b) in enumerate(minhash_params(num_hashes))],
         schema="j int, a long, b long",
     )
-    sh = shingles if shingles is not None else char_shingles(df, id_col, text, n).persist()
+    sh = shingles if shingles is not None else char_shingles(df, id_col, text, n).transform(persist_tracked)
     if strategy == "auto":
         if n_vocab is None:
             n_vocab = (
@@ -240,7 +242,7 @@ def minhash_signatures(
     # the explode path never needs dense vocabulary positions — building
     # them for an open vocabulary would be pure overhead
     if vocab is None and strategy == "gather":
-        vocab = shingle_vocab(sh).persist()
+        vocab = shingle_vocab(sh).transform(persist_tracked)
     distinct_sh = vocab if vocab is not None else sh.select("shingle").distinct()
     # hash the DISTINCT vocabulary once, never per (doc, shingle) instance:
     # (a*h + b) % P needs decimal(38) (60-bit h × 61-bit a overflows int64)
@@ -337,11 +339,11 @@ def minhash_lsh_pairs(
     r = num_hashes // bands
     from featureextraction_spark.operators.blockpair import doc_positions
 
-    sh = char_shingles(df, id_col, text, n).persist()
-    dsh = sh.select("shingle").distinct().persist()
+    sh = char_shingles(df, id_col, text, n).transform(persist_tracked)
+    dsh = sh.select("shingle").distinct().transform(persist_tracked)
     n_vocab = dsh.count()
     vocab = (
-        shingle_vocab(dsh, assume_distinct=True, n_rows=n_vocab).persist()
+        shingle_vocab(dsh, assume_distinct=True, n_rows=n_vocab).transform(persist_tracked)
         if n_vocab <= vocab_limit
         else None
     )
@@ -349,7 +351,7 @@ def minhash_lsh_pairs(
     # the bitset verification — compute the (broadcast-join + collect_set)
     # aggregation once
     pos = (
-        doc_positions(sh, vocab, id_col).persist() if vocab is not None else None
+        doc_positions(sh, vocab, id_col).transform(persist_tracked) if vocab is not None else None
     )
     sig = minhash_signatures(
         df, id_col, text, n, num_hashes,
@@ -392,7 +394,7 @@ def minhash_lsh_pairs(
 
         packed = pack_bitsets(
             sh, id_col, vocab=vocab, n_vocab=n_vocab, positions=pos
-        ).persist()
+        ).transform(persist_tracked)
         n_docs = packed.count()
         n_words = max((int(n_vocab) + 63) // 64, 1)
         # ~8 B/word payload + per-row array/offset overhead; broadcast only
@@ -476,11 +478,11 @@ def simhash(
     if strategy in ("auto", "gemm"):
         from featureextraction_spark.operators.blockpair import shingle_vocab
 
-        sh0 = sh0.persist()
-        dsh = sh0.select("shingle").distinct().persist()
+        sh0 = sh0.transform(persist_tracked)
+        dsh = sh0.select("shingle").distinct().transform(persist_tracked)
         n_vocab = dsh.count()
         if strategy == "gemm" or n_vocab <= vocab_limit:
-            vocab = shingle_vocab(dsh, assume_distinct=True, n_rows=n_vocab).persist()
+            vocab = shingle_vocab(dsh, assume_distinct=True, n_rows=n_vocab).transform(persist_tracked)
             return _simhash_gemm(sh0, id_col, bits, vocab=vocab, n_vocab=n_vocab)
         strategy = "explode"
     sh = sh0.withColumn("h", portable_hash60(F.col("shingle")))
@@ -531,7 +533,7 @@ def _simhash_gemm(
     from featureextraction_spark.operators.blockpair import shingle_vocab
 
     if vocab is None:
-        vocab = shingle_vocab(shingles).persist()
+        vocab = shingle_vocab(shingles).transform(persist_tracked)
     # vocabulary hash matrix, ordered EXACTLY like pack_bitsets positions
     # (sorted by shingle) — collected to the driver; gemm regime only
     vocab_pdf = (

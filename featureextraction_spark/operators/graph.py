@@ -3,23 +3,25 @@
 A dedup pipeline doesn't end at pairs: near-duplicate PAIRS must become
 CLUSTERS (transitive closure) so each group keeps one canonical document.
 The reference has no analog (its dedup story stops at the all-pairs
-statistics, ``src/training/statistics.py``); this is the standard
-min-label-propagation formulation expressed in DataFrames:
+statistics, ``src/training/statistics.py``); two DataFrame formulations:
 
-    label(v) ← min(label(v), min over neighbors u of label(u))
+- **min-label propagation** (``algorithm="label"``): label(v) ← min over
+  neighborhood, iterated to fixpoint. One join + one aggregation per
+  round, O(component diameter) rounds — cheapest for the shallow clusters
+  near-dup graphs actually produce.
+- **large-star / small-star** (``algorithm="star"``): the alternating
+  path-doubling algorithm of Kiveris et al., "Connected Components in
+  MapReduce and Beyond" (SoCC'14) — each round rewires edges toward
+  component minima, converging in O(log² n) rounds even on adversarial
+  chains (a path graph collapses exponentially fast instead of one hop
+  per round).
+- ``algorithm="auto"`` (default) runs min-label for ``switch_after``
+  rounds and, if the fixpoint hasn't been reached (deep graph), restarts
+  on the star variant — shallow graphs pay nothing, chains stay O(log).
 
-iterated to fixpoint. Each round is one join + one aggregation — both
-shuffle on the vertex id, no driver-side graph. Convergence takes
-O(component diameter) rounds; near-dup clusters are shallow (diameter is
-bounded by how transitively similar documents can be), so the loop is
-short in practice and capped by ``max_iter``. For adversarially long
-chains at web scale, switch to the path-doubling variants (large-star /
-small-star, Kiveris et al., "Connected Components in MapReduce and
-Beyond", SoCC'14) — same API, O(log n) rounds.
-
-Lineage control: every iteration's labels are ``localCheckpoint``-ed —
-without it the plan doubles per round and Catalyst analysis dominates
-wall time by iteration ~10.
+Every round's output is ``localCheckpoint``-ed — without it the plan
+doubles per round and Catalyst analysis dominates wall time by iteration
+~10.
 """
 
 from __future__ import annotations
@@ -28,19 +30,103 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _checkpoint(df: DataFrame) -> DataFrame:
+    return df.localCheckpoint()
+
+
+def _star_rounds(
+    edges: DataFrame, max_iter: int, stats: dict | None
+) -> DataFrame:
+    """Alternating large-star/small-star to fixpoint; returns the final
+    (u, v) star edges (u > v, v = component minimum after convergence).
+
+    ``edges`` must be canonical: u > v, distinct, no self-loops.
+    Convergence is detected by an order-insensitive (count, xxhash sum)
+    checksum of the canonical edge set staying fixed across a full
+    large+small round — the paper's termination criterion.
+    """
+    e = _checkpoint(edges)
+
+    def canon(df: DataFrame) -> DataFrame:
+        return (
+            df.select(
+                F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+            )
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+
+    def checksum(df: DataFrame) -> tuple[int, int]:
+        row = df.agg(
+            F.count(F.lit(1)).alias("c"),
+            # decimal sum: exact and overflow-free under ANSI mode
+            F.coalesce(
+                F.sum(F.xxhash64("u", "v").cast("decimal(20,0)")), F.lit(0)
+            ).alias("h"),
+        ).collect()[0]
+        return int(row["c"]), int(row["h"])
+
+    prev = checksum(e)
+    for rnd in range(max_iter):
+        # large-star: for each node x, attach its LARGER neighbors to the
+        # minimum of its closed neighborhood
+        both = e.select("u", "v").unionByName(
+            e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        mins = both.groupBy("u").agg(F.min("v").alias("__mn"))
+        mins = mins.select(
+            "u", F.least(F.col("__mn"), F.col("u")).alias("m")
+        )
+        large = canon(
+            both.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        )
+        # small-star: for each node u, attach its smaller neighbors (and
+        # itself) to its minimum smaller neighbor
+        smins = large.groupBy("u").agg(F.min("v").alias("m"))
+        small = canon(
+            large.join(smins, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .unionByName(smins.select("u", F.col("m").alias("v")))
+        )
+        new_e = _checkpoint(small)
+        cur = checksum(new_e)
+        e = new_e
+        if stats is not None:
+            stats["rounds"] = stats.get("rounds", 0) + 1
+        if cur == prev:
+            return e
+        prev = cur
+    raise RuntimeError(
+        f"star connected components did not converge in {max_iter} rounds"
+    )
+
+
 def connected_components(
     pairs: DataFrame,
     a_col: str = "a_id",
     b_col: str = "b_id",
     max_iter: int = 25,
+    algorithm: str = "auto",
+    switch_after: int = 5,
+    stats: dict | None = None,
 ) -> DataFrame:
     """(id, component_id) for every vertex appearing in ``pairs``.
 
     ``component_id`` is the minimum vertex id of the component — stable,
     deterministic, and directly usable as the canonical-document key.
-    Raises after ``max_iter`` non-converged rounds (pass a larger value
-    for adversarially deep graphs, or use a doubling variant).
+
+    ``algorithm``: ``"label"`` (min-label propagation, O(diameter)
+    rounds), ``"star"`` (large-star/small-star path doubling, O(log²)
+    rounds), or ``"auto"`` — label propagation that hands off to the star
+    variant after ``switch_after`` non-converged rounds, so shallow
+    near-dup graphs keep the cheaper per-round cost while adversarial
+    chains stay logarithmic. ``stats`` (optional dict) receives
+    ``{"rounds": n, "algorithm": <used>}``.
     """
+    if algorithm not in ("auto", "label", "star"):
+        raise ValueError(f"unknown connected_components algorithm: {algorithm!r}")
     edges = (
         pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
         .unionByName(
@@ -50,37 +136,64 @@ def connected_components(
         .persist()
     )
     try:
-        labels = (
-            edges.select(F.col("src").alias("id"))
-            .distinct()
-            .withColumn("lbl", F.col("id"))
-            .localCheckpoint()
+        verts = edges.select(F.col("src").alias("id")).distinct()
+        if stats is not None:
+            stats["rounds"] = 0
+            stats["algorithm"] = algorithm
+
+        if algorithm in ("auto", "label"):
+            label_budget = switch_after if algorithm == "auto" else max_iter
+            labels = _checkpoint(verts.withColumn("lbl", F.col("id")))
+            for _ in range(label_budget):
+                # neighbor labels flow along edges; keep own label in the pool
+                msgs = edges.join(
+                    labels.select(F.col("id").alias("src"), "lbl"), "src"
+                ).select(F.col("dst").alias("id"), "lbl")
+                new_labels = _checkpoint(
+                    labels.unionByName(msgs)
+                    .groupBy("id")
+                    .agg(F.min("lbl").alias("lbl"))
+                )
+                changed = (
+                    new_labels.alias("n")
+                    .join(labels.alias("o"), "id")
+                    .filter(F.col("n.lbl") != F.col("o.lbl"))
+                    .limit(1)
+                    .count()
+                )
+                labels = new_labels
+                if stats is not None:
+                    stats["rounds"] += 1
+                if changed == 0:
+                    if stats is not None:
+                        stats["algorithm"] = "label"
+                    return labels.select("id", F.col("lbl").alias("component_id"))
+            if algorithm == "label":
+                raise RuntimeError(
+                    f"connected_components did not converge in {max_iter} "
+                    "label-propagation rounds; use algorithm='star' (or "
+                    "'auto') for deep graphs"
+                )
+
+        # star path: restart from the raw edge set — correctness does not
+        # depend on the label rounds above, they were only a cheap first try
+        if stats is not None:
+            stats["algorithm"] = "star"
+        canonical = (
+            edges.filter(F.col("src") > F.col("dst"))
+            .select(F.col("src").alias("u"), F.col("dst").alias("v"))
         )
-        for _ in range(max_iter):
-            # neighbor labels flow along edges; keep own label in the pool
-            msgs = edges.join(
-                labels.select(F.col("id").alias("src"), "lbl"), "src"
-            ).select(F.col("dst").alias("id"), "lbl")
-            new_labels = (
-                labels.unionByName(msgs)
-                .groupBy("id")
-                .agg(F.min("lbl").alias("lbl"))
-                .localCheckpoint()
-            )
-            changed = (
-                new_labels.alias("n")
-                .join(labels.alias("o"), "id")
-                .filter(F.col("n.lbl") != F.col("o.lbl"))
-                .limit(1)
-                .count()
-            )
-            labels = new_labels
-            if changed == 0:
-                return labels.select("id", F.col("lbl").alias("component_id"))
-        raise RuntimeError(
-            f"connected_components did not converge in {max_iter} rounds; "
-            "raise max_iter or use a path-doubling variant for deep graphs"
+        stars = _star_rounds(canonical, max_iter, stats)
+        # converged state is a union of stars centered at component minima:
+        # every non-minimum vertex has edges only to its component min
+        labels = verts.join(
+            stars.select(F.col("u").alias("id"), F.col("v").alias("lbl")),
+            "id",
+            "left",
+        ).groupBy("id").agg(
+            F.min(F.coalesce(F.col("lbl"), F.col("id"))).alias("component_id")
         )
+        return labels.select("id", "component_id")
     finally:
         edges.unpersist()
 

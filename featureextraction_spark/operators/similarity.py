@@ -216,6 +216,66 @@ def embedding_near_dup_pairs(
     )
 
 
+def embedding_pairs(
+    corpus: DataFrame,
+    threshold: float = 0.35,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    strategy: str = "auto",
+    exact_max_rows: int = 200_000,
+    n_rows: int | None = None,
+    block_size: int = 1024,
+    n_planes: int = 12,
+    n_tables: int = 8,
+    seed: int = 7,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Near-duplicate embedding pairs (a_id < b_id, cosine ≥ threshold)
+    with an automatic physical strategy, mirroring ``ngram_jaccard``'s
+    vocabulary gate:
+
+    - ``exact``: the blocked-GEMM all-pairs engine
+      (``blockpair.blocked_cosine_pairs``) — O(n²/block²) block pairs.
+      Exact for any threshold, the right engine while the corpus is small
+      enough that the quadratic block-pair count is cheap.
+    - ``lsh``: multi-table hyperplane-LSH candidate generation + exact
+      cosine verification (``embedding_near_dup_pairs``) — shuffle is on
+      bucket keys, sub-quadratic. Candidate recall < 1 in theory; with
+      near-dup-grade thresholds (tight clusters) and enough tables the
+      miss probability per true pair is (1−(1−θ/π)^planes)^tables ≈ 0.
+    - ``auto``: ``exact`` while the corpus has ≤ ``exact_max_rows`` rows
+      (pass ``n_rows`` to skip the count when the caller already knows),
+      else ``lsh`` — so the same call site stays correct at sf0.01 and
+      survives a 100× corpus without a quadratic blow-up.
+    """
+    if strategy == "auto":
+        n = n_rows if n_rows is not None else corpus.count()
+        strategy = "exact" if n <= exact_max_rows else "lsh"
+    if strategy == "exact":
+        from featureextraction_spark.operators.blockpair import blocked_cosine_pairs
+
+        return blocked_cosine_pairs(
+            corpus,
+            id_col=id_col,
+            vec_col=vec_col,
+            threshold=threshold,
+            block_size=block_size,
+            round_digits=round_digits,
+        )
+    if strategy != "lsh":
+        raise ValueError(f"unknown embedding_pairs strategy: {strategy!r}")
+    return embedding_near_dup_pairs(
+        corpus,
+        threshold=threshold,
+        id_col=id_col,
+        vec_col=vec_col,
+        n_planes=n_planes,
+        n_tables=n_tables,
+        seed=seed,
+        round_digits=round_digits,
+    )
+
+
 # ---------------------------------------------------------------------------
 # IVF (inverted-file) ANN — the coarse-quantizer scale path
 # ---------------------------------------------------------------------------

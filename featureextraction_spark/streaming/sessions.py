@@ -53,6 +53,8 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+from featureextraction_spark.plans.feature_pipeline import TOKEN_REGEX
+
 SESSION_SCHEMA = T.StructType(
     [
         T.StructField("conv_id", T.StringType()),
@@ -188,7 +190,9 @@ def streaming_turn_stats(
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_turns"),
             F.approx_count_distinct("conv_id").alias("approx_convs"),
-            F.sum(F.regexp_count(F.col("text"), F.lit(r"[^ \t\n\r\f]+")))
+            # canonical token regex (single source of truth incl. \x0B) so
+            # streaming token counts agree with batch token_count
+            F.sum(F.regexp_count(F.col("text"), F.lit(TOKEN_REGEX)))
             .cast("long")
             .alias("n_tokens"),
         )
@@ -227,18 +231,23 @@ _TURN_STATE_STATE = T.StructType(
 )
 
 
-def _make_turn_state_update(gap_seconds: int):
+def _make_turn_state_update(gap_seconds: int, retention_seconds: int | None):
     """Per-conv running state fold: the streaming twin of the batch
     ``plans.feature_pipeline.turn_state`` relational half. Each arriving
     turn is emitted ENRICHED with the leakage-free state as of itself
     (session id, running turn count, previous role, forward-filled tool,
-    running role-transition count)."""
+    running role-transition count).
+
+    With ``retention_seconds`` set, a conversation idle past the horizon
+    (by event time, fired once the watermark passes) has its state row
+    REMOVED — nothing to flush, the enrichment was already emitted per
+    turn."""
     gap_us = gap_seconds * 1_000_000
 
     def update(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
-        if state.hasTimedOut:  # no timeout configured; defensive
+        if state.hasTimedOut:
             state.remove()
             return
         if state.exists:
@@ -275,6 +284,10 @@ def _make_turn_state_update(gap_seconds: int):
                 )
                 last_ts, last_role = t, role
         state.update((sid, cnt, last_ts, last_role, last_tool, trans))
+        if retention_seconds is not None and last_ts is not None:
+            state.setTimeoutTimestamp(
+                last_ts // 1000 + retention_seconds * 1000
+            )
         if rows:
             yield pd.DataFrame(rows)
 
@@ -285,6 +298,7 @@ def streaming_turn_state(
     stream: DataFrame,
     gap_seconds: int = 1800,
     watermark: str = "0 seconds",
+    retention_seconds: int | None = 86_400,
 ) -> DataFrame:
     """Enrich a LIVE transcript stream with the per-turn relational state
     the batch ``turn_state`` computes over full history — session id,
@@ -296,8 +310,17 @@ def streaming_turn_state(
     (ts, turn_idx); ACROSS batches correctness relies on the source
     delivering each conversation's turns in non-decreasing event-time
     order beyond the watermark (true for log-structured transcript
-    feeds). State is one narrow row per conversation — bounded by live
-    concurrency, not history.
+    feeds).
+
+    State retention: one narrow row per conversation seen within the last
+    ``retention_seconds`` of event time — an event-time timeout removes a
+    conversation's state once the watermark passes
+    ``last_ts + retention_seconds``, so long-running streams are bounded
+    by ACTIVE conversations, not every conv_id ever seen. A conversation
+    that resumes after eviction restarts its running state (session_id 1,
+    turn_count 1, …) — pick a horizon longer than any real conversation
+    lifetime, or pass ``retention_seconds=None`` for unbounded retention
+    (exact batch parity forever, state grows with distinct conv_ids).
     """
     return (
         stream.select(
@@ -310,11 +333,15 @@ def streaming_turn_state(
         .withWatermark("ts", watermark)
         .groupBy("conv_id")
         .applyInPandasWithState(
-            _make_turn_state_update(gap_seconds),
+            _make_turn_state_update(gap_seconds, retention_seconds),
             outputStructType=TURN_STATE_SCHEMA,
             stateStructType=_TURN_STATE_STATE,
             outputMode="append",
-            timeoutConf=GroupStateTimeout.NoTimeout,
+            timeoutConf=(
+                GroupStateTimeout.NoTimeout
+                if retention_seconds is None
+                else GroupStateTimeout.EventTimeTimeout
+            ),
         )
     )
 

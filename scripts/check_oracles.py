@@ -110,6 +110,11 @@ def main() -> int:
             print(f"FAIL {name}: duckdb error: {e}")
             failures += 1
             continue
+        from featureextraction_spark.operators.cache import (
+            release_persisted_intermediates,
+        )
+
+        release_persisted_intermediates()
         problems = compare(name, spark_pdf, duck_pdf)
         if problems:
             failures += 1

@@ -351,21 +351,37 @@ def main() -> None:
                 p["control_speedup"] = round(ctl, 3)
                 p["engine_efficiency"] = round(p["speedup"] / ctl, 3)
 
-    headline = max(pairs, key=lambda p: p.get("engine_efficiency", p["efficiency"]))
-    headline_eff = headline.get("engine_efficiency", headline["efficiency"])
+    # headline selection stays within ONE metric (raw efficiency); the
+    # control-normalized engine efficiency is reported as a separate,
+    # clearly-labelled field rather than silently replacing the basis of
+    # value/pass when --control happens to be set
+    headline = max(pairs, key=lambda p: p["efficiency"])
+    headline_eff = headline["efficiency"]
+    norm_pairs = [p for p in pairs if "engine_efficiency" in p]
+    engine_headline = (
+        max(norm_pairs, key=lambda p: p["engine_efficiency"])
+        if norm_pairs
+        else None
+    )
     summary = {
-        "metric": "scaling_efficiency",
+        "metric": "scaling_efficiency_raw",
         "value": headline_eff,
         "unit": f"speedup/{headline['ratio']:g}x-cores "
-        f"(local[{headline['from']}]->local[{headline['to']}])"
-        + (", normalized to the measured pure-compute hardware ceiling"
-           if "engine_efficiency" in headline else ""),
+        f"(local[{headline['from']}]->local[{headline['to']}])",
         "levels": results,
         "pairs": pairs,
         "control_levels": control_results,
         "target": 0.8,
         "pass": headline_eff >= 0.8,
     }
+    if engine_headline is not None:
+        summary["engine_metric"] = "scaling_efficiency_vs_compute_ceiling"
+        summary["engine_value"] = engine_headline["engine_efficiency"]
+        summary["engine_unit"] = (
+            f"flagship speedup / pure-compute control speedup "
+            f"(local[{engine_headline['from']}]->local[{engine_headline['to']}])"
+        )
+        summary["engine_pass"] = engine_headline["engine_efficiency"] >= 0.8
     print(json.dumps(summary))
     if args.job != "flagship":
         # control jobs report to stdout only — BENCH_SCALING.* holds the

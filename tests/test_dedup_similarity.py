@@ -186,6 +186,70 @@ def test_embedding_near_dup_pairs_verified(spark, emb, emb_pdf):
         assert r.cosine >= 0.8 and abs(cos - r.cosine) < 2e-6
 
 
+@pytest.fixture(scope="module")
+def tight_cluster_emb(spark):
+    """Synthetic corpus of tight near-dup clusters: 60 random base
+    directions in R^16, 4 members each with tiny noise (pairwise cosine
+    ≈ 0.999 within a cluster, ≲ 0.8 across clusters at this dim)."""
+    rng = np.random.default_rng(123)
+    base = rng.standard_normal((60, 16))
+    rows = []
+    vid = 0
+    for b in base:
+        for _ in range(4):
+            v = b + rng.standard_normal(16) * 0.02
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_embedding_pairs_lsh_equals_exact_above_gate(spark, tight_cluster_emb):
+    """Forcing the corpus above the auto gate must switch to the LSH path
+    and still return the exact pair set (VERDICT r2 #2): same (a_id, b_id)
+    rows, cosines equal to the blocked-exact engine within rounding."""
+    exact = (
+        S.embedding_pairs(tight_cluster_emb, threshold=0.95, strategy="exact")
+        .toPandas()
+        .sort_values(["a_id", "b_id"])
+        .reset_index(drop=True)
+    )
+    # exact_max_rows below the corpus size → auto must route to LSH
+    lsh = (
+        S.embedding_pairs(tight_cluster_emb, threshold=0.95, exact_max_rows=10)
+        .toPandas()
+        .sort_values(["a_id", "b_id"])
+        .reset_index(drop=True)
+    )
+    assert len(exact) >= 60 * 6  # every within-cluster pair survives 0.95
+    assert list(map(tuple, exact[["a_id", "b_id"]].values)) == list(
+        map(tuple, lsh[["a_id", "b_id"]].values)
+    )
+    # numpy-GEMM vs JVM-fold accumulation may differ in the last ulp
+    np.testing.assert_allclose(
+        exact["cosine"].to_numpy(), lsh["cosine"].to_numpy(), atol=2e-6
+    )
+
+
+def test_embedding_pairs_auto_stays_exact_below_gate(spark, tight_cluster_emb):
+    """Below the gate the auto strategy must be the blocked-exact engine
+    byte-for-byte (the driver queries ride this path at test scale)."""
+    from featureextraction_spark.operators.blockpair import blocked_cosine_pairs
+
+    auto = (
+        S.embedding_pairs(tight_cluster_emb, threshold=0.95)
+        .toPandas()
+        .sort_values(["a_id", "b_id"])
+        .reset_index(drop=True)
+    )
+    exact = (
+        blocked_cosine_pairs(tight_cluster_emb, threshold=0.95)
+        .toPandas()
+        .sort_values(["a_id", "b_id"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(auto, exact)
+
+
 def test_language_id_oracle(spark, docs, docs_pdf):
     got = language_id(docs).toPandas().set_index("doc_id")["lang_pred"]
     token_re = re.compile("[^ \t\n\r\f\x0b]+")
@@ -450,3 +514,21 @@ def test_repetition_features_fixtures(spark):
     assert out.loc[2, "frac_dup_bigrams"] == 1.0  # all 4 instances duplicated
     assert out.loc[3, "n_words"] == 0 and out.loc[3, "frac_dup_words"] == 0.0
     assert out.loc[4, "n_words"] == 1 and out.loc[4, "frac_dup_bigrams"] == 0.0
+
+
+def test_persisted_intermediates_are_tracked_and_released(spark, docs):
+    """Dedup pipelines register their persisted intermediates with the
+    cache registry (caller-owned lifecycle, ADVICE r2); a release after
+    the consuming action unpersists them all and a subsequent identical
+    query still works."""
+    from featureextraction_spark.operators import cache as C
+    from featureextraction_spark.operators.dedup import ngram_jaccard_pairs
+
+    C.release_persisted_intermediates()  # clean slate
+    a = ngram_jaccard_pairs(docs, threshold=0.3, strategy="bitset").count()
+    released = C.release_persisted_intermediates()
+    assert released > 0
+    assert not C._PERSISTED
+    b = ngram_jaccard_pairs(docs, threshold=0.3, strategy="bitset").count()
+    assert a == b
+    C.release_persisted_intermediates()

@@ -59,4 +59,63 @@ def test_chain_and_island(spark):
 def test_nonconvergence_raises(spark):
     df = spark.createDataFrame([(i, i + 1) for i in range(8)], "a_id long, b_id long")
     with pytest.raises(RuntimeError, match="did not converge"):
-        connected_components(df, max_iter=2)
+        connected_components(df, max_iter=2, algorithm="label")
+
+
+@pytest.mark.parametrize("seed", [1, 2])
+def test_star_matches_union_find(spark, seed):
+    rng = random.Random(seed)
+    n = 120
+    pairs = [(rng.randrange(n), rng.randrange(n)) for _ in range(90)]
+    pairs = [(a, b) for a, b in pairs if a != b]
+    df = spark.createDataFrame(pairs, "a_id long, b_id long")
+    got = {
+        r["id"]: r["component_id"]
+        for r in connected_components(df, algorithm="star").collect()
+    }
+    assert got == _uf_components(pairs)
+
+
+def test_deep_chain_star_logarithmic(spark):
+    """A 1200-vertex path graph — the adversarial case for min-label
+    (O(diameter) rounds). The star variant must converge in O(log² n)
+    rounds and still produce min-label components."""
+    n = 1200
+    df = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "a_id long, b_id long"
+    )
+    stats = {}
+    got = connected_components(
+        df, algorithm="star", max_iter=40, stats=stats
+    ).collect()
+    assert len(got) == n
+    assert all(r["component_id"] == 0 for r in got)
+    assert stats["rounds"] <= 25, stats
+
+
+def test_auto_switches_to_star_on_deep_chain(spark):
+    """auto must hand off to the star variant once label propagation fails
+    to converge within switch_after rounds, and still finish correctly."""
+    n = 300
+    df = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "a_id long, b_id long"
+    )
+    stats = {}
+    got = connected_components(
+        df, algorithm="auto", switch_after=3, max_iter=40, stats=stats
+    ).collect()
+    assert stats["algorithm"] == "star"
+    assert len(got) == n and all(r["component_id"] == 0 for r in got)
+
+
+def test_auto_stays_on_label_for_shallow_graph(spark):
+    df = spark.createDataFrame(
+        [(0, 1), (1, 2), (10, 11)], "a_id long, b_id long"
+    )
+    stats = {}
+    got = {
+        r["id"]: r["component_id"]
+        for r in connected_components(df, stats=stats).collect()
+    }
+    assert stats["algorithm"] == "label"
+    assert got == {0: 0, 1: 0, 2: 0, 10: 10, 11: 10}

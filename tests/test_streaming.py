@@ -246,3 +246,79 @@ def test_streaming_asof_lookup_matches_batch(spark, stream_dir, batch_df):
         g["resp_len"].fillna(-1.0), e["resp_len"].fillna(-1.0)
     )
     assert len(g) > 0
+
+
+def test_streaming_turn_state_retention_evicts_idle_state(spark, tmp_path):
+    """With retention_seconds set, a conversation idle past the horizon
+    (by event time) must have its state row removed once the watermark
+    passes — long-running streams stay bounded by ACTIVE conversations
+    (ADVICE r2). Observed via the state-operator numRowsTotal metric."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from featureextraction_spark.streaming.sessions import streaming_turn_state
+
+    base = tmp_path / "retention_stream"
+    base.mkdir()
+
+    def chunk(i, conv, ts_s):
+        pdf = pd.DataFrame(
+            {
+                "conv_id": [conv],
+                "turn_idx": [0],
+                "role": ["user"],
+                "text": ["hi"],
+                "tool": [None],
+                "ts": pd.to_datetime([ts_s], unit="s").astype("datetime64[us]"),
+            }
+        )
+        schema_pa = pa.schema(
+            [
+                ("conv_id", pa.string()),
+                ("turn_idx", pa.int64()),
+                ("role", pa.string()),
+                ("text", pa.string()),
+                ("tool", pa.string()),
+                ("ts", pa.timestamp("us")),
+            ]
+        )
+        pq.write_table(
+            pa.Table.from_pandas(pdf, schema=schema_pa, preserve_index=False),
+            str(base / f"chunk_{i}.parquet"),
+        )
+
+    retention = 3600
+    # (epoch-0 would be dropped by the initial watermark — start later)
+    chunk(0, "a", 1_000_000)  # idle long before the later chunks
+    chunk(1, "b", 1_100_000)  # advances the watermark past a's horizon
+    chunk(2, "c", 1_100_100)  # batch in which a's timeout actually fires
+
+    schema = (
+        "conv_id string, turn_idx long, role string, text string, "
+        "tool string, ts timestamp_ntz"
+    )
+    src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(base))
+    )
+    q = (
+        streaming_turn_state(src, gap_seconds=600, retention_seconds=retention)
+        .writeStream.format("memory")
+        .queryName("tstate_retention")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    # all three turns were enriched and emitted before any eviction
+    assert spark.table("tstate_retention").count() == 3
+    state_rows = [
+        p["stateOperators"][0]["numRowsTotal"]
+        for p in (q.recentProgress or [])
+        if p.get("stateOperators")
+    ]
+    assert state_rows, "no state-operator progress recorded"
+    # conv a evicted: only b and c remain in the store at the end
+    assert state_rows[-1] == 2, state_rows
