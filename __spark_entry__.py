@@ -36,7 +36,10 @@ from featureextraction_spark.operators.contour import (  # noqa: E402
     ols_aggregate,
     with_characteristic_contour,
 )
-from featureextraction_spark.plans.feature_pipeline import point_in_time_features  # noqa: E402
+from featureextraction_spark.plans.feature_pipeline import (  # noqa: E402
+    NUMERIC_FEATURES as PIPELINE_NUMERIC_FEATURES,
+    point_in_time_features,
+)
 from featureextraction_spark.functions.textstats import (  # noqa: E402
     STOPWORDS,
     language_id,
@@ -372,16 +375,14 @@ def q_contour_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ols_aggregate(c, "contour", "contour_x", key="user_id", ndigits=6)
 
 
-def q_feature_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Full point-in-time feature pipeline (rows-only check: the numeric
-    families are not SQL-expressible; their correctness gate is the pandas
-    oracle in tests/test_feature_pipeline.py). Events are mapped onto the
-    transcript shape; probes = purchase timestamps."""
+def _events_as_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map the events table onto the transcript shape used by the
+    point-in-time pipeline (user_id≈conv_id, (ts, event_id) order)."""
     from pyspark.sql import Window
 
     ev = _load(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    tr = ev.select(
+    return ev.select(
         F.col("user_id").cast("string").alias("conv_id"),
         (F.row_number().over(w) - 1).cast("int").alias("turn_idx"),
         F.col("event_type").alias("role"),
@@ -389,8 +390,52 @@ def q_feature_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("event_type") == "error", F.col("event_type")).alias("tool"),
         "ts",
     )
+
+
+def q_feature_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full point-in-time feature pipeline at the production probe set
+    (every purchase timestamp). Rows-only driver check at THIS probe
+    density; the per-probe contract itself is externally SQL-gated by
+    ``feature_vectors_oracled`` (same pipeline, bounded probe ordinals,
+    full 30-column DuckDB replay)."""
+    tr = _events_as_transcripts(spark, sf_dir)
     probes = tr.filter(F.col("role") == "purchase").select("conv_id", "ts")
     return point_in_time_features(tr, probes)
+
+
+# probe turn ordinals for the oracled twin: one prefix below the 64-bin
+# zones histogram cap (plain path) and one above it (binned path; sf0.01
+# conversations run 49-86 events, so 70 exists for roughly half of them)
+FV_PROBE_RNS = (40, 70)
+
+
+def q_feature_vectors_oracled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME point-in-time pipeline as ``feature_vectors``, probed at
+    fixed turn ordinals (the 40th and 150th event per user) so DuckDB can
+    replay every one of the 30 output columns per probe — relational
+    state read at the matched turn, zones (both the raw and the binned
+    histogram path), median width, lc/uc contour OLS + local extremes +
+    local slopes, and the slantness angles. This closes the last
+    rows-only gap: the per-probe PREFIX evaluation (the point-in-time
+    contract) is externally hash-gated, not just pytest-gated."""
+    tr = _events_as_transcripts(spark, sf_dir)
+    probes = tr.filter(
+        F.col("turn_idx").isin([r - 1 for r in FV_PROBE_RNS])
+    ).select("conv_id", "ts")
+    out = point_in_time_features(tr, probes, num_buckets=64)
+    return out.select(
+        "conv_id",
+        "ts",
+        "session_id",
+        "turn_count",
+        *[
+            F.round(F.when(~F.isnan(F.col(c)), F.col(c)), 6).alias(c)
+            for c in PIPELINE_NUMERIC_FEATURES
+        ],
+        "prev_role",
+        "last_tool",
+        "role_transitions",
+    )
 
 
 # --------------------------------------------------------------------------
@@ -795,6 +840,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contour_ols": q_contour_ols,
         "feature_families": q_feature_families,
         "feature_vectors": q_feature_vectors,
+        "feature_vectors_oracled": q_feature_vectors_oracled,
         "exact_dedup": q_exact_dedup,
         "ngram_jaccard": q_ngram_jaccard,
         "dedup_clusters": q_dedup_clusters,
@@ -1017,6 +1063,7 @@ def oracle_sql() -> dict[str, str]:
     base["backfill_salted"] = base["backfill"]
     base["asof_join_broadcast"] = base["asof_join"]
     base["feature_families"] = _feature_families_oracle_sql()
+    base["feature_vectors_oracled"] = _feature_vectors_oracle_sql()
     base["components_2d"] = _components_2d_oracle_sql()
     base["triplet_sample"] = """
         WITH v AS (SELECT vec_id, label FROM embeddings),
@@ -1387,6 +1434,380 @@ def _feature_families_oracle_sql() -> str:
         LEFT JOIN sagg a USING (user_id)
         LEFT JOIN sstd t USING (user_id)
         LEFT JOIN smax x USING (user_id)
+    """
+
+
+def _pp_contour_sql(p: str, vcol: str) -> str:
+    """Per-(conv_id, probe_ts) contour-family CTE fragment over the prefix
+    series column ``vcol`` of ``ser`` — emits ``{p}c`` (contour), ``{p}n``,
+    ``{p}ols``, ``{p}freq``, ``{p}slavg``. Mirrors ``series_kernels``
+    (characteristic_contour / ols_fit / local_extremes / local_slopes):
+    every sum is over exact integers, and the float expression shapes match
+    the kernels op-for-op, so the doubles agree bit-for-bit (see
+    ``ols_fit``'s docstring for why that kills rounding-boundary flakes).
+    """
+    P = "PARTITION BY conv_id, probe_ts"
+    cum = f"{P} ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"
+    return f"""
+        {p}s AS (
+            SELECT conv_id, probe_ts,
+                   row_number() OVER ({P} ORDER BY rn) - 1 AS x,
+                   {vcol} AS v
+            FROM ser WHERE {vcol} > 0
+        ),
+        {p}inc AS (
+            SELECT conv_id, probe_ts, x,
+                   coalesce(sign(v - lag(v) OVER ({P} ORDER BY x)), 0)
+                     + CASE WHEN x = 0 THEN v ELSE 0 END AS inc
+            FROM {p}s
+        ),
+        {p}raw AS (
+            SELECT conv_id, probe_ts, x, sum(inc) OVER ({cum}) AS raw
+            FROM {p}inc
+        ),
+        {p}c AS (
+            SELECT conv_id, probe_ts, x,
+                   raw - least(0, min(raw) OVER ({P})) AS c
+            FROM {p}raw
+        ),
+        {p}n AS (SELECT conv_id, probe_ts, count(*) AS n FROM {p}c GROUP BY 1, 2),
+        {p}ols0 AS (
+            SELECT conv_id, probe_ts, count(*)::DOUBLE AS n,
+                   sum(x::DOUBLE) AS sx, sum(c) AS sy,
+                   sum(x::DOUBLE * c) AS sxy,
+                   sum(x::DOUBLE * x::DOUBLE) AS sxx,
+                   sum(c * c) AS syy
+            FROM {p}c GROUP BY 1, 2
+        ),
+        {p}ols AS (
+            SELECT conv_id, probe_ts,
+                   CASE WHEN n = 1 THEN 0.0
+                        WHEN (n * sxx - sx * sx) <> 0
+                        THEN (n * sxy - sx * sy) / (n * sxx - sx * sx)
+                   END AS slant,
+                   CASE WHEN n > 2 AND (n * sxx - sx * sx) <> 0
+                        THEN ((n * syy - sy * sy)
+                              - (n * sxy - sx * sy) * (n * sxy - sx * sy)
+                                / (n * sxx - sx * sx))
+                             / (n * (n - 2))
+                   END AS slant_mse
+            FROM {p}ols0
+        ),
+        -- P(j)/Q(j) prefix sums (kk = number of leading contour points):
+        -- the O(1)-per-extreme seg_slope substrate (series_kernels
+        -- local_slopes); zero row so segments starting at 0 resolve
+        {p}cum AS (
+            SELECT conv_id, probe_ts, x + 1 AS kk,
+                   sum(c) OVER ({cum}) AS ps,
+                   sum(x::DOUBLE * c) OVER ({cum}) AS qs
+            FROM {p}c
+            UNION ALL
+            SELECT conv_id, probe_ts, 0, 0.0, 0.0 FROM {p}n
+        ),
+        -- local extremes: c >=(<=) every value within 10 on each EXISTING
+        -- side (missing-side windows are empty -> forced true, matching
+        -- the kernel's pad semantics), then plateau dedup keeps only the
+        -- first index of each consecutive-extreme run
+        {p}ext0 AS (
+            SELECT conv_id, probe_ts, x, c, n,
+                   max(c) OVER wl AS lmax, max(c) OVER wr AS rmax,
+                   min(c) OVER wl AS lmin, min(c) OVER wr AS rmin
+            FROM {p}c JOIN {p}n USING (conv_id, probe_ts)
+            WINDOW wl AS ({P} ORDER BY x ROWS BETWEEN 10 PRECEDING AND 1 PRECEDING),
+                   wr AS ({P} ORDER BY x ROWS BETWEEN 1 FOLLOWING AND 10 FOLLOWING)
+        ),
+        {p}ext1 AS (
+            SELECT conv_id, probe_ts, x, n,
+                   ((x = 0 OR c >= lmax) AND (x = n - 1 OR c >= rmax)) AS is_max,
+                   ((x = 0 OR c <= lmin) AND (x = n - 1 OR c <= rmin)) AS is_min
+            FROM {p}ext0
+        ),
+        {p}ext AS (
+            SELECT conv_id, probe_ts, x, n,
+                   is_max AND NOT coalesce(
+                       lag(is_max) OVER ({P} ORDER BY x), false) AS keep_max,
+                   is_min AND NOT coalesce(
+                       lag(is_min) OVER ({P} ORDER BY x), false) AS keep_min
+            FROM {p}ext1
+        ),
+        {p}freq AS (
+            SELECT conv_id, probe_ts,
+                   sum(CASE WHEN keep_max THEN 1 ELSE 0 END) * 1.0 / any_value(n)
+                       AS local_max_freq,
+                   sum(CASE WHEN keep_min THEN 1 ELSE 0 END) * 1.0 / any_value(n)
+                       AS local_min_freq
+            FROM {p}ext GROUP BY 1, 2
+        ),
+        {p}segs AS (
+            SELECT e.conv_id, e.probe_ts, e.keep_max, e.keep_min, s.side,
+                   CASE WHEN s.side = 'l' THEN greatest(e.x - 10, 0)
+                        ELSE e.x + 1 END AS a,
+                   CASE WHEN s.side = 'l' THEN e.x
+                        ELSE least(e.n, e.x + 1 + 10) END AS b
+            FROM {p}ext e
+            JOIN (SELECT 'l' AS side UNION ALL SELECT 'r') s ON TRUE
+            WHERE (e.keep_max OR e.keep_min)
+              AND ((s.side = 'l' AND e.x > 0) OR (s.side = 'r' AND e.x < e.n - 1))
+        ),
+        -- seg_slope: sy = P(b)-P(a); sxy_raw = (Q(b)-Q(a)) - a*sy;
+        -- slope = (sxy_raw - (m-1)/2 * sy) / (m*(m^2-1)/12) — identical
+        -- float op order to the kernel; m == 1 -> 0.0
+        {p}slopes AS (
+            SELECT g.conv_id, g.probe_ts, g.keep_max, g.keep_min, g.side,
+                   CASE WHEN g.b - g.a = 1 THEN 0.0
+                        ELSE (((cb.qs - ca.qs) - g.a * (cb.ps - ca.ps))
+                              - ((g.b - g.a - 1) / 2.0) * (cb.ps - ca.ps))
+                             / ((g.b - g.a) * ((g.b - g.a) * (g.b - g.a) - 1) / 12.0)
+                   END AS slope
+            FROM {p}segs g
+            JOIN {p}cum ca ON ca.conv_id = g.conv_id
+                          AND ca.probe_ts = g.probe_ts AND ca.kk = g.a
+            JOIN {p}cum cb ON cb.conv_id = g.conv_id
+                          AND cb.probe_ts = g.probe_ts AND cb.kk = g.b
+        ),
+        {p}slavg AS (
+            SELECT conv_id, probe_ts,
+                   avg(CASE WHEN keep_max AND side = 'l' THEN slope END) AS max_l,
+                   avg(CASE WHEN keep_max AND side = 'r' THEN slope END) AS max_r,
+                   avg(CASE WHEN keep_min AND side = 'l' THEN slope END) AS min_l,
+                   avg(CASE WHEN keep_min AND side = 'r' THEN slope END) AS min_r
+            FROM {p}slopes GROUP BY 1, 2
+        )"""
+
+
+def _feature_vectors_oracle_sql() -> str:
+    """Full 30-column DuckDB replay of ``q_feature_vectors_oracled``: the
+    point-in-time vector at each (user, probe) where probes sit at fixed
+    turn ordinals (``FV_PROBE_RNS`` — one prefix under the 64-bin zones
+    cap, one over it, so both histogram paths are exercised).
+
+    Per probe: k = count of events at ts <= probe_ts (the kernel's
+    searchsorted contract, tie-inclusive); the relational half reads the
+    per-turn running state at rn = k; the numeric half re-evaluates every
+    family over the rn <= k prefix — zones grid argmin (with the
+    (64*rn-1)//k binning inverse of the kernel's cumsum-edge histogram),
+    closed-white-run median, and the two contour families via
+    ``_pp_contour_sql``.
+    """
+    rns = ", ".join(str(r) for r in FV_PROBE_RNS)
+    lc = _pp_contour_sql("lc_", "vc")
+    uc = _pp_contour_sql("uc_", "vt")
+    return f"""
+        WITH ev AS (
+            SELECT user_id::VARCHAR AS conv_id,
+                   row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+                   ts, event_type AS role,
+                   CASE WHEN event_type = 'error' THEN event_type END AS tool,
+                   length(coalesce(props, ''))::DOUBLE AS vc,
+                   length(regexp_extract_all(coalesce(props, ''), {_TOKENS_RE}))::DOUBLE AS vt
+            FROM events
+        ),
+        probes AS (
+            SELECT DISTINCT conv_id, ts AS probe_ts FROM ev WHERE rn IN ({rns})
+        ),
+        pk AS (
+            SELECT p.conv_id, p.probe_ts, CAST(count(*) AS BIGINT) AS k
+            FROM probes p
+            JOIN ev e ON e.conv_id = p.conv_id AND e.ts <= p.probe_ts
+            GROUP BY 1, 2
+        ),
+        st0 AS (
+            SELECT conv_id, rn, ts, role,
+                   lag(ts)   OVER (PARTITION BY conv_id ORDER BY rn) AS prev_ts,
+                   lag(role) OVER (PARTITION BY conv_id ORDER BY rn) AS prev_role,
+                   last_value(tool IGNORE NULLS)
+                       OVER (PARTITION BY conv_id ORDER BY rn
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS last_tool
+            FROM ev
+        ),
+        st AS (
+            SELECT conv_id, rn, prev_role, last_tool,
+                   CAST(sum(CASE WHEN prev_ts IS NULL
+                                      OR epoch(ts) - epoch(prev_ts) > {SESSION_GAP_SECONDS}
+                                 THEN 1 ELSE 0 END)
+                        OVER (PARTITION BY conv_id ORDER BY rn
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                        AS BIGINT) AS session_id,
+                   CAST(sum(CASE WHEN prev_role IS NOT NULL AND role <> prev_role
+                                 THEN 1 ELSE 0 END)
+                        OVER (PARTITION BY conv_id ORDER BY rn
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                        AS BIGINT) AS role_transitions
+            FROM st0
+        ),
+        ser AS (
+            SELECT p.conv_id, p.probe_ts, p.k, e.rn, e.vc, e.vt
+            FROM pk p JOIN ev e ON e.conv_id = p.conv_id AND e.rn <= p.k
+        ),
+        ztot AS (
+            SELECT conv_id, probe_ts, k, CAST(least(k, 64) AS BIGINT) AS h,
+                   sum(vc) AS total
+            FROM ser GROUP BY 1, 2, 3
+        ),
+        zhist AS (
+            SELECT conv_id, probe_ts,
+                   CASE WHEN k <= 64 THEN rn - 1
+                        ELSE (64 * rn - 1) // k END AS bin,
+                   sum(vc) AS hv
+            FROM ser GROUP BY 1, 2, 3
+        ),
+        zcum AS (
+            SELECT conv_id, probe_ts, bin + 1 AS kk,
+                   sum(hv)      OVER (PARTITION BY conv_id, probe_ts ORDER BY bin) AS s1,
+                   sum(hv * hv) OVER (PARTITION BY conv_id, probe_ts ORDER BY bin) AS s2
+            FROM zhist
+            UNION ALL
+            SELECT conv_id, probe_ts, 0, 0.0, 0.0 FROM ztot
+        ),
+        zgrid AS (
+            SELECT t.conv_id, t.probe_ts, t.h, ub.ub, lb.lb,
+                   round_even(t.total * 0.8, 0) AS mz,
+                   round_even(t.total * 0.1, 0) AS ulz
+            FROM ztot t
+            JOIN generate_series(2, 63) ub(ub) ON ub.ub <= t.h - 1
+            JOIN generate_series(1, 62) lb(lb) ON lb.lb <= t.h - 2 AND lb.lb < ub.ub
+            WHERE t.h >= 3
+        ),
+        zscored AS (
+            SELECT g.conv_id, g.probe_ts, g.h, g.ub, g.lb,
+                   (cl.s2 - 0.0)
+                     - 2 * round_even(g.ulz / g.lb, 0) * (cl.s1 - 0.0)
+                     + g.lb * round_even(g.ulz / g.lb, 0) * round_even(g.ulz / g.lb, 0)
+                   + (cu.s2 - cl.s2)
+                     - 2 * round_even(g.mz / (g.ub - g.lb), 0) * (cu.s1 - cl.s1)
+                     + (g.ub - g.lb) * round_even(g.mz / (g.ub - g.lb), 0)
+                                     * round_even(g.mz / (g.ub - g.lb), 0)
+                   + (ch.s2 - cu.s2)
+                     - 2 * round_even(g.ulz / (g.h - g.ub), 0) * (ch.s1 - cu.s1)
+                     + (g.h - g.ub) * round_even(g.ulz / (g.h - g.ub), 0)
+                                    * round_even(g.ulz / (g.h - g.ub), 0) AS err
+            FROM zgrid g
+            JOIN zcum cl ON cl.conv_id = g.conv_id AND cl.probe_ts = g.probe_ts
+                        AND cl.kk = g.lb
+            JOIN zcum cu ON cu.conv_id = g.conv_id AND cu.probe_ts = g.probe_ts
+                        AND cu.kk = g.ub
+            JOIN zcum ch ON ch.conv_id = g.conv_id AND ch.probe_ts = g.probe_ts
+                        AND ch.kk = g.h
+        ),
+        zsel AS (
+            SELECT conv_id, probe_ts,
+                   (h - ub) * 1.0 / h AS upper_zone,
+                   (ub - lb) * 1.0 / h AS middle_zone,
+                   lb * 1.0 / h AS lower_zone,
+                   row_number() OVER (PARTITION BY conv_id, probe_ts
+                                      ORDER BY err, ub, lb) AS zrn
+            FROM zscored
+        ),
+        mwb AS (
+            SELECT s.conv_id, s.probe_ts, s.rn, t.k,
+                   s.vc < (t.total / t.k) AS white
+            FROM ser s JOIN ztot t USING (conv_id, probe_ts)
+        ),
+        mwr0 AS (
+            SELECT conv_id, probe_ts, rn, k, white,
+                   CASE WHEN lag(white) OVER (PARTITION BY conv_id, probe_ts ORDER BY rn)
+                             IS DISTINCT FROM white THEN 1 ELSE 0 END AS chg
+            FROM mwb
+        ),
+        mwr AS (
+            SELECT conv_id, probe_ts, rn, k, white,
+                   sum(chg) OVER (PARTITION BY conv_id, probe_ts ORDER BY rn) AS run_id
+            FROM mwr0
+        ),
+        mww AS (
+            SELECT conv_id, probe_ts, run_id, min(rn) AS srn, max(rn) AS ern,
+                   count(*) AS len, any_value(k) AS k
+            FROM mwr WHERE white GROUP BY 1, 2, 3
+        ),
+        mw AS (
+            SELECT conv_id, probe_ts, median(len::DOUBLE) AS median_width
+            FROM mww WHERE ern < k AND srn > 1 GROUP BY 1, 2
+        ),
+        {lc},
+        {uc},
+        sdrift AS (
+            SELECT conv_id, probe_ts,
+                   lead(c, 8) OVER (PARTITION BY conv_id, probe_ts ORDER BY x) - c AS d
+            FROM lc_c
+            QUALIFY d IS NOT NULL
+        ),
+        sbins AS (
+            SELECT conv_id, probe_ts,
+                   CAST(least(greatest(
+                       round_even((pi()/2 - atan(d / 8.0)) / (pi()/40), 0), 1), 39)
+                       AS INT) AS bin
+            FROM sdrift
+        ),
+        sscore AS (
+            SELECT conv_id, probe_ts, bin, count(*) AS score
+            FROM sbins GROUP BY 1, 2, 3
+        ),
+        sagg AS (
+            SELECT conv_id, probe_ts, sum(score) AS sn,
+                   sum(bin * score) AS s_sum,
+                   sum(bin * bin * score) AS q_sum,
+                   (pi()/40 * sum(bin * score)) / sum(score) AS wmean
+            FROM sscore GROUP BY 1, 2
+        ),
+        sstd AS (
+            SELECT conv_id, probe_ts,
+                   sqrt(greatest(((pi()/40) * (pi()/40))
+                                 * (q_sum - s_sum * s_sum * 1.0 / sn), 0.0)
+                        / (sn - 1)) AS stdev_rad
+            FROM sagg WHERE sn > 1
+        ),
+        smax AS (
+            SELECT conv_id, probe_ts, bin FROM (
+                SELECT conv_id, probe_ts, bin,
+                       row_number() OVER (PARTITION BY conv_id, probe_ts
+                                          ORDER BY score DESC, bin) AS r
+                FROM sscore) WHERE r = 1
+        )
+        SELECT k.conv_id, k.probe_ts AS ts,
+               st.session_id,
+               k.k AS turn_count,
+               round(z.upper_zone, 6) AS upper_zone,
+               round(z.middle_zone, 6) AS middle_zone,
+               round(z.lower_zone, 6) AS lower_zone,
+               round(mw.median_width, 6) AS median_width,
+               round(lco.slant, 6) AS lc_slant,
+               round(lco.slant_mse, 6) AS lc_slant_mse,
+               round(lcf.local_max_freq, 6) AS lc_local_max_freq,
+               round(lcf.local_min_freq, 6) AS lc_local_min_freq,
+               round(lcs.max_l, 6) AS lc_max_slopes_left_avg,
+               round(lcs.max_r, 6) AS lc_max_slopes_right_avg,
+               round(lcs.min_l, 6) AS lc_min_slopes_left_avg,
+               round(lcs.min_r, 6) AS lc_min_slopes_right_avg,
+               round(uco.slant, 6) AS uc_slant,
+               round(uco.slant_mse, 6) AS uc_slant_mse,
+               round(ucf.local_max_freq, 6) AS uc_local_max_freq,
+               round(ucf.local_min_freq, 6) AS uc_local_min_freq,
+               round(ucs.max_l, 6) AS uc_max_slopes_left_avg,
+               round(ucs.max_r, 6) AS uc_max_slopes_right_avg,
+               round(ucs.min_l, 6) AS uc_min_slopes_left_avg,
+               round(ucs.min_r, 6) AS uc_min_slopes_right_avg,
+               round(180 - degrees(coalesce(x.bin, 1) * pi()/40), 1)
+                   AS slantness_max_angle,
+               coalesce(round_even(180 - degrees(a.wmean), 1), 0.0)
+                   AS slantness_avg_angle,
+               CASE WHEN a.sn > 1 THEN round_even(degrees(t.stdev_rad), 1)
+                    ELSE 0.0 END AS slantness_stdev_angle,
+               st.prev_role, st.last_tool, st.role_transitions
+        FROM pk k
+        LEFT JOIN st ON st.conv_id = k.conv_id AND st.rn = k.k
+        LEFT JOIN (SELECT * FROM zsel WHERE zrn = 1) z
+               ON z.conv_id = k.conv_id AND z.probe_ts = k.probe_ts
+        LEFT JOIN mw ON mw.conv_id = k.conv_id AND mw.probe_ts = k.probe_ts
+        LEFT JOIN lc_ols lco ON lco.conv_id = k.conv_id AND lco.probe_ts = k.probe_ts
+        LEFT JOIN lc_freq lcf ON lcf.conv_id = k.conv_id AND lcf.probe_ts = k.probe_ts
+        LEFT JOIN lc_slavg lcs ON lcs.conv_id = k.conv_id AND lcs.probe_ts = k.probe_ts
+        LEFT JOIN uc_ols uco ON uco.conv_id = k.conv_id AND uco.probe_ts = k.probe_ts
+        LEFT JOIN uc_freq ucf ON ucf.conv_id = k.conv_id AND ucf.probe_ts = k.probe_ts
+        LEFT JOIN uc_slavg ucs ON ucs.conv_id = k.conv_id AND ucs.probe_ts = k.probe_ts
+        LEFT JOIN sagg a ON a.conv_id = k.conv_id AND a.probe_ts = k.probe_ts
+        LEFT JOIN sstd t ON t.conv_id = k.conv_id AND t.probe_ts = k.probe_ts
+        LEFT JOIN smax x ON x.conv_id = k.conv_id AND x.probe_ts = k.probe_ts
     """
 
 
