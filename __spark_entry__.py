@@ -625,6 +625,18 @@ def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim_ops.cosine_topk(queries_df, emb, k=10)
 
 
+def q_ivf_topk_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN probed at n_probe == n_lists — provably ≡ exact brute
+    force (every inverted list is scanned), so the exact cosine_topk SQL
+    replay externally gates the whole IVF machinery: spherical k-means
+    list assignment, per-query centroid scoring, the probe equi-join and
+    the final ranking. Partial-probe recall is pytest-gated
+    (tests/test_dedup_similarity.py::test_ivf_topk_partial_probe_recall)."""
+    emb = _load(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 10)
+    return sim_ops.ivf_topk(queries_df, emb, k=10, n_lists=8, n_probe=8)
+
+
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs via the auto-gated pair engine:
     blocked-GEMM exact all-pairs below the corpus-size gate (this sf —
@@ -852,6 +864,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition": q_repetition,
         "language_id": q_language_id,
         "cosine_topk": q_cosine_topk,
+        "ivf_topk_full": q_ivf_topk_full,
         "embedding_near_dup": q_embedding_near_dup,
         "embedding_clusters": q_embedding_clusters,
         "embedding_eval": q_embedding_eval,
@@ -1107,6 +1120,8 @@ def oracle_sql() -> dict[str, str]:
         WHERE rg.neg_label <> p.anchor_label
     """
     base.update(_training_ops_oracle_sql())
+    # full-probe IVF is exhaustive by construction — the exact replay gates it
+    base["ivf_topk_full"] = base["cosine_topk"]
     return base
 
 

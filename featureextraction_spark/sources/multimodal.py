@@ -169,7 +169,31 @@ def _parse_media_header(b: bytes | None) -> dict:
                 meta["duration_ms"] = int(csz * 1000 // byte_rate)
             pos += 8 + csz + (csz % 2)
     elif b[:3] == b"\xff\xd8\xff":
-        meta["codec"] = "jpeg"  # dims need an SOF-marker scan; left null
+        meta["codec"] = "jpeg"
+        # SOF-marker scan for dimensions — pure bytes, no codec library.
+        # Walk marker segments: 0xFF <marker> <len16 payload>; SOF0-SOF15
+        # (except DHT/JPG/DAC 0xC4/0xC8/0xCC) carry precision(1) +
+        # height(2) + width(2) at the start of their payload.
+        pos = 2
+        while pos + 4 <= len(b):
+            if b[pos] != 0xFF:
+                break
+            marker = b[pos + 1]
+            if marker == 0xFF:  # fill byte
+                pos += 1
+                continue
+            if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                pos += 2  # standalone markers, no length field
+                continue
+            if marker == 0xD9 or marker == 0xDA:  # EOI / start of scan
+                break
+            seg_len = int.from_bytes(b[pos + 2 : pos + 4], "big")
+            if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                if pos + 9 <= len(b):
+                    meta["height"] = int.from_bytes(b[pos + 5 : pos + 7], "big")
+                    meta["width"] = int.from_bytes(b[pos + 7 : pos + 9], "big")
+                break
+            pos += 2 + seg_len
     return meta
 
 

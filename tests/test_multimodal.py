@@ -170,3 +170,58 @@ def test_ingested_rows_feed_decode_pipeline(spark, media_dir):
     feats = decode_features(df, fake=True).toPandas()
     assert len(feats) == 3
     assert all(len(f) == FEATURE_DIM for f in feats["features"])
+
+
+def _jpeg_bytes(w: int, h: int, progressive: bool = False) -> bytes:
+    """Minimal JPEG header stream: SOI + APP0(JFIF) + DQT stub + SOF0/2
+    carrying the dimensions + SOS + EOI. Enough structure for the
+    SOF-marker scan; not a decodable image."""
+    import struct
+
+    app0 = b"JFIF\x00\x01\x01\x00\x00\x48\x00\x48\x00\x00"
+    dqt = b"\x00" + bytes(64)
+    sof_marker = b"\xff\xc2" if progressive else b"\xff\xc0"
+    sof = struct.pack(">BHHB", 8, h, w, 3) + b"\x01\x22\x00\x02\x11\x01\x03\x11\x01"
+    return (
+        b"\xff\xd8"
+        + b"\xff\xe0" + struct.pack(">H", len(app0) + 2) + app0
+        + b"\xff\xdb" + struct.pack(">H", len(dqt) + 2) + dqt
+        + sof_marker + struct.pack(">H", len(sof) + 2) + sof
+        + b"\xff\xda\x00\x02"
+        + b"\xff\xd9"
+    )
+
+
+def test_jpeg_sof_header_parse():
+    for progressive in (False, True):
+        from featureextraction_spark.sources.multimodal import _parse_media_header
+
+        meta = _parse_media_header(_jpeg_bytes(640, 480, progressive))
+        assert meta["codec"] == "jpeg"
+        assert meta["width"] == 640 and meta["height"] == 480, meta
+    # DHT (0xC4) in the C0-CF range must NOT be mistaken for an SOF
+    import struct
+
+    dht = b"\xff\xc4" + struct.pack(">H", 5) + b"\x00\xab\xcd"
+    stream = b"\xff\xd8" + dht + b"\xff\xc0" + struct.pack(">H", 10) + struct.pack(
+        ">BHHB", 8, 7, 9, 1
+    ) + b"\x01\x11\x00"
+    from featureextraction_spark.sources.multimodal import _parse_media_header
+    meta = _parse_media_header(stream)
+    assert meta["width"] == 9 and meta["height"] == 7
+    # truncated stream: codec detected, dims stay null
+    meta = _parse_media_header(b"\xff\xd8\xff\xe0")
+    assert meta["codec"] == "jpeg" and meta["width"] is None
+
+
+def test_jpeg_dims_flow_through_ingestion(spark, tmp_path):
+    from featureextraction_spark.sources.multimodal import read_binary_dir
+
+    d = tmp_path / "jpegs"
+    d.mkdir()
+    (d / "x.jpg").write_bytes(_jpeg_bytes(123, 45))
+    rows = read_binary_dir(spark, str(d)).collect()
+    assert len(rows) == 1
+    m = rows[0]["meta"]
+    assert m["width"] == 123 and m["height"] == 45
+    assert rows[0]["modality"] == "image"
