@@ -138,7 +138,7 @@ def main() -> None:
     )
     dense_probes = tr.select("conv_id", "ts")
     t0 = time.perf_counter()
-    force(point_in_time_features(tr, dense_probes))
+    force(point_in_time_features(tr, dense_probes, dense_probes=True))
     dense_sec = time.perf_counter() - t0
 
     total = round(sum(timings.values()), 3)

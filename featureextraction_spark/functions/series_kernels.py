@@ -61,7 +61,33 @@ def zones(s: np.ndarray, max_hist: int = ZONES_MAX_HIST) -> tuple[float, float, 
     (ub asc, lb asc) iteration order wins (strict ``<``,
     ``writingzones.py:43``).
     """
-    hist = zones_histogram(np.asarray(s, dtype=np.float64), max_hist)
+    return zones_from_hist(
+        zones_histogram(np.asarray(s, dtype=np.float64), max_hist)
+    )
+
+
+_ZONE_GRIDS: dict[int, tuple[np.ndarray, np.ndarray, np.ndarray]] = {}
+
+
+def _zone_grid(h: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(lb_grid, ub_grid, valid) for histogram length ``h`` — pure shape,
+    cached: h is bounded by ZONES_MAX_HIST and dense probing evaluates
+    thousands of same-h grids."""
+    got = _ZONE_GRIDS.get(h)
+    if got is None:
+        ub = np.arange(2, h)  # ub in 2..h-1 (needs lb < ub, lb >= 1)
+        lb_grid, ub_grid = np.meshgrid(np.arange(1, h - 1), ub)  # rows: ub asc
+        got = (lb_grid, ub_grid, lb_grid < ub_grid)
+        if len(_ZONE_GRIDS) < 4096:
+            _ZONE_GRIDS[h] = got
+    return got
+
+
+def zones_from_hist(hist: np.ndarray) -> tuple[float, float, float]:
+    """Grid-argmin stage of :func:`zones` over a prebuilt activity
+    histogram — split out so the dense-probe path can build prefix
+    histograms in O(bins) from a shared cumulative sum instead of
+    re-scanning the series per probe."""
     h = len(hist)
     if h < 3:
         return (math.nan, math.nan, math.nan)
@@ -70,9 +96,7 @@ def zones(s: np.ndarray, max_hist: int = ZONES_MAX_HIST) -> tuple[float, float, 
     s1 = np.concatenate([[0.0], np.cumsum(hist)])
     s2 = np.concatenate([[0.0], np.cumsum(hist * hist)])
 
-    ub = np.arange(2, h)  # ub in 2..h-1 (needs lb < ub, lb >= 1)
-    lb_grid, ub_grid = np.meshgrid(np.arange(1, h - 1), ub)  # rows: ub asc
-    valid = lb_grid < ub_grid
+    lb_grid, ub_grid, valid = _zone_grid(h)
 
     middle_zone = np.round(0.8 * total)
     upper_lower_zone = np.round(0.1 * total)
@@ -222,36 +246,40 @@ def local_extremes(c: np.ndarray, window: int = EXTREMES_WINDOW, maxima: bool = 
     return np.flatnonzero(keep)
 
 
+def _seg_slopes_vec(
+    p: np.ndarray, q: np.ndarray, a: np.ndarray, b: np.ndarray
+) -> np.ndarray:
+    """Vectorized segment OLS slopes over [a, b) via the shared prefix
+    sums — elementwise the same IEEE op sequence as the scalar form
+    (sy = P(b)−P(a); slope = ((Q(b)−Q(a)) − a·sy − (m−1)/2·sy) /
+    (m(m²−1)/12)), so results are bit-identical."""
+    m = b - a
+    sy = p[b] - p[a]
+    sxy_raw = (q[b] - q[a]) - a * sy
+    xbar = (m - 1) / 2.0
+    with np.errstate(divide="ignore", invalid="ignore"):
+        sxx = m * (m * m - 1) / 12.0
+        out = (sxy_raw - xbar * sy) / sxx
+    out = np.where(m == 1, 0.0, out)
+    return np.where(m <= 0, math.nan, out)
+
+
 def local_slopes(
     c: np.ndarray, extremes: np.ndarray, distance: int = SLOPE_DISTANCE
 ) -> tuple[np.ndarray, np.ndarray]:
     """OLS slopes of the contour strictly left/right of each extreme
-    (``contour.py:151-173``). O(1) per extreme via prefix sums."""
+    (``contour.py:151-173``). O(1) per extreme via prefix sums,
+    vectorized across extremes."""
     c = np.asarray(c, dtype=np.float64)
     n = len(c)
     p = np.concatenate([[0.0], np.cumsum(c)])
     q = np.concatenate([[0.0], np.cumsum(np.arange(n, dtype=np.float64) * c)])
-
-    def seg_slope(a: int, b: int) -> float:
-        m = b - a
-        if m <= 0:
-            return math.nan
-        if m == 1:
-            return 0.0
-        sy = p[b] - p[a]
-        # sum over segment of (global_idx * y) minus a*sy gives relative-x weighting
-        sxy_raw = (q[b] - q[a]) - a * sy
-        xbar = (m - 1) / 2.0
-        sxx = m * (m * m - 1) / 12.0
-        return (sxy_raw - xbar * sy) / sxx
-
-    lefts, rights = [], []
-    for e in np.asarray(extremes, dtype=np.int64):
-        if e > 0:
-            lefts.append(seg_slope(max(0, e - distance), e))
-        if e < n - 1:
-            rights.append(seg_slope(e + 1, min(n, e + 1 + distance)))
-    return np.asarray(lefts, dtype=np.float64), np.asarray(rights, dtype=np.float64)
+    e = np.asarray(extremes, dtype=np.int64)
+    le = e[e > 0]
+    lefts = _seg_slopes_vec(p, q, np.maximum(le - distance, 0), le)
+    re = e[e < n - 1]
+    rights = _seg_slopes_vec(p, q, re + 1, np.minimum(n, re + 1 + distance))
+    return lefts, rights
 
 
 def contour_features(
