@@ -449,6 +449,24 @@ def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_ops.exact_dedup(docs)
 
 
+def q_dup_ngram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document duplicated token-3-gram fraction (cross-doc df >= 2) —
+    the substring-dedup diagnostic; DuckDB replays tokenization, n-gram
+    positions, df counting, and the ratio exactly."""
+    docs = _load(spark, sf_dir, "documents")
+    return dedup_ops.dup_ngram_fraction(docs, n=3)
+
+
+def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic md5-addressed train/valid/test assignment per doc —
+    stable across runs/engines; DuckDB recomputes the identical u and
+    split from the same md5 contract."""
+    from featureextraction_spark.operators.sampling import hash_split
+
+    docs = _load(spark, sf_dir, "documents").select("doc_id", "lang")
+    return hash_split(docs, id_col="doc_id", seed=42)
+
+
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact char-5-gram Jaccard similar pairs (inverted-index join)."""
     docs = _load(spark, sf_dir, "documents")
@@ -854,6 +872,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "feature_vectors": q_feature_vectors,
         "feature_vectors_oracled": q_feature_vectors_oracled,
         "exact_dedup": q_exact_dedup,
+        "dup_ngram_fraction": q_dup_ngram_fraction,
+        "hash_split": q_hash_split,
         "ngram_jaccard": q_ngram_jaccard,
         "dedup_clusters": q_dedup_clusters,
         "minhash_lsh": q_minhash_lsh,
@@ -1869,6 +1889,52 @@ def _training_ops_oracle_sql() -> dict[str, str]:
                 FROM fp GROUP BY fp
             )
             SELECT doc_id, canonical_id, group_size FROM fp JOIN g USING (fp)
+        """,
+        # duplicated token-3-gram positions: pre-aggregate per (doc, ngram)
+        # then count cross-doc frequency — mirrors the Spark plan 1:1
+        "dup_ngram_fraction": f"""
+            WITH toks AS (
+                SELECT doc_id,
+                       regexp_extract_all(lower(text), {_TOKENS_RE}) AS t
+                FROM documents
+            ),
+            pos AS (
+                SELECT doc_id, array_to_string(t[gs.g : gs.g + 2], ' ') AS ngram
+                FROM toks,
+                     LATERAL (SELECT unnest(generate_series(1, len(t) - 2)) AS g) gs
+                WHERE len(t) >= 3
+            ),
+            pc AS (SELECT doc_id, ngram, count(*) AS c FROM pos GROUP BY 1, 2),
+            dfs AS (
+                SELECT ngram, CAST(count(*) AS BIGINT) AS doc_freq
+                FROM pc GROUP BY 1
+            ),
+            per AS (
+                SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_ngrams,
+                       CAST(sum(CASE WHEN doc_freq >= 2 THEN c ELSE 0 END)
+                            AS BIGINT) AS dup_ngrams
+                FROM pc JOIN dfs USING (ngram) GROUP BY 1
+            )
+            SELECT d.doc_id,
+                   coalesce(n_ngrams, 0) AS n_ngrams,
+                   coalesce(dup_ngrams, 0) AS dup_ngrams,
+                   CASE WHEN coalesce(n_ngrams, 0) > 0
+                        THEN CAST(dup_ngrams AS DOUBLE)
+                             / CAST(n_ngrams AS DOUBLE)
+                   END AS dup_fraction
+            FROM documents d LEFT JOIN per USING (doc_id)
+        """,
+        # the same 60-bit md5 contract as triplet_sample; u and the split
+        # boundaries are bit-identical across engines
+        "hash_split": """
+            SELECT doc_id, lang,
+                   CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':42'),
+                                        1, 15))::BIGINT AS DOUBLE)
+                   / 1152921504606846976.0 AS u,
+                   CASE WHEN u < 0.8 THEN 'train'
+                        WHEN u < 0.9 THEN 'valid'
+                        ELSE 'test' END AS split
+            FROM documents
         """,
         "ngram_jaccard": f"""
             WITH {_SHINGLES_CTE}, {jaccard_tail}

@@ -26,6 +26,7 @@ from pyspark.sql import functions as F
 from featureextraction_spark.operators.cache import persist_tracked
 
 from featureextraction_spark.functions.textstats import fingerprint
+from featureextraction_spark.plans.feature_pipeline import TOKEN_REGEX
 
 # deterministic affine permutation constants for minhash: h_j(x) = (a_j*x + b_j) % P
 MINHASH_PRIME = (1 << 61) - 1  # Mersenne prime
@@ -78,6 +79,72 @@ def exact_dedup(df: DataFrame, id_col: str = "doc_id", text: str = "text") -> Da
         F.min(id_col).alias("canonical_id"), F.count(F.lit(1)).alias("group_size")
     )
     return fp.join(groups, "fp").select(id_col, "canonical_id", "group_size")
+
+
+def dup_ngram_fraction(
+    df: DataFrame, id_col: str = "doc_id", text: str = "text", n: int = 3
+) -> DataFrame:
+    """Per-document fraction of token n-gram POSITIONS whose n-gram also
+    occurs in at least one OTHER document — the duplicated-text diagnostic
+    behind substring-level training-data dedup (Lee et al., "Deduplicating
+    Training Data Makes Language Models Better", ACL'22: report/remove
+    spans duplicated across documents). The reference has no analog; this
+    extends the dedup family the same way winnow/simhash do.
+
+    Returns (id, n_ngrams, dup_ngrams, dup_fraction): total n-gram
+    positions, positions whose n-gram has cross-document frequency ≥ 2,
+    and their ratio (NULL when the document has < n tokens).
+
+    Scale design: positions are pre-aggregated per (doc, ngram) BEFORE any
+    join (map-side combine), so the ngram-keyed join ships one row per
+    distinct (doc, ngram) — a hot n-gram costs its distinct-doc count, not
+    its total occurrence count. Two keyed shuffles (ngram, then id); all
+    tokenization is JVM-side regexp, zero Python.
+    """
+    toks = df.select(
+        F.col(id_col),
+        F.regexp_extract_all(F.lower(F.col(text)), F.lit(TOKEN_REGEX), F.lit(0)).alias(
+            "__toks"
+        ),
+    )
+    ngrams = toks.select(
+        id_col,
+        F.when(
+            F.size("__toks") >= n,
+            F.expr(
+                f"transform(sequence(1, size(__toks) - {n - 1}),"
+                f" i -> concat_ws(' ', slice(__toks, i, {n})))"
+            ),
+        )
+        .otherwise(F.array().cast("array<string>"))
+        .alias("__ngrams"),
+    )
+    pos = ngrams.select(id_col, F.explode("__ngrams").alias("ngram"))
+    pc = pos.groupBy(id_col, "ngram").agg(F.count(F.lit(1)).alias("c"))
+    dfs = pc.groupBy("ngram").agg(F.count(F.lit(1)).alias("doc_freq"))
+    per = (
+        pc.join(dfs, "ngram")
+        .groupBy(id_col)
+        .agg(
+            F.sum("c").alias("n_ngrams"),
+            F.sum(F.when(F.col("doc_freq") >= 2, F.col("c")).otherwise(F.lit(0))).alias(
+                "dup_ngrams"
+            ),
+        )
+    )
+    return (
+        df.select(id_col)
+        .join(per, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_ngrams", F.lit(0)).cast("long").alias("n_ngrams"),
+            F.coalesce("dup_ngrams", F.lit(0)).cast("long").alias("dup_ngrams"),
+            F.when(
+                F.coalesce("n_ngrams", F.lit(0)) > 0,
+                F.col("dup_ngrams").cast("double") / F.col("n_ngrams").cast("double"),
+            ).alias("dup_fraction"),
+        )
+    )
 
 
 def _cap_shingle_df(sh: DataFrame, max_df: int) -> tuple[DataFrame, int]:

@@ -37,6 +37,36 @@ def _seed_hash(id_col: str, seed: int) -> F.Column:
     return F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")
 
 
+def hash_split(
+    df: DataFrame,
+    id_col: str,
+    boundaries: tuple[tuple[str, float], ...] = (
+        ("train", 0.8),
+        ("valid", 0.9),
+        ("test", 1.0),
+    ),
+    seed: int = 42,
+) -> DataFrame:
+    """Deterministic, content-addressed train/valid/test assignment.
+
+    Each row lands in the first split whose cumulative boundary exceeds
+    ``u = hash60(id:seed) / 2^60`` — a pure function of the id, so the
+    split is stable across runs, machines, and engines (no sampleBy RNG
+    state), new rows never move existing rows between splits, and DuckDB
+    replays it exactly (same md5 → same double → same comparison). The
+    standard trick for leak-free split stability in training-data
+    pipelines; reference analog is the static split LISTS it ships
+    (S8, ``data/*.txt``) — this derives them instead of storing them.
+
+    Scale: one narrow projection, no shuffle at all.
+    """
+    u = (_seed_hash(id_col, seed).cast("double") / F.lit(float(1 << 60))).alias("u")
+    expr = F.lit(boundaries[-1][0])
+    for name, hi in reversed(boundaries[:-1]):
+        expr = F.when(F.col("u") < hi, F.lit(name)).otherwise(expr)
+    return df.withColumn("u", u).withColumn("split", expr)
+
+
 def _ranked(df: DataFrame, id_col: str, label: str, seed: int, name: str) -> DataFrame:
     w = Window.partitionBy(label).orderBy(_seed_hash(id_col, seed))
     return df.select(

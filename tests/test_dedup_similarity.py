@@ -532,3 +532,65 @@ def test_persisted_intermediates_are_tracked_and_released(spark, docs):
     b = ngram_jaccard_pairs(docs, threshold=0.3, strategy="bitset").count()
     assert a == b
     C.release_persisted_intermediates()
+
+
+def test_dup_ngram_fraction_naive_oracle(spark):
+    """Handcrafted corpus with a known shared 3-gram span + a short doc;
+    engine vs a from-scratch pandas/token-dict oracle, exact."""
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "a quick brown fox sat down"),          # shares "quick brown fox"
+        (2, "the quick brown fox jumps high"),      # shares 3 positions with 0
+        (3, "completely unrelated text entirely here"),
+        (4, "tiny doc"),                            # < 3 tokens -> NULL fraction
+        (5, ""),                                    # empty
+        (6, "the the the the"),                     # internal repetition only
+        (7, "THE QUICK BROWN fox"),                 # case-folds onto 0's span
+    ]
+    df = spark.createDataFrame(rows, schema="doc_id long, text string")
+    got = (
+        D.dup_ngram_fraction(df, n=3)
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+    toks = {i: re.findall(r"[^ \t\n\r\f\x0b]+", t.lower()) for i, t in rows}
+    grams = {
+        i: [" ".join(tk[j : j + 3]) for j in range(len(tk) - 2)]
+        for i, tk in toks.items()
+    }
+    docs_per_gram: dict[str, set] = {}
+    for i, gs in grams.items():
+        for g in set(gs):
+            docs_per_gram.setdefault(g, set()).add(i)
+    for row in got.itertuples(index=False):
+        gs = grams[row.doc_id]
+        exp_total = len(gs)
+        exp_dup = sum(1 for g in gs if len(docs_per_gram[g]) >= 2)
+        assert row.n_ngrams == exp_total, row
+        assert row.dup_ngrams == exp_dup, row
+        if exp_total == 0:
+            assert pd.isna(row.dup_fraction)
+        else:
+            assert row.dup_fraction == exp_dup / exp_total
+    # the engineered overlaps actually fired
+    by_id = got.set_index("doc_id")
+    assert by_id.loc[0, "dup_ngrams"] > 0
+    assert by_id.loc[7, "dup_ngrams"] > 0      # case folding
+    assert by_id.loc[3, "dup_ngrams"] == 0
+    assert by_id.loc[6, "dup_ngrams"] == 0     # self-repetition is not cross-doc
+
+
+def test_dup_ngram_fraction_counts_positions_not_types(spark):
+    """A doc repeating a shared n-gram counts every POSITION of it."""
+    df = spark.createDataFrame(
+        [(0, "x y z x y z x y z"), (1, "x y z")],
+        schema="doc_id long, text string",
+    )
+    got = D.dup_ngram_fraction(df, n=3).toPandas().set_index("doc_id")
+    # doc 0: 7 positions; "x y z" appears at 0,3,6 (3 positions), cross-doc
+    assert got.loc[0, "n_ngrams"] == 7
+    assert got.loc[0, "dup_ngrams"] == 3
+    assert got.loc[1, "n_ngrams"] == 1
+    assert got.loc[1, "dup_ngrams"] == 1

@@ -67,3 +67,38 @@ def test_triplet_per_anchor_counts(spark, labeled):
     bcounts = big.groupby("anchor_id")["pos_id"].nunique()
     for aid, c in bcounts.items():
         assert c == sizes[lab[aid]] - 1
+
+
+def test_hash_split_matches_hashlib_and_is_stable(spark, labeled):
+    import hashlib
+
+    from featureextraction_spark.operators.sampling import hash_split
+
+    got = hash_split(labeled, id_col="vec_id", seed=42).toPandas()
+    for row in got.itertuples(index=False):
+        h = int(hashlib.md5(f"{row.vec_id}:42".encode()).hexdigest()[:15], 16)
+        u = float(h) / float(1 << 60)
+        assert row.u == u
+        exp = "train" if u < 0.8 else ("valid" if u < 0.9 else "test")
+        assert row.split == exp
+    # content-addressed: dropping rows never moves the survivors
+    sub = hash_split(labeled.limit(7), id_col="vec_id", seed=42).toPandas()
+    merged = sub.merge(got, on="vec_id", suffixes=("_sub", "_full"))
+    assert (merged["split_sub"] == merged["split_full"]).all()
+
+
+def test_hash_split_proportions(spark):
+    from featureextraction_spark.operators.sampling import hash_split
+
+    big = spark.range(5000).withColumnRenamed("id", "doc_id")
+    frac = (
+        hash_split(big, id_col="doc_id", seed=7)
+        .groupBy("split")
+        .count()
+        .toPandas()
+        .set_index("split")["count"]
+        / 5000.0
+    )
+    assert abs(frac["train"] - 0.8) < 0.03
+    assert abs(frac["valid"] - 0.1) < 0.02
+    assert abs(frac["test"] - 0.1) < 0.02
