@@ -322,3 +322,30 @@ def test_streaming_turn_state_retention_evicts_idle_state(spark, tmp_path):
     assert state_rows, "no state-operator progress recorded"
     # conv a evicted: only b and c remain in the store at the end
     assert state_rows[-1] == 2, state_rows
+
+
+def test_streaming_dedup_matches_batch_distinct(spark, stream_dir, batch_df):
+    """First-arrival streaming dedup: the surviving fingerprint SET equals
+    the batch distinct-fingerprint set, with no duplicate fp emitted."""
+    from featureextraction_spark.functions.textstats import fingerprint
+    from featureextraction_spark.streaming.dedup import streaming_dedup
+
+    # horizon >= the fixture's full event-time span -> global dedup, so the
+    # batch distinct set is the exact expectation (shorter horizons re-emit
+    # beyond-horizon replays by design — the documented state/recall trade)
+    got = _run_stream(
+        spark,
+        stream_dir,
+        batch_df,
+        lambda src: streaming_dedup(src, text="text", ts="ts", watermark="365 days"),
+        "append",
+        "dedup_stream",
+    )
+    assert got["fp"].is_unique
+    batch_fps = (
+        batch_df.select(fingerprint("text").alias("fp")).distinct().toPandas()["fp"]
+    )
+    assert set(got["fp"]) == set(batch_fps)
+    # every emitted row is a real input row (first arrival, not a synth)
+    n_in = batch_df.count()
+    assert 0 < len(got) <= n_in
