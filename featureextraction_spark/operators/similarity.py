@@ -331,6 +331,7 @@ def ivf_topk(
     round_digits: int = 6,
     assigned: DataFrame | None = None,
     centroids: list[list[float]] | None = None,
+    max_iter: int = 20,
 ) -> DataFrame:
     """Approximate top-k via IVF: probe the ``n_probe`` nearest centroid
     lists per query, exact cosine + rank over those lists' members only.
@@ -345,7 +346,7 @@ def ivf_topk(
 
     if assigned is None or centroids is None:
         centroids, assigned = ivf_fit(
-            corpus, n_lists, id_col, vec_col, seed=seed
+            corpus, n_lists, id_col, vec_col, seed=seed, max_iter=max_iter
         )
 
     # per-query centroid scores JVM-side: cosine(query, centroid_i) for the
