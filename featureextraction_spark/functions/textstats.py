@@ -173,18 +173,26 @@ def repetition_features(df: DataFrame, id_col: str = "doc_id", text: str = "text
 
     # guard: Spark's sequence(1, 0) counts DOWN — only build bigrams when
     # there are at least two tokens
+    # positions-explode (see dedup.char_shingles): explode_outer the integer
+    # positions and build each bigram string once, post-generate — exploding
+    # a pre-built string array re-evaluates the whole transform per element
     bigrams = base.select(
         id_col,
+        "__toks",
+        F.greatest(F.col("__n") - 1, F.lit(0)).alias("__nb"),
+        F.explode_outer(
+            F.when(
+                F.col("__n") >= 2, F.expr("sequence(1, size(__toks) - 1)")
+            ).otherwise(F.array().cast("array<int>"))
+        ).alias("__i"),
+    ).select(
+        id_col,
+        "__nb",
         F.when(
-            F.col("__n") >= 2,
-            F.expr(
-                "transform(sequence(1, size(__toks) - 1),"
-                " i -> concat(__toks[i - 1], ' ', __toks[i]))"
-            ),
-        )
-        .otherwise(F.array().cast("array<string>"))
-        .alias("__bgs"),
-    ).select(id_col, F.size("__bgs").alias("__nb"), F.explode_outer("__bgs").alias("__b"))
+            F.col("__i").isNotNull(),
+            F.expr("concat(__toks[__i - 1], ' ', __toks[__i])"),
+        ).alias("__b"),
+    )
     bc = (
         bigrams.groupBy(id_col, "__nb", "__b")
         .agg(F.count(F.lit(1)).alias("__c"))

@@ -57,14 +57,24 @@ def char_shingles(df: DataFrame, id_col: str, text: str, n: int = 5) -> DataFram
     Documents shorter than n characters produce zero shingles (and thus
     never appear in similarity pairs) — documented edge.
     """
-    shingles = F.when(
-        F.length(text) >= n,
-        F.expr(
-            f"transform(sequence(1, length({text}) - {n - 1}),"
-            f" i -> substring({text}, i, {n}))"
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    return df.select(id_col, F.explode(shingles).alias("shingle")).distinct()
+    # explode integer positions, build each shingle string AFTER the
+    # generate — exploding a pre-built string array folds the transform
+    # into the generator (CollapseProject), re-evaluating the whole O(L)
+    # substring transform per emitted element (O(L²) per doc); see
+    # dup_ngram_fraction for the measured cost
+    pos = df.select(
+        F.col(id_col),
+        F.col(text).alias("__t"),
+        F.explode(
+            F.when(
+                F.length(text) >= n,
+                F.expr(f"sequence(1, length({text}) - {n - 1})"),
+            ).otherwise(F.array().cast("array<int>"))
+        ).alias("__i"),
+    )
+    return pos.select(
+        id_col, F.expr(f"substring(__t, __i, {n})").alias("shingle")
+    ).distinct()
 
 
 def exact_dedup(df: DataFrame, id_col: str = "doc_id", text: str = "text") -> DataFrame:
@@ -430,16 +440,14 @@ def minhash_lsh_pairs(
         df, id_col, text, n, num_hashes,
         shingles=sh, vocab=vocab, n_vocab=n_vocab, positions=pos,
     )
+    # positions-explode (see char_shingles): slice once per output row
     banded = sig.select(
         id_col,
         "sig",
-        F.explode(
-            F.expr(
-                f"transform(sequence(0, {bands - 1}),"
-                f" b -> struct(b as band, slice(sig, b * {r} + 1, {r}) as sl))"
-            )
-        ).alias("bs"),
-    ).select(id_col, F.col("bs.band").alias("band"), F.col("bs.sl").alias("sl"))
+        F.explode(F.expr(f"sequence(0, {bands - 1})")).alias("band"),
+    ).select(
+        id_col, "band", F.expr(f"slice(sig, band * {r} + 1, {r})").alias("sl")
+    )
 
     # join on a 64-bit hash of (band, slice) — cheaper to shuffle than the
     # slice arrays; a hash collision only adds a FALSE candidate, which the
@@ -559,16 +567,19 @@ def simhash(
             return _simhash_gemm(sh0, id_col, bits, vocab=vocab, n_vocab=n_vocab)
         strategy = "explode"
     sh = sh0.withColumn("h", portable_hash60(F.col("shingle")))
+    # positions-explode (see char_shingles): the vote CASE runs once per
+    # (doc, bit) row instead of re-building the whole 60-struct array
     bits_df = sh.select(
         id_col,
-        F.explode(
-            F.expr(
-                f"transform(sequence(0, {bits - 1}),"
-                f" k -> struct(k as k, CASE WHEN (h div shiftleft(1L, k)) % 2 = 1"
-                f" THEN 1 ELSE -1 END as vote))"
-            )
-        ).alias("bv"),
-    ).select(id_col, F.col("bv.k").alias("k"), F.col("bv.vote").alias("vote"))
+        "h",
+        F.explode(F.expr(f"sequence(0, {bits - 1})")).alias("k"),
+    ).select(
+        id_col,
+        "k",
+        F.expr(
+            "CASE WHEN (h div shiftleft(1L, k)) % 2 = 1 THEN 1 ELSE -1 END"
+        ).alias("vote"),
+    )
     votes = bits_df.groupBy(id_col, "k").agg(F.sum("vote").alias("v"))
     return (
         votes.withColumn(
@@ -665,17 +676,20 @@ def simhash_near_dup_pairs(
     collide on ≥1 band — pigeonhole); verify hamming ≤ max_hamming."""
     nbands = 60 // band_bits
     s = simhash(df, id_col, text, n)
+    # positions-explode (see char_shingles): band key computed post-generate
     banded = s.select(
         id_col,
         "simhash",
-        F.explode(
-            F.expr(
-                f"transform(sequence(0, {nbands - 1}),"
-                f" b -> struct(b as band,"
-                f" (simhash div shiftleft(1L, b * {band_bits})) % shiftleft(1L, {band_bits}) as key))"
-            )
-        ).alias("bk"),
-    ).select(id_col, "simhash", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+        F.explode(F.expr(f"sequence(0, {nbands - 1})")).alias("band"),
+    ).select(
+        id_col,
+        "simhash",
+        "band",
+        F.expr(
+            f"(simhash div shiftleft(1L, band * {band_bits}))"
+            f" % shiftleft(1L, {band_bits})"
+        ).alias("key"),
+    )
     a = banded.select(
         F.col(id_col).alias("a_id"), F.col("simhash").alias("a_sh"), "band", "key"
     )
@@ -714,16 +728,22 @@ def winnow_fingerprints(
     """
     from pyspark.sql import Window as W
 
-    grams = F.when(
-        F.length(text) >= k,
-        F.expr(
-            f"transform(sequence(1, length({text}) - {k - 1}),"
-            f" i -> substring({text}, i, {k}))"
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    pos_sh = df.select(id_col, F.posexplode(grams).alias("pos", "gram"))
+    # positions-explode (see char_shingles): the k-gram string is built
+    # once per output row, after the generate
+    pos_sh = df.select(
+        F.col(id_col),
+        F.col(text).alias("__t"),
+        F.explode(
+            F.when(
+                F.length(text) >= k,
+                F.expr(f"sequence(1, length({text}) - {k - 1})"),
+            ).otherwise(F.array().cast("array<int>"))
+        ).alias("pos"),
+    )
     hashed = pos_sh.select(
-        id_col, "pos", portable_hash60(F.col("gram")).alias("h")
+        id_col,
+        "pos",
+        portable_hash60(F.expr(f"substring(__t, pos, {k})")).alias("h"),
     )
     frame = W.partitionBy(id_col).orderBy("pos").rowsBetween(0, window - 1)
     return (
