@@ -819,6 +819,106 @@ def q_embedding_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: token-3-gram containment of each train
+    document against the eval slice (docs with doc_id % 20 == 0 stand in
+    for the benchmark corpus — deterministic, no external data). DuckDB
+    replays tokenization, distinct n-grams, and the containment ratio."""
+    from featureextraction_spark.operators.curation import decontaminate
+
+    docs = _load(spark, sf_dir, "documents")
+    ev = docs.filter(F.col("doc_id") % 20 == 0)
+    tr = docs.filter(F.col("doc_id") % 20 != 0)
+    return decontaminate(tr, ev, n=3, threshold=0.05)
+
+
+DOMAIN_MIX_WEIGHTS = {f"src{i}": 1.0 for i in range(20)}
+DOMAIN_MIX_TOTAL = 200
+
+
+def q_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic domain-mixture sample: 200 docs at equal source
+    weights (quota 10/source); the md5(id:seed) rank makes the sample
+    content-addressed — DuckDB replays the identical rank and quota."""
+    from featureextraction_spark.operators.curation import domain_mix
+
+    docs = _load(spark, sf_dir, "documents")
+    return domain_mix(
+        docs, weights=DOMAIN_MIX_WEIGHTS, total=DOMAIN_MIX_TOTAL, domain="source"
+    )
+
+
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 TF-IDF terms per source with the exact rational BM25-style
+    idf (2N−2df+1)/(2df+1) — integer-exact products, one correctly-rounded
+    division, so the ranking is bit-identical across engines."""
+    from featureextraction_spark.operators.curation import tfidf_top_terms
+
+    docs = _load(spark, sf_dir, "documents")
+    return tfidf_top_terms(docs, k=5, by="source")
+
+
+def q_group_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-source n_chars quantiles (q ∈ {.25,.5,.75,.9}), sort-based
+    with explicit linear interpolation — the oracle replays the identical
+    pos/floor/frac expression rather than trusting quantile_cont's ULPs."""
+    from featureextraction_spark.operators.curation import group_quantiles
+
+    docs = _load(spark, sf_dir, "documents")
+    return group_quantiles(docs, value="n_chars", by="source")
+
+
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing over documents with deterministic synthetic PII
+    (emails/IPs/phones/ID runs derived from doc_id — the corpus text has
+    no digits, so injection makes the gate non-trivial); counts + typed
+    placeholder redaction, replayed byte-for-byte in DuckDB."""
+    from featureextraction_spark.operators.curation import pii_scrub
+
+    docs = _load(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    aug = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                d % 3 == 0,
+                F.concat(
+                    F.lit(" contact user"), d.cast("string"), F.lit("@example.com")
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                d % 5 == 0,
+                F.concat(F.lit(" host 10.0."), (d % 256).cast("string"), F.lit(".1")),
+            ).otherwise(F.lit("")),
+            F.when(
+                d % 7 == 0,
+                F.concat(
+                    F.lit(" call +1 555 000 "), (F.lit(1000) + d % 9000).cast("string")
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                d % 11 == 0,
+                F.concat(
+                    F.lit(" ref 9"),
+                    F.lpad((d % 100000000).cast("string"), 8, "0"),
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return pii_scrub(aug)
+
+
+def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup within coarse clusters (label column): per vector, the max
+    rounded cosine to any lower-id same-cluster peer and the deterministic
+    keep flag; the oracle replays the in-cluster pairwise cosine (DuckDB's
+    list_dot_product is the same sequential fold as the engine's
+    zip_with/aggregate, bit-for-bit)."""
+    emb = _load(spark, sf_dir, "embeddings")
+    return sim_ops.semdedup(emb, cluster_col="label", threshold=0.35)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: point-in-time feature lookup — for every purchase probe,
     the session id, running state and latest click value as of that ts,
@@ -895,6 +995,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "component_gaps": q_component_gaps,
         "components_2d": q_components_2d,
         "triplet_sample": q_triplet_sample,
+        "decontaminate": q_decontaminate,
+        "domain_mix": q_domain_mix,
+        "tfidf_top_terms": q_tfidf_top_terms,
+        "group_quantiles": q_group_quantiles,
+        "pii_scrub": q_pii_scrub,
+        "semdedup": q_semdedup,
     }
 
 
@@ -1144,6 +1250,7 @@ def oracle_sql() -> dict[str, str]:
         WHERE rg.neg_label <> p.anchor_label
     """
     base.update(_training_ops_oracle_sql())
+    base.update(_curation_oracle_sql())
     # full-probe IVF is exhaustive by construction — the exact replay gates it
     base["ivf_topk_full"] = base["cosine_topk"]
     return base
@@ -2402,3 +2509,192 @@ def _training_ops_oracle_sql() -> dict[str, str]:
         """,
     }
 
+
+
+def _curation_oracle_sql() -> dict[str, str]:
+    """DuckDB replays of the curation family (operators/curation.py +
+    similarity.semdedup). Float contracts: every float is either a ratio /
+    rational expression of exact integers (one correctly-rounded IEEE op
+    per step, identical expression shape in both engines) or an explicitly
+    shared rounded value — no streaming-float aggregates (the r2 lesson)."""
+    ngrams3 = f"""
+        toks AS (
+            SELECT doc_id, regexp_extract_all(lower(text), {_TOKENS_RE}) AS t
+            FROM documents
+        ),
+        pos AS (
+            SELECT doc_id, array_to_string(t[gs.g : gs.g + 2], ' ') AS ngram
+            FROM toks,
+                 LATERAL (SELECT unnest(generate_series(1, len(t) - 2)) AS g) gs
+            WHERE len(t) >= 3
+        )
+    """
+    return {
+        "decontaminate": f"""
+            WITH {ngrams3},
+            tr AS (
+                SELECT DISTINCT doc_id, ngram FROM pos WHERE doc_id % 20 <> 0
+            ),
+            ev AS (SELECT DISTINCT ngram FROM pos WHERE doc_id % 20 = 0),
+            per AS (
+                SELECT tr.doc_id,
+                       CAST(count(*) AS BIGINT) AS n_unique_ngrams,
+                       CAST(sum(CASE WHEN ev.ngram IS NOT NULL THEN 1 ELSE 0 END)
+                            AS BIGINT) AS eval_hits
+                FROM tr LEFT JOIN ev ON tr.ngram = ev.ngram
+                GROUP BY tr.doc_id
+            )
+            SELECT d.doc_id,
+                   coalesce(n_unique_ngrams, 0) AS n_unique_ngrams,
+                   coalesce(eval_hits, 0) AS eval_hits,
+                   CASE WHEN coalesce(n_unique_ngrams, 0) > 0
+                        THEN CAST(eval_hits AS DOUBLE)
+                             / CAST(n_unique_ngrams AS DOUBLE)
+                   END AS contamination,
+                   CAST(coalesce(CAST(eval_hits AS DOUBLE)
+                                 / CAST(n_unique_ngrams AS DOUBLE) >= 0.05,
+                                 FALSE) AS BIGINT) AS contaminated
+            FROM documents d LEFT JOIN per USING (doc_id)
+            WHERE d.doc_id % 20 <> 0
+        """,
+        # quota = floor(200 * 1/20) = 10 per source; the md5(id:42) rank is
+        # the same 60-bit contract as hash_split / triplet_sample
+        "domain_mix": """
+            WITH r AS (
+                SELECT doc_id, source,
+                       row_number() OVER (
+                           PARTITION BY source ORDER BY
+                           ('0x' || substr(md5(doc_id::VARCHAR || ':42'),
+                                           1, 15))::BIGINT, doc_id
+                       ) AS sample_rank
+                FROM documents
+            )
+            SELECT doc_id, source, CAST(sample_rank AS BIGINT) AS sample_rank
+            FROM r WHERE sample_rank <= 10
+        """,
+        "tfidf_top_terms": f"""
+            WITH toks AS (
+                SELECT doc_id, source,
+                       unnest(regexp_extract_all(lower(text), {_TOKENS_RE})) AS term
+                FROM documents
+            ),
+            tf AS (
+                SELECT source, term, CAST(count(*) AS BIGINT) AS tf
+                FROM toks GROUP BY 1, 2
+            ),
+            dfs AS (
+                SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS doc_freq
+                FROM toks GROUP BY 1
+            ),
+            n AS (SELECT count(*) AS n_docs FROM documents),
+            s AS (
+                SELECT source, term, tf, doc_freq,
+                       CAST(tf AS DOUBLE)
+                       * (2.0 * n_docs - 2.0 * doc_freq + 1.0)
+                       / (2.0 * doc_freq + 1.0) AS tfidf
+                FROM tf JOIN dfs USING (term) CROSS JOIN n
+            ),
+            r AS (
+                SELECT *, row_number() OVER (
+                    PARTITION BY source ORDER BY tfidf DESC, term
+                ) AS rank FROM s
+            )
+            SELECT source, term, tf, doc_freq,
+                   round(tfidf, 6) AS tfidf, CAST(rank AS BIGINT) AS rank
+            FROM r WHERE rank <= 5
+        """,
+        # identical pos/floor/frac expression shape as group_quantiles —
+        # NOT quantile_cont, whose interpolation may differ by a ULP
+        "group_quantiles": """
+            WITH ranked AS (
+                SELECT source, CAST(n_chars AS DOUBLE) AS v,
+                       row_number() OVER (
+                           PARTITION BY source ORDER BY CAST(n_chars AS DOUBLE)
+                       ) AS rn
+                FROM documents
+            ),
+            counts AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
+            probes AS (
+                SELECT source, n, q,
+                       CAST(n - 1 AS DOUBLE) * q AS pos,
+                       CAST(floor(CAST(n - 1 AS DOUBLE) * q) AS BIGINT) AS k
+                FROM counts,
+                     (SELECT unnest([0.25::DOUBLE, 0.5::DOUBLE,
+                                     0.75::DOUBLE, 0.9::DOUBLE]) AS q)
+            ),
+            p2 AS (
+                SELECT *, pos - CAST(k AS DOUBLE) AS frac,
+                       least(k + 1, n - 1) AS khi
+                FROM probes
+            )
+            SELECT p.source, p.q,
+                   round(lo.v + (hi.v - lo.v) * p.frac, 6) AS quantile_value,
+                   CAST(p.n AS BIGINT) AS n
+            FROM p2 p
+            JOIN ranked lo ON lo.source = p.source AND lo.rn = p.k + 1
+            JOIN ranked hi ON hi.source = p.source AND hi.rn = p.khi + 1
+        """,
+        # synthetic PII is concatenated with the same expression shape as
+        # q_pii_scrub; patterns are Java/RE2-identical (explicit classes,
+        # no lookaround); DuckDB regexp_replace needs the 'g' flag to match
+        # Spark's replace-all
+        "pii_scrub": """
+            WITH aug AS (
+                SELECT doc_id,
+                       text
+                       || CASE WHEN doc_id % 3 = 0
+                               THEN ' contact user' || doc_id::VARCHAR
+                                    || '@example.com' ELSE '' END
+                       || CASE WHEN doc_id % 5 = 0
+                               THEN ' host 10.0.' || (doc_id % 256)::VARCHAR
+                                    || '.1' ELSE '' END
+                       || CASE WHEN doc_id % 7 = 0
+                               THEN ' call +1 555 000 '
+                                    || (1000 + doc_id % 9000)::VARCHAR
+                               ELSE '' END
+                       || CASE WHEN doc_id % 11 = 0
+                               THEN ' ref 9'
+                                    || lpad((doc_id % 100000000)::VARCHAR, 8, '0')
+                               ELSE '' END AS text
+                FROM documents
+            )
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(text,
+                        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z][A-Za-z]+'))
+                        AS BIGINT) AS n_emails,
+                   CAST(len(regexp_extract_all(text,
+                        '[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}'))
+                        AS BIGINT) AS n_ips,
+                   CAST(len(regexp_extract_all(text,
+                        '\\+[0-9][0-9 -]{7,}[0-9]')) AS BIGINT) AS n_phones,
+                   CAST(len(regexp_extract_all(text, '[0-9]{9,}'))
+                        AS BIGINT) AS n_longnums,
+                   regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+                       text,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z][A-Za-z]+',
+                       '<EMAIL>', 'g'),
+                       '[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}',
+                       '<IP>', 'g'),
+                       '\\+[0-9][0-9 -]{7,}[0-9]', '<PHONE>', 'g'),
+                       '[0-9]{9,}', '<NUM>', 'g') AS clean_text
+            FROM aug
+        """,
+        "semdedup": """
+            WITH v AS (
+                SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings
+            ),
+            per AS (
+                SELECT b.vec_id AS vec_id,
+                       max(round(list_dot_product(a.e, b.e)
+                                 / (sqrt(list_dot_product(a.e, a.e))
+                                    * sqrt(list_dot_product(b.e, b.e))), 6))
+                           AS max_cos_lower
+                FROM v a JOIN v b
+                  ON a.label = b.label AND a.vec_id < b.vec_id
+                GROUP BY b.vec_id
+            )
+            SELECT v.vec_id, v.label, per.max_cos_lower,
+                   CAST(coalesce(per.max_cos_lower < 0.35, TRUE) AS BIGINT) AS keep
+            FROM v LEFT JOIN per USING (vec_id)
+        """,
+    }

@@ -1,0 +1,317 @@
+"""Training-data curation operators: benchmark decontamination, domain
+mixing, TF-IDF term profiling, exact group quantiles, and PII scrubbing.
+
+These extend the training-data-pipeline family (dedup, quality, language
+ID) with the remaining steps of a pre-training curation flow. The
+reference has no analog — its pipeline stops at feature extraction; these
+are the operations a 100-TB corpus pipeline runs before/alongside it.
+
+Determinism contract (shared with the rest of the repo): every "random"
+choice is a 60-bit md5 hash, every float is either an exact-rounded IEEE
+expression over integers or explicitly rounded — so DuckDB replays every
+operator bit-for-bit for the driver's hash gate.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from featureextraction_spark.operators.dedup import token_ngrams
+from featureextraction_spark.operators.sampling import _seed_hash
+
+
+def decontaminate(
+    train: DataFrame,
+    eval_docs: DataFrame,
+    id_col: str = "doc_id",
+    text: str = "text",
+    n: int = 3,
+    threshold: float = 0.05,
+    broadcast_eval: bool = True,
+) -> DataFrame:
+    """Benchmark decontamination by token n-gram containment (the GPT-3 /
+    PaLM eval-overlap check, arXiv:2005.14165 §C): for each training
+    document, the fraction of its DISTINCT token n-grams that also appear
+    anywhere in the eval/benchmark corpus.
+
+    Returns one row per train document: (id, n_unique_ngrams, eval_hits,
+    contamination, contaminated). Documents with < n tokens have zero
+    n-grams, NULL contamination, and are never flagged.
+
+    Scale design: benchmark corpora are small by definition, so the
+    distinct eval n-gram set is broadcast (``broadcast_eval=True``) — the
+    100-TB train side is never shuffled, just map-side joined after its
+    per-doc distinct. Set ``broadcast_eval=False`` for an oversized eval
+    set to fall back to an ngram-keyed shuffle join. Containment uses
+    DISTINCT n-grams on both sides, so a hot n-gram costs one row per doc.
+    """
+    tr = token_ngrams(train, id_col=id_col, text=text, n=n).distinct()
+    ev = (
+        token_ngrams(eval_docs, id_col=id_col, text=text, n=n)
+        .select("ngram")
+        .distinct()
+        .withColumn("__hit", F.lit(1))
+    )
+    if broadcast_eval:
+        ev = F.broadcast(ev)
+    per = (
+        tr.join(ev, "ngram", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_unique_ngrams"),
+            F.sum(F.coalesce("__hit", F.lit(0))).alias("eval_hits"),
+        )
+    )
+    # contamination = eval_hits / n_unique_ngrams: a ratio of small ints —
+    # one correctly-rounded IEEE division, bit-identical in any engine
+    return (
+        train.select(id_col)
+        .join(per, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_unique_ngrams", F.lit(0)).cast("long").alias("n_unique_ngrams"),
+            F.coalesce("eval_hits", F.lit(0)).cast("long").alias("eval_hits"),
+            F.when(
+                F.coalesce("n_unique_ngrams", F.lit(0)) > 0,
+                F.col("eval_hits").cast("double")
+                / F.col("n_unique_ngrams").cast("double"),
+            ).alias("contamination"),
+            # 0/1 long, not boolean: the driver's cross-engine value hash
+            # has only ever been exercised on numeric/string columns
+            F.coalesce(
+                F.col("eval_hits").cast("double")
+                / F.col("n_unique_ngrams").cast("double")
+                >= F.lit(float(threshold)),
+                F.lit(False),
+            )
+            .cast("long")
+            .alias("contaminated"),
+        )
+    )
+
+
+def domain_mix(
+    df: DataFrame,
+    weights: dict[str, float],
+    total: int,
+    domain: str = "source",
+    id_col: str = "doc_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Deterministic domain-mixture sampling: draw a ``total``-row sample
+    whose per-domain quotas follow ``weights`` (the data-mixing step of
+    every pre-training pipeline — e.g. The Pile / Dolma source weights).
+
+    quota(d) = floor(total * w_d / Σw); within each domain the kept rows
+    are the ``quota`` lowest by the 60-bit md5(id:seed) rank — the same
+    content-addressed pseudo-randomness as ``hash_split``, so the sample
+    is stable across runs/engines and adding new domains never reshuffles
+    existing ones. Domains absent from ``weights`` are dropped; domains
+    smaller than their quota contribute everything they have (documented:
+    the realized total can undershoot).
+
+    Returns (id, domain, sample_rank) with sample_rank ∈ [1, quota].
+
+    Scale design: one hash-rank window per domain (single shuffle on the
+    domain key); the quota table is a broadcast literal. Skewed domains
+    are bounded by their quota — rank early-exits are handled by Spark's
+    WindowGroupLimit pushdown for rank filters.
+    """
+    wsum = float(sum(weights.values()))
+    rows = [
+        (d, int(math.floor(total * w / wsum))) for d, w in sorted(weights.items())
+    ]
+    quotas = df.sparkSession.createDataFrame(rows, f"{domain} string, __quota long")
+    w = Window.partitionBy(domain).orderBy(_seed_hash(id_col, seed), F.col(id_col))
+    ranked = df.select(id_col, domain).withColumn(
+        "sample_rank", F.row_number().over(w)
+    )
+    return (
+        ranked.join(F.broadcast(quotas), domain)
+        .filter(F.col("sample_rank") <= F.col("__quota"))
+        .select(id_col, domain, F.col("sample_rank").cast("long"))
+    )
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    k: int = 5,
+    by: str = "source",
+    id_col: str = "doc_id",
+    text: str = "text",
+) -> DataFrame:
+    """Top-k characteristic terms per domain by TF-IDF — the corpus-profiling
+    report behind domain-mix decisions (what IS src7, vocabulary-wise?).
+
+    tf(d, t)  = total occurrences of term t in domain d;
+    idf(t)    = (2N − 2df + 1) / (2df + 1)   [BM25's (N − df + ½)/(df + ½),
+                scaled by 2 so both products are exact small integers];
+    score     = tf · idf.
+
+    The rational idf is chosen over log(N/df) deliberately: tf·(2N−2df+1)
+    is an exact integer in float64 and the final division is one
+    correctly-rounded IEEE op, so the score — and therefore the ranking —
+    is bit-identical across engines (log differs by ULPs between libms,
+    which can flip ranks on near-ties; the r2 ``feature_families`` flake
+    was exactly this class of bug). Ties break on the term string.
+
+    Scale design: tokens aggregate per (domain, term) map-side before the
+    df join; doc frequencies aggregate per term from per-doc distincts.
+    Two keyed shuffles + one rank window on the (small) domain-term table.
+    """
+    from featureextraction_spark.plans.feature_pipeline import TOKEN_REGEX
+
+    # unigrams need no positional slice machinery — explode the token array
+    # directly, carrying the domain column through the tokenization so no
+    # extra join is needed
+    toks = df.select(
+        F.col(id_col),
+        F.col(by),
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col(text)), F.lit(TOKEN_REGEX), F.lit(0))
+        ).alias("term"),
+    )
+    tf = toks.groupBy(by, "term").agg(F.count(F.lit(1)).alias("tf"))
+    docfreq = (
+        toks.select(id_col, "term")
+        .distinct()
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("doc_freq"))
+    )
+    n_docs = df.select(id_col).distinct().count()
+    scored = tf.join(docfreq, "term").withColumn(
+        "tfidf",
+        F.col("tf").cast("double")
+        * (F.lit(2.0 * n_docs) - F.lit(2.0) * F.col("doc_freq") + F.lit(1.0))
+        / (F.lit(2.0) * F.col("doc_freq") + F.lit(1.0)),
+    )
+    w = Window.partitionBy(by).orderBy(F.col("tfidf").desc(), F.col("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            by,
+            "term",
+            F.col("tf").cast("long"),
+            F.col("doc_freq").cast("long"),
+            F.round("tfidf", 6).alias("tfidf"),
+            F.col("rank").cast("long"),
+        )
+    )
+
+
+def group_quantiles(
+    df: DataFrame,
+    value: str,
+    by: str,
+    quantiles: tuple[float, ...] = (0.25, 0.5, 0.75, 0.9),
+) -> DataFrame:
+    """EXACT per-group quantiles with linear interpolation (numpy's default
+    / SQL ``quantile_cont`` semantics), computed sort-based rather than via
+    ``approx_percentile`` — the length/score-distribution report behind
+    corpus filtering thresholds.
+
+    For each group of n rows sorted by value: pos = (n−1)·q,
+    k = floor(pos), frac = pos − k, result = v[k] + (v[k+1] − v[k])·frac
+    (0-indexed; v[k+1] clamps to v[n−1]). The expression shape is fixed so
+    any engine evaluating the same doubles produces the same bits — the
+    driver oracle replays it literally rather than calling the engine's
+    own quantile (whose interpolation may differ by a ULP).
+
+    Scale design: one rank window per group (single shuffle on the group
+    key) + two broadcast joins of the tiny (group × quantile) probe table
+    against the ranked rows. No full collect of any group — this is the
+    distributed exact quantile, not a driver-side sort.
+    """
+    ranked = (
+        df.select(F.col(by), F.col(value).cast("double").alias("__v"))
+        .withColumn(
+            "__rn",
+            F.row_number().over(Window.partitionBy(by).orderBy("__v")),
+        )
+    )
+    counts = ranked.groupBy(by).agg(F.count(F.lit(1)).alias("__n"))
+    probes = (
+        counts.withColumn(
+            "q", F.explode(F.array(*[F.lit(float(q)) for q in quantiles]))
+        )
+        .withColumn("__pos", (F.col("__n") - F.lit(1)).cast("double") * F.col("q"))
+        .withColumn("__k", F.floor("__pos").cast("long"))
+        .withColumn("__frac", F.col("__pos") - F.col("__k").cast("double"))
+        .withColumn(
+            "__khi", F.least(F.col("__k") + F.lit(1), F.col("__n") - F.lit(1))
+        )
+    )
+    lo = ranked.select(
+        F.col(by).alias("__g_lo"),
+        F.col("__rn").alias("__lo_rn"),
+        F.col("__v").alias("__lo"),
+    )
+    hi = ranked.select(
+        F.col(by).alias("__g_hi"),
+        F.col("__rn").alias("__hi_rn"),
+        F.col("__v").alias("__hi"),
+    )
+    out = (
+        probes.join(
+            lo,
+            (F.col(by) == F.col("__g_lo")) & (F.col("__lo_rn") == F.col("__k") + 1),
+        )
+        .join(
+            hi,
+            (F.col(by) == F.col("__g_hi")) & (F.col("__hi_rn") == F.col("__khi") + 1),
+        )
+    )
+    return out.select(
+        by,
+        "q",
+        F.round(
+            F.col("__lo") + (F.col("__hi") - F.col("__lo")) * F.col("__frac"), 6
+        ).alias("quantile_value"),
+        F.col("__n").cast("long").alias("n"),
+    )
+
+
+# PII patterns restricted to constructs Java regex and RE2 evaluate
+# identically (no lookaround, explicit classes — same rule as
+# textstats.BPE_ISH_REGEX). Counting happens on the ORIGINAL text;
+# redaction applies email → ip → phone → long-number in that order so a
+# category never eats another's placeholder.
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+"
+PII_IPV4 = r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}"
+PII_PHONE = r"\+[0-9][0-9 -]{7,}[0-9]"
+PII_LONGNUM = r"[0-9]{9,}"
+
+
+def pii_scrub(
+    df: DataFrame, id_col: str = "doc_id", text: str = "text"
+) -> DataFrame:
+    """Rule-based PII detection + redaction: emails, IPv4 addresses,
+    international-format phone numbers, and ≥9-digit ID-like runs are
+    counted (on the original text) and replaced with typed placeholders —
+    the standard scrubbing pass before corpus release (C4/Dolma-style
+    regex scrubbing; no ML NER — rules only, so it is deterministic and
+    engine-replayable).
+
+    Returns (id, n_emails, n_ips, n_phones, n_longnums, clean_text).
+
+    Scale design: pure JVM regexp expressions in one narrow projection —
+    no shuffle, no Python; at 100 TB this is a map-only pass that fuses
+    into whatever scan/filter surrounds it.
+    """
+    c = F.col(text)
+    clean = F.regexp_replace(c, PII_EMAIL, "<EMAIL>")
+    clean = F.regexp_replace(clean, PII_IPV4, "<IP>")
+    clean = F.regexp_replace(clean, PII_PHONE, "<PHONE>")
+    clean = F.regexp_replace(clean, PII_LONGNUM, "<NUM>")
+    return df.select(
+        F.col(id_col),
+        F.regexp_count(c, F.lit(PII_EMAIL)).cast("long").alias("n_emails"),
+        F.regexp_count(c, F.lit(PII_IPV4)).cast("long").alias("n_ips"),
+        F.regexp_count(c, F.lit(PII_PHONE)).cast("long").alias("n_phones"),
+        F.regexp_count(c, F.lit(PII_LONGNUM)).cast("long").alias("n_longnums"),
+        clean.alias("clean_text"),
+    )

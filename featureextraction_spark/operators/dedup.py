@@ -91,6 +91,44 @@ def exact_dedup(df: DataFrame, id_col: str = "doc_id", text: str = "text") -> Da
     return fp.join(groups, "fp").select(id_col, "canonical_id", "group_size")
 
 
+def token_ngrams(
+    df: DataFrame, id_col: str = "doc_id", text: str = "text", n: int = 3
+) -> DataFrame:
+    """One (id, ngram) row per token n-gram POSITION: lowercase whitespace
+    tokens (``TOKEN_REGEX``), space-joined windows of ``n``. Documents with
+    fewer than ``n`` tokens emit zero rows. Shared by ``dup_ngram_fraction``
+    and the curation operators (decontamination, TF-IDF uses n=1).
+
+    Positions are exploded as integers and the n-gram string is built in a
+    post-generate projection — see the CollapseProject note below.
+    """
+    toks = df.select(
+        F.col(id_col),
+        F.regexp_extract_all(F.lower(F.col(text)), F.lit(TOKEN_REGEX), F.lit(0)).alias(
+            "__toks"
+        ),
+    )
+    # explode integer POSITIONS, then build each n-gram string in a
+    # post-generate projection: exploding a pre-built string array lets
+    # CollapseProject fold the whole transform/concat expression INTO the
+    # generator, which re-evaluates it per emitted element (~17× slower
+    # here); the position sequence is trivial to re-evaluate, and slice+
+    # concat_ws then run exactly once per output row
+    return toks.select(
+        id_col,
+        "__toks",
+        F.explode(
+            F.when(
+                F.size("__toks") >= n,
+                F.expr(f"sequence(1, size(__toks) - {n - 1})"),
+            ).otherwise(F.array().cast("array<int>"))
+        ).alias("__i"),
+    ).select(
+        id_col,
+        F.concat_ws(" ", F.expr(f"slice(__toks, __i, {n})")).alias("ngram"),
+    )
+
+
 def dup_ngram_fraction(
     df: DataFrame, id_col: str = "doc_id", text: str = "text", n: int = 3
 ) -> DataFrame:
@@ -111,31 +149,7 @@ def dup_ngram_fraction(
     its total occurrence count. Two keyed shuffles (ngram, then id); all
     tokenization is JVM-side regexp, zero Python.
     """
-    toks = df.select(
-        F.col(id_col),
-        F.regexp_extract_all(F.lower(F.col(text)), F.lit(TOKEN_REGEX), F.lit(0)).alias(
-            "__toks"
-        ),
-    )
-    # explode integer POSITIONS, then build each n-gram string in a
-    # post-generate projection: exploding a pre-built string array lets
-    # CollapseProject fold the whole transform/concat expression INTO the
-    # generator, which re-evaluates it per emitted element (~17× slower
-    # here); the position sequence is trivial to re-evaluate, and slice+
-    # concat_ws then run exactly once per output row
-    pos = toks.select(
-        id_col,
-        "__toks",
-        F.explode(
-            F.when(
-                F.size("__toks") >= n,
-                F.expr(f"sequence(1, size(__toks) - {n - 1})"),
-            ).otherwise(F.array().cast("array<int>"))
-        ).alias("__i"),
-    ).select(
-        id_col,
-        F.concat_ws(" ", F.expr(f"slice(__toks, __i, {n})")).alias("ngram"),
-    )
+    pos = token_ngrams(df, id_col=id_col, text=text, n=n)
     pc = pos.groupBy(id_col, "ngram").agg(F.count(F.lit(1)).alias("c"))
     dfs = pc.groupBy("ngram").agg(F.count(F.lit(1)).alias("doc_freq"))
     per = (

@@ -391,3 +391,77 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", F.col("rank").cast("long").alias("rank"))
     )
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup — semantic dedup within coarse clusters
+# ---------------------------------------------------------------------------
+
+
+def semdedup(
+    emb: DataFrame,
+    cluster_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.35,
+    round_digits: int = 6,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al.,
+    arXiv:2303.09540): restrict pairwise cosine comparison to COARSE
+    CLUSTERS, then within each cluster keep one representative per
+    near-duplicate neighborhood.
+
+    The keep rule is deterministic and engine-replayable: a vector is a
+    DUPLICATE iff some lower-id vector in the same cluster has
+    round(cosine, round_digits) >= threshold — so the lowest id of every
+    duplicate neighborhood survives, with no RNG and no iteration order.
+
+    Returns one row per input vector: (id, cluster, max_cos_lower, keep)
+    where max_cos_lower is the rounded max cosine to any lower-id
+    same-cluster peer (NULL for each cluster's lowest id).
+
+    Scale design: the self-join is keyed on the cluster column — pair
+    count is Σ c_i², bounded by the coarse clustering granularity exactly
+    as in the paper (k-means lists via ``ivf_fit`` work as the cluster
+    assignment at scale; any categorical column works for a pre-bucketed
+    corpus). One shuffle on the cluster key, one agg on id; dot products
+    are JVM-side ``zip_with``/``aggregate`` folds, zero Python.
+    """
+    a = emb.select(
+        F.col(cluster_col).alias("__c"),
+        F.col(id_col).alias("__a_id"),
+        F.col(vec_col).alias("__va"),
+    )
+    b = emb.select(
+        F.col(cluster_col).alias("__c"),
+        F.col(id_col).alias("__b_id"),
+        F.col(vec_col).alias("__vb"),
+    )
+    per = (
+        a.join(b, "__c")
+        .filter(F.col("__a_id") < F.col("__b_id"))
+        .select(
+            F.col("__b_id"),
+            F.round(
+                cosine_similarity_col(F.col("__va"), F.col("__vb")), round_digits
+            ).alias("__cos"),
+        )
+        .groupBy("__b_id")
+        .agg(F.max("__cos").alias("max_cos_lower"))
+    )
+    return (
+        emb.select(F.col(id_col), F.col(cluster_col))
+        .join(per, F.col(id_col) == F.col("__b_id"), "left")
+        .select(
+            id_col,
+            cluster_col,
+            "max_cos_lower",
+            # 0/1 long, not boolean — keeps the driver's cross-engine value
+            # hash on column types every other green query already uses
+            F.coalesce(
+                F.col("max_cos_lower") < F.lit(float(threshold)), F.lit(True)
+            )
+            .cast("long")
+            .alias("keep"),
+        )
+    )
