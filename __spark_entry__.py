@@ -919,6 +919,62 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim_ops.semdedup(emb, cluster_col="label", threshold=0.35)
 
 
+PACK_SEQ_LEN = 512  # power of 2: /512.0 is an exact float op in any engine
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing summary: each document's span in the virtual
+    concatenated token stream sliced into 512-token training sequences.
+    Order is the content-addressed md5(id:42) rank; the oracle replays
+    the cumsum with a plain global window (DuckDB-side scale is fine) —
+    the engine computes it range-partitioned with broadcast offsets."""
+    from featureextraction_spark.operators.packing import pack_sequences
+
+    docs = _load(spark, sf_dir, "documents")
+    return pack_sequences(docs, PACK_SEQ_LEN)
+
+
+def q_pack_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exploded packing assignment: one row per (document, training
+    sequence it crosses) with in-document offset, length, and position
+    within the sequence — the table a packing shard writer consumes."""
+    from featureextraction_spark.operators.packing import pack_segments
+
+    docs = _load(spark, sf_dir, "documents")
+    return pack_segments(docs, PACK_SEQ_LEN)
+
+
+def q_c4_line_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style line/page cleaning over a deterministic multi-line
+    fixture built from each document (the corpus text is single-line, so
+    the fixture injects line structure: punctuated/unpunctuated/short
+    lines plus javascript/brace/lorem markers keyed on doc_id — both
+    engines replay the construction byte-for-byte)."""
+    from featureextraction_spark.operators.curation import c4_line_filter
+
+    docs = _load(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    aug = docs.select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.concat(F.substring("text", 1, 60), F.lit(".")),
+            F.substring("text", 61, 40),
+            F.lit("ok."),
+            F.when(
+                d % 7 == 0, F.lit("please enable javascript to view this page.")
+            ).otherwise(F.concat(F.substring("text", 101, 50), F.lit("?"))),
+            F.when(d % 13 == 0, F.lit("function f() { return 1; }")).otherwise(
+                F.lit("")
+            ),
+            F.when(d % 17 == 0, F.lit("Lorem ipsum dolor sit amet.")).otherwise(
+                F.concat(F.substring("text", 151, 60), F.lit("!"))
+            ),
+        ).alias("text"),
+    )
+    return c4_line_filter(aug)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: point-in-time feature lookup — for every purchase probe,
     the session id, running state and latest click value as of that ts,
@@ -1001,6 +1057,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "group_quantiles": q_group_quantiles,
         "pii_scrub": q_pii_scrub,
         "semdedup": q_semdedup,
+        "pack_sequences": q_pack_sequences,
+        "pack_segments": q_pack_segments,
+        "c4_line_filter": q_c4_line_filter,
     }
 
 
@@ -2678,6 +2737,116 @@ def _curation_oracle_sql() -> dict[str, str]:
                        '\\+[0-9][0-9 -]{7,}[0-9]', '<PHONE>', 'g'),
                        '[0-9]{9,}', '<NUM>', 'g') AS clean_text
             FROM aug
+        """,
+        # the oracle's cumsum is a plain global window (fine at DuckDB's
+        # replay scale); the ENGINE computes it range-partitioned with
+        # per-partition broadcast offsets — packing.with_global_cumsum.
+        # 512 is a power of 2, so /512.0 + floor is bit-exact everywhere
+        "pack_sequences": f"""
+            WITH toks AS (
+                SELECT doc_id,
+                       CAST(len(regexp_extract_all(text, {_TOKENS_RE}))
+                            AS BIGINT) AS n_tokens,
+                       ('0x' || substr(md5(doc_id::VARCHAR || ':42'),
+                                       1, 15))::BIGINT AS h
+                FROM documents
+            ),
+            cum AS (
+                SELECT doc_id, n_tokens,
+                       CAST(coalesce(sum(n_tokens) OVER (
+                           ORDER BY h, doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                       ), 0) AS BIGINT) AS cum_start
+                FROM toks
+            )
+            SELECT doc_id, n_tokens, cum_start,
+                   CASE WHEN n_tokens > 0
+                        THEN CAST(floor(cum_start / 512.0) AS BIGINT)
+                   END AS first_seq,
+                   CASE WHEN n_tokens > 0
+                        THEN CAST(floor((cum_start + n_tokens - 1) / 512.0)
+                                  AS BIGINT)
+                   END AS last_seq,
+                   coalesce(CASE WHEN n_tokens > 0
+                        THEN CAST(floor((cum_start + n_tokens - 1) / 512.0)
+                                  - floor(cum_start / 512.0) + 1 AS BIGINT)
+                   END, 0) AS n_seqs
+            FROM cum
+        """,
+        "pack_segments": f"""
+            WITH toks AS (
+                SELECT doc_id,
+                       CAST(len(regexp_extract_all(text, {_TOKENS_RE}))
+                            AS BIGINT) AS n_tokens,
+                       ('0x' || substr(md5(doc_id::VARCHAR || ':42'),
+                                       1, 15))::BIGINT AS h
+                FROM documents
+            ),
+            cum AS (
+                SELECT doc_id, n_tokens,
+                       CAST(coalesce(sum(n_tokens) OVER (
+                           ORDER BY h, doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                       ), 0) AS BIGINT) AS cum_start
+                FROM toks WHERE n_tokens > 0
+            ),
+            seg AS (
+                SELECT doc_id, n_tokens, cum_start,
+                       unnest(generate_series(
+                           CAST(floor(cum_start / 512.0) AS BIGINT),
+                           CAST(floor((cum_start + n_tokens - 1) / 512.0)
+                                AS BIGINT))) AS seq_id
+                FROM cum
+            )
+            SELECT CAST(seq_id AS BIGINT) AS seq_id, doc_id,
+                   CAST(greatest(seq_id * 512 - cum_start, 0) AS BIGINT)
+                       AS seg_start,
+                   CAST(least(seq_id * 512 + 512 - cum_start, n_tokens)
+                        - greatest(seq_id * 512 - cum_start, 0) AS BIGINT)
+                       AS seg_len,
+                   CAST(greatest(cum_start - seq_id * 512, 0) AS BIGINT)
+                       AS seq_offset
+            FROM seg
+        """,
+        # multi-line fixture identical to q_c4_line_filter; the line
+        # predicate is the same Java/RE2-identical regex trio
+        "c4_line_filter": f"""
+            WITH aug AS (
+                SELECT doc_id,
+                       substr(text, 1, 60) || '.' || chr(10)
+                       || substr(text, 61, 40) || chr(10)
+                       || 'ok.' || chr(10)
+                       || CASE WHEN doc_id % 7 = 0
+                               THEN 'please enable javascript to view this page.'
+                               ELSE substr(text, 101, 50) || '?' END || chr(10)
+                       || CASE WHEN doc_id % 13 = 0
+                               THEN 'function f() {{ return 1; }}'
+                               ELSE '' END || chr(10)
+                       || CASE WHEN doc_id % 17 = 0
+                               THEN 'Lorem ipsum dolor sit amet.'
+                               ELSE substr(text, 151, 60) || '!' END AS text
+                FROM documents
+            ),
+            f AS (
+                SELECT doc_id, text,
+                       string_split(text, chr(10)) AS lines,
+                       list_filter(string_split(text, chr(10)),
+                           l -> len(regexp_extract_all(l, {_TOKENS_RE})) >= 3
+                                AND regexp_matches(trim(l), '[.!?"]$')
+                                AND NOT contains(lower(l), 'javascript')) AS kept
+                FROM aug
+            )
+            SELECT doc_id,
+                   CAST(len(lines) AS BIGINT) AS n_lines,
+                   CAST(len(kept) AS BIGINT) AS n_kept,
+                   CAST(contains(text, '{{') AS BIGINT) AS has_brace,
+                   CAST(contains(lower(text), 'lorem ipsum') AS BIGINT)
+                       AS has_lorem,
+                   CAST(len(kept) >= 3 AND NOT contains(text, '{{')
+                        AND NOT contains(lower(text), 'lorem ipsum')
+                        AS BIGINT) AS keep_doc,
+                   array_to_string(kept, chr(10)) AS clean_text
+            FROM f
         """,
         "semdedup": """
             WITH v AS (

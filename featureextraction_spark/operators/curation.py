@@ -275,6 +275,58 @@ def group_quantiles(
     )
 
 
+def c4_line_filter(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text: str = "text",
+    min_words: int = 3,
+    min_kept_lines: int = 3,
+) -> DataFrame:
+    """C4-style line/page cleaning (Raffel et al. 2020, arXiv:1910.10683
+    §2.2): keep only lines that have ≥ ``min_words`` words, end in
+    terminal punctuation, and don't mention "javascript"; flag pages
+    containing "{" (code) or the "lorem ipsum" placeholder; a page
+    survives iff it keeps ≥ ``min_kept_lines`` lines and has neither flag.
+
+    Returns (id, n_lines, n_kept, has_brace, has_lorem, keep_doc,
+    clean_text) — counts/flags as 0/1 longs for the cross-engine hash,
+    clean_text the kept lines re-joined with \\n in original order.
+
+    Scale design: the per-line pass is a higher-order ``filter`` over the
+    split array — a single narrow JVM projection with NO explode, NO
+    shuffle, NO Python; at 100 TB it fuses into the surrounding scan.
+    Predicates stick to regex constructs Java and RE2 evaluate identically
+    (explicit classes, no lookaround) so DuckDB replays the filter
+    bit-for-bit.
+    """
+    from featureextraction_spark.plans.feature_pipeline import TOKEN_REGEX
+
+    c = F.col(text)
+    line_ok = lambda l: (  # noqa: E731 — HOF predicate, shared shape
+        (F.regexp_count(l, F.lit(TOKEN_REGEX)) >= F.lit(int(min_words)))
+        & F.trim(l).rlike('[.!?"]$')
+        & ~F.lower(l).contains("javascript")
+    )
+    lines = F.split(c, "\n")
+    kept = F.filter(lines, line_ok)
+    n_kept = F.size(kept)
+    has_brace = c.contains("{")
+    has_lorem = F.lower(c).contains("lorem ipsum")
+    return df.select(
+        F.col(id_col),
+        F.size(lines).cast("long").alias("n_lines"),
+        n_kept.cast("long").alias("n_kept"),
+        has_brace.cast("long").alias("has_brace"),
+        has_lorem.cast("long").alias("has_lorem"),
+        (
+            (n_kept >= F.lit(int(min_kept_lines))) & ~has_brace & ~has_lorem
+        )
+        .cast("long")
+        .alias("keep_doc"),
+        F.array_join(kept, "\n").alias("clean_text"),
+    )
+
+
 # PII patterns restricted to constructs Java regex and RE2 evaluate
 # identically (no lookaround, explicit classes — same rule as
 # textstats.BPE_ISH_REGEX). Counting happens on the ORIGINAL text;
