@@ -655,7 +655,8 @@ def q_ivf_topk_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     # full probe is exact for ANY centroids, so a short k-means fit
     # exercises the identical machinery without 20 training iterations
     return sim_ops.ivf_topk(
-        queries_df, emb, k=10, n_lists=8, n_probe=8, max_iter=2
+        queries_df, emb, k=10, n_lists=8, n_probe=8, max_iter=2,
+        init_mode="random",
     )
 
 
@@ -975,6 +976,18 @@ def q_c4_line_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c4_line_filter(aug)
 
 
+def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed curation flow: quality score → exact-dedup canonical →
+    hash split → final keep disposition, one row per document. Each leg
+    is independently oracled elsewhere (text_quality / exact_dedup /
+    hash_split); this query gates their COMPOSITION — the disposition
+    table a corpus release writes. 2 shuffles end-to-end at any scale."""
+    from featureextraction_spark.plans.curation_pipeline import curation_pipeline
+
+    docs = _load(spark, sf_dir, "documents")
+    return curation_pipeline(docs, quality_min=0.5, seed=42)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: point-in-time feature lookup — for every purchase probe,
     the session id, running state and latest click value as of that ts,
@@ -1060,6 +1073,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": q_pack_sequences,
         "pack_segments": q_pack_segments,
         "c4_line_filter": q_c4_line_filter,
+        "curation_pipeline": q_curation_pipeline,
     }
 
 
@@ -2033,6 +2047,21 @@ _NORM_FP = (
 
 _TOKENS_RE = "'[^ \\t\\n\\r\\f\\x0B]+'"
 
+# rounded composite quality score — byte-identical to the expression inside
+# the text_quality oracle (mean of length/alpha/punct/stopword subscores)
+_QSCORE_SQL = f"""round((least(length(regexp_extract_all(text, {_TOKENS_RE})) / 20.0, 1.0)
+                          + CASE WHEN length(text) > 0
+                            THEN length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) * 1.0
+                                 / length(text) ELSE 0 END
+                          + (1.0 - least(CASE WHEN length(text) > 0
+                              THEN length(regexp_replace(text, $$[^.,;:!?'"()\\[\\]{{}}-]$$, '', 'g')) * 1.0
+                                   / length(text) ELSE 0 END * 5.0, 1.0))
+                          + least(CASE WHEN length(regexp_extract_all(text, {_TOKENS_RE})) > 0
+                              THEN length(regexp_extract_all(lower(text),
+                                   '(^|[ ])(the|and|of|to|is|in|that|it|for|with)([ ]|$)')) * 1.0
+                                   / length(regexp_extract_all(text, {_TOKENS_RE}))
+                              ELSE 0 END * 4.0, 1.0)) / 4.0, 6)"""
+
 
 def _training_ops_oracle_sql() -> dict[str, str]:
     jaccard_tail = """
@@ -2847,6 +2876,39 @@ def _curation_oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS keep_doc,
                    array_to_string(kept, chr(10)) AS clean_text
             FROM f
+        """,
+        # composition of the text_quality score, exact_dedup fingerprint
+        # groups, and the hash_split assignment — same fragments, one
+        # disposition row per document
+        "curation_pipeline": f"""
+            WITH q AS (
+                SELECT doc_id, {_QSCORE_SQL} AS quality_score FROM documents
+            ),
+            fp AS (SELECT doc_id, {_NORM_FP} AS fp FROM documents),
+            g AS (
+                SELECT fp, min(doc_id) AS canonical_id,
+                       CAST(count(*) AS BIGINT) AS group_size
+                FROM fp GROUP BY fp
+            ),
+            d AS (SELECT doc_id, canonical_id, group_size FROM fp JOIN g USING (fp)),
+            s AS (
+                SELECT doc_id,
+                       CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':42'),
+                                            1, 15))::BIGINT AS DOUBLE)
+                       / 1152921504606846976.0 AS u,
+                       CASE WHEN u < 0.8 THEN 'train'
+                            WHEN u < 0.9 THEN 'valid'
+                            ELSE 'test' END AS split
+                FROM documents
+            )
+            SELECT q.doc_id, quality_score,
+                   CAST(quality_score >= 0.5 AS BIGINT) AS quality_keep,
+                   canonical_id, group_size,
+                   CAST(q.doc_id = canonical_id AS BIGINT) AS is_canonical,
+                   split,
+                   CAST(quality_score >= 0.5 AND q.doc_id = canonical_id
+                        AS BIGINT) AS final_keep
+            FROM q JOIN d USING (doc_id) JOIN s USING (doc_id)
         """,
         "semdedup": """
             WITH v AS (

@@ -103,6 +103,61 @@ def _star_rounds(
     )
 
 
+def _driver_union_find(
+    pairs: DataFrame, a_col: str, b_col: str
+) -> DataFrame:
+    """Small-graph fast path: union-find on the collected edge list.
+
+    Near-dup graphs are usually a few orders of magnitude smaller than the
+    corpus (dedup pair rates are per-mille); below ``driver_edge_limit``
+    the iterative distributed algorithms pay 4+ Spark jobs PER ROUND for a
+    graph whose edge list is a few MB — union-find on the driver answers
+    in one collect + one parallelize. Same class of bounded driver work as
+    the minhash vocab matrix: size-GATED, never the only path.
+
+    Union-by-min + path halving keeps every root the component minimum, so
+    ``find(v)`` IS the canonical ``component_id`` — deterministic
+    regardless of edge order.
+    """
+    pdf = pairs.select(
+        F.col(a_col).alias("u"), F.col(b_col).alias("v")
+    ).toPandas()
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        # path halving
+        while parent.get(x, x) != root:
+            parent[x], x = root, parent[x]
+        return root
+
+    for u, v in zip(pdf["u"], pdf["v"]):
+        ru, rv = find(u), find(v)
+        if ru == rv:
+            continue
+        lo, hi = (ru, rv) if ru < rv else (rv, ru)
+        parent[hi] = lo
+
+    ids = sorted(set(pdf["u"]) | set(pdf["v"]))
+    import pandas as pd
+
+    out = pd.DataFrame({"id": ids, "component_id": [find(i) for i in ids]})
+    spark = pairs.sparkSession
+    id_type = dict(pairs.dtypes)[a_col]
+    if not len(out):
+        schema = pairs.select(
+            F.col(a_col).alias("id"), F.col(a_col).alias("component_id")
+        ).schema
+        return spark.createDataFrame([], schema)
+    # match the distributed path's output dtypes exactly (pandas would
+    # otherwise widen e.g. int32 ids to long)
+    return spark.createDataFrame(out).select(
+        F.col("id").cast(id_type), F.col("component_id").cast(id_type)
+    )
+
+
 def connected_components(
     pairs: DataFrame,
     a_col: str = "a_id",
@@ -111,6 +166,7 @@ def connected_components(
     algorithm: str = "auto",
     switch_after: int = 5,
     stats: dict | None = None,
+    driver_edge_limit: int = 1_000_000,
 ) -> DataFrame:
     """(id, component_id) for every vertex appearing in ``pairs``.
 
@@ -119,14 +175,30 @@ def connected_components(
 
     ``algorithm``: ``"label"`` (min-label propagation, O(diameter)
     rounds), ``"star"`` (large-star/small-star path doubling, O(log²)
-    rounds), or ``"auto"`` — label propagation that hands off to the star
-    variant after ``switch_after`` non-converged rounds, so shallow
-    near-dup graphs keep the cheaper per-round cost while adversarial
-    chains stay logarithmic. ``stats`` (optional dict) receives
-    ``{"rounds": n, "algorithm": <used>}``.
+    rounds), or ``"auto"`` — a size-gated strategy: edge sets at or below
+    ``driver_edge_limit`` (a few MB — near-dup graphs are per-mille of
+    the corpus) solve via driver union-find in one collect instead of 4+
+    jobs per distributed round; larger graphs run label propagation that
+    hands off to the star variant after ``switch_after`` non-converged
+    rounds, so shallow graphs keep the cheaper per-round cost while
+    adversarial chains stay logarithmic. ``stats`` (optional dict)
+    receives ``{"rounds": n, "algorithm": <used>}``.
     """
     if algorithm not in ("auto", "label", "star"):
         raise ValueError(f"unknown connected_components algorithm: {algorithm!r}")
+    if algorithm == "auto" and driver_edge_limit > 0:
+        pairs = pairs.persist()
+        n_pairs = pairs.count()
+        if n_pairs <= driver_edge_limit:
+            try:
+                if stats is not None:
+                    stats["rounds"] = 0
+                    stats["algorithm"] = "driver"
+                return _driver_union_find(pairs, a_col, b_col)
+            finally:
+                pairs.unpersist()
+        # big graph: fall through to the distributed paths (pairs stays
+        # cached until the doubled edge set is materialized below)
     edges = (
         pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
         .unionByName(
@@ -136,6 +208,11 @@ def connected_components(
         .persist()
     )
     try:
+        if algorithm == "auto" and driver_edge_limit > 0:
+            # materialize the doubled edge cache, then drop the upstream
+            # pair cache the size gate left behind
+            edges.count()
+            pairs.unpersist()
         verts = edges.select(F.col("src").alias("id")).distinct()
         if stats is not None:
             stats["rounds"] = 0
@@ -145,23 +222,31 @@ def connected_components(
             label_budget = switch_after if algorithm == "auto" else max_iter
             labels = _checkpoint(verts.withColumn("lbl", F.col("id")))
             for _ in range(label_budget):
-                # neighbor labels flow along edges; keep own label in the pool
+                # neighbor labels flow along edges; keep own label in the
+                # pool, TAGGED, so the round's aggregate carries both the
+                # new min and the previous label — the convergence check
+                # is then a filter over the checkpointed result instead of
+                # a second shuffle join of old vs new label tables
                 msgs = edges.join(
                     labels.select(F.col("id").alias("src"), "lbl"), "src"
-                ).select(F.col("dst").alias("id"), "lbl")
+                ).select(F.col("dst").alias("id"), "lbl", F.lit(0).alias("__own"))
                 new_labels = _checkpoint(
-                    labels.unionByName(msgs)
+                    labels.select("id", "lbl", F.lit(1).alias("__own"))
+                    .unionByName(msgs)
                     .groupBy("id")
-                    .agg(F.min("lbl").alias("lbl"))
+                    .agg(
+                        F.min("lbl").alias("lbl"),
+                        F.min(F.when(F.col("__own") == 1, F.col("lbl"))).alias(
+                            "__old"
+                        ),
+                    )
                 )
                 changed = (
-                    new_labels.alias("n")
-                    .join(labels.alias("o"), "id")
-                    .filter(F.col("n.lbl") != F.col("o.lbl"))
+                    new_labels.filter(F.col("lbl") < F.col("__old"))
                     .limit(1)
                     .count()
                 )
-                labels = new_labels
+                labels = new_labels.select("id", "lbl")
                 if stats is not None:
                     stats["rounds"] += 1
                 if changed == 0:

@@ -288,6 +288,7 @@ def ivf_fit(
     vec_col: str = "embedding",
     seed: int = 42,
     max_iter: int = 20,
+    init_mode: str = "k-means||",
 ) -> tuple[list[list[float]], DataFrame]:
     """Train the IVF coarse quantizer and assign every corpus vector to its
     nearest centroid list.
@@ -311,10 +312,23 @@ def ivf_fit(
             )
         ).alias("__nv"),
     )
+    # the fit iterates over its input: persist through the fit so each
+    # iteration (and the final assignment pass) reads cached blocks, not
+    # the parquet scan + normalization again
+    normed = normed.persist()
+    # init_mode="random" skips kmeans||'s ~5 extra init passes — right
+    # when centroid QUALITY doesn't matter (e.g. full-probe IVF, which is
+    # exact for ANY centroids); keep the default for real ANN indexes
     km = KMeans(k=n_lists, seed=seed, maxIter=max_iter, featuresCol="__nv",
-                predictionCol="list_id")
-    model = km.fit(normed)
-    assigned = model.transform(normed).select(id_col, vec_col, "list_id")
+                predictionCol="list_id", initMode=init_mode)
+    try:
+        model = km.fit(normed)
+        assigned = model.transform(normed).select(id_col, vec_col, "list_id")
+        # materialize the (narrow) assignment before dropping the cache the
+        # plan depends on
+        assigned = assigned.localCheckpoint()
+    finally:
+        normed.unpersist()
     centroids = [c.tolist() for c in model.clusterCenters()]
     return centroids, assigned
 
@@ -332,6 +346,7 @@ def ivf_topk(
     assigned: DataFrame | None = None,
     centroids: list[list[float]] | None = None,
     max_iter: int = 20,
+    init_mode: str = "k-means||",
 ) -> DataFrame:
     """Approximate top-k via IVF: probe the ``n_probe`` nearest centroid
     lists per query, exact cosine + rank over those lists' members only.
@@ -346,7 +361,8 @@ def ivf_topk(
 
     if assigned is None or centroids is None:
         centroids, assigned = ivf_fit(
-            corpus, n_lists, id_col, vec_col, seed=seed, max_iter=max_iter
+            corpus, n_lists, id_col, vec_col, seed=seed, max_iter=max_iter,
+            init_mode=init_mode,
         )
 
     # per-query centroid scores JVM-side: cosine(query, centroid_i) for the

@@ -102,7 +102,8 @@ def test_auto_switches_to_star_on_deep_chain(spark):
     )
     stats = {}
     got = connected_components(
-        df, algorithm="auto", switch_after=3, max_iter=40, stats=stats
+        df, algorithm="auto", switch_after=3, max_iter=40, stats=stats,
+        driver_edge_limit=0,  # force the distributed handoff under test
     ).collect()
     assert stats["algorithm"] == "star"
     assert len(got) == n and all(r["component_id"] == 0 for r in got)
@@ -115,7 +116,57 @@ def test_auto_stays_on_label_for_shallow_graph(spark):
     stats = {}
     got = {
         r["id"]: r["component_id"]
-        for r in connected_components(df, stats=stats).collect()
+        for r in connected_components(
+            df, stats=stats, driver_edge_limit=0
+        ).collect()
     }
     assert stats["algorithm"] == "label"
     assert got == {0: 0, 1: 0, 2: 0, 10: 10, 11: 10}
+
+
+def test_auto_small_graph_takes_driver_path(spark):
+    df = spark.createDataFrame(
+        [(0, 1), (1, 2), (10, 11)], "a_id long, b_id long"
+    )
+    stats = {}
+    got = {
+        r["id"]: r["component_id"]
+        for r in connected_components(df, stats=stats).collect()
+    }
+    assert stats["algorithm"] == "driver"
+    assert got == {0: 0, 1: 0, 2: 0, 10: 10, 11: 10}
+
+
+@pytest.mark.parametrize("seed", [7, 8])
+def test_all_three_strategies_agree(spark, seed):
+    rng = random.Random(seed)
+    n = 150
+    pairs = [(rng.randrange(n), rng.randrange(n)) for _ in range(110)]
+    pairs = [(a, b) for a, b in pairs if a != b]
+    df = spark.createDataFrame(pairs, "a_id long, b_id long")
+    results = []
+    for kwargs in (
+        {"algorithm": "auto"},                          # driver union-find
+        {"algorithm": "label", "driver_edge_limit": 0},
+        {"algorithm": "star", "driver_edge_limit": 0},
+    ):
+        results.append(
+            sorted(
+                (r["id"], r["component_id"])
+                for r in connected_components(df, **kwargs).collect()
+            )
+        )
+    assert results[0] == results[1] == results[2]
+    # dtype parity: driver path must not widen the id type
+    auto_df = connected_components(df)
+    assert dict(auto_df.dtypes) == {"id": "bigint", "component_id": "bigint"}
+
+
+def test_driver_path_string_ids(spark):
+    df = spark.createDataFrame(
+        [("b", "a"), ("c", "b"), ("x", "y")], "a_id string, b_id string"
+    )
+    got = {
+        r["id"]: r["component_id"] for r in connected_components(df).collect()
+    }
+    assert got == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x"}
