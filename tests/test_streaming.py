@@ -349,3 +349,62 @@ def test_streaming_dedup_matches_batch_distinct(spark, stream_dir, batch_df):
     # every emitted row is a real input row (first arrival, not a synth)
     n_in = batch_df.count()
     assert 0 < len(got) <= n_in
+
+
+def test_stateless_curation_ops_run_on_streams(spark, tmp_path):
+    """pii_scrub / c4_line_filter / with_quality_features are stateless
+    projections — they must run UNCHANGED on a structured stream and
+    produce exactly the batch result (the 100-TB story: the same curation
+    pass works on live ingestion)."""
+    import pandas as pd
+
+    from featureextraction_spark.functions.textstats import with_quality_features
+    from featureextraction_spark.operators.curation import c4_line_filter, pii_scrub
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(40),
+            "text": [
+                f"line one for doc {i} stays in.\nshort.\n"
+                f"mail me at user{i}@example.com or call +1 555 000 {1000 + i}"
+                for i in range(40)
+            ],
+        }
+    )
+    src_dir = str(tmp_path / "docs")
+    os.makedirs(src_dir)
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    for i in range(2):
+        pq.write_table(
+            pa.Table.from_pandas(pdf.iloc[i * 20 : (i + 1) * 20], preserve_index=False),
+            os.path.join(src_dir, f"c{i}.parquet"),
+        )
+    batch = spark.read.parquet(src_dir)
+
+    def transform(df):
+        scrubbed = pii_scrub(df).withColumnRenamed("clean_text", "text")
+        return c4_line_filter(with_quality_features(scrubbed).select("doc_id", "text", "quality_score"))
+
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    q = (
+        transform(stream)
+        .writeStream.format("memory")
+        .queryName("curation_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = (
+        spark.table("curation_stream").toPandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    want = transform(batch).toPandas().sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want)
+    # the scrub actually fired before the line filter saw the text
+    assert "<EMAIL>" in got.loc[0, "clean_text"] or got.loc[0, "n_kept"] >= 1
