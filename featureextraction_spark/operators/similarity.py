@@ -414,6 +414,74 @@ def ivf_topk(
 # ---------------------------------------------------------------------------
 
 
+def _semdedup_gemm_max_lower(
+    emb: DataFrame,
+    cluster_col: str,
+    id_col: str,
+    vec_col: str,
+    round_digits: int,
+    block_size: int = 1024,
+) -> DataFrame:
+    """(id → max rounded cosine to any lower-id same-cluster peer) via one
+    numpy GEMM per in-cluster block pair, mirroring
+    ``blockpair.blocked_cosine_pairs``: per-cluster id-sorted blocks,
+    ``ab <= bb`` join keyed on the cluster, matrix multiply per task. Same
+    Σc² pair count as the expression path, ~matrix-kernel constant factor
+    instead of a per-pair expression tree.
+    """
+    from collections.abc import Iterator
+
+    import pandas as pd
+    from pyspark.sql import Window
+
+    id_type = dict(emb.dtypes)[id_col]
+    w = Window.partitionBy("__c").orderBy(id_col)
+    blocks = (
+        emb.select(
+            F.col(cluster_col).alias("__c"), F.col(id_col), F.col(vec_col)
+        )
+        .withColumn("__blk", ((F.row_number().over(w) - 1) / block_size).cast("int"))
+        .groupBy("__c", "__blk")
+        .agg(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(F.col(id_col).alias("i"), F.col(vec_col).alias("v"))
+                )
+            ).alias("rows")
+        )
+    )
+    a = blocks.select(
+        "__c", F.col("__blk").alias("ab"), F.col("rows").alias("arows")
+    )
+    b = blocks.select(
+        "__c", F.col("__blk").alias("bb"), F.col("rows").alias("brows")
+    )
+    pairs = a.join(b, "__c").filter(F.col("ab") <= F.col("bb"))
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for row in pdf.itertuples(index=False):
+                aids = np.asarray([r["i"] for r in row.arows])
+                av = np.array([r["v"] for r in row.arows], dtype=np.float64)
+                bids = np.asarray([r["i"] for r in row.brows])
+                bv = np.array([r["v"] for r in row.brows], dtype=np.float64)
+                an = av / np.linalg.norm(av, axis=1, keepdims=True)
+                bn = bv / np.linalg.norm(bv, axis=1, keepdims=True)
+                cos = np.round(an @ bn.T, round_digits)
+                lower = aids[:, None] < bids[None, :]
+                best = np.where(lower, cos, -np.inf).max(axis=0)
+                ok = best > -np.inf
+                if ok.any():
+                    yield pd.DataFrame(
+                        {"__b_id": bids[ok], "__cos": best[ok]}
+                    )
+
+    per = pairs.mapInPandas(
+        kernel, schema=f"__b_id {id_type}, __cos double"
+    ).groupBy("__b_id").agg(F.max("__cos").alias("max_cos_lower"))
+    return per
+
+
 def semdedup(
     emb: DataFrame,
     cluster_col: str = "label",
@@ -421,6 +489,8 @@ def semdedup(
     vec_col: str = "embedding",
     threshold: float = 0.35,
     round_digits: int = 6,
+    strategy: str = "auto",
+    gemm_min_rows: int = 1000,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al.,
     arXiv:2303.09540): restrict pairwise cosine comparison to COARSE
@@ -440,9 +510,40 @@ def semdedup(
     count is Σ c_i², bounded by the coarse clustering granularity exactly
     as in the paper (k-means lists via ``ivf_fit`` work as the cluster
     assignment at scale; any categorical column works for a pre-bucketed
-    corpus). One shuffle on the cluster key, one agg on id; dot products
-    are JVM-side ``zip_with``/``aggregate`` folds, zero Python.
+    corpus). One shuffle on the cluster key, one agg on id.
+
+    ``strategy``: ``"expr"`` evaluates dot products as JVM
+    ``zip_with``/``aggregate`` folds — bit-identical to DuckDB's
+    ``list_dot_product`` sequential fold (the driver-oracle contract);
+    ``"gemm"`` runs one numpy matrix multiply per in-cluster block pair
+    (Arrow batches, ~50× per-pair constant) — same rounded values except
+    where a pairwise-summed dot differs from the sequential fold at the
+    round boundary; ``"auto"`` (default) uses expr below
+    ``gemm_min_rows`` corpus rows (small/oracled runs) and gemm above
+    (the 100-TB regime, where the matrix kernel constant dominates).
     """
+    if strategy not in ("auto", "expr", "gemm"):
+        raise ValueError(f"unknown semdedup strategy: {strategy!r}")
+    if strategy == "auto":
+        strategy = "gemm" if emb.count() >= gemm_min_rows else "expr"
+    if strategy == "gemm":
+        per = _semdedup_gemm_max_lower(
+            emb, cluster_col, id_col, vec_col, round_digits
+        ).withColumnRenamed("__b_id", "__out_id")
+        return (
+            emb.select(F.col(id_col), F.col(cluster_col))
+            .join(per, F.col(id_col) == F.col("__out_id"), "left")
+            .select(
+                id_col,
+                cluster_col,
+                "max_cos_lower",
+                F.coalesce(
+                    F.col("max_cos_lower") < F.lit(float(threshold)), F.lit(True)
+                )
+                .cast("long")
+                .alias("keep"),
+            )
+        )
     a = emb.select(
         F.col(cluster_col).alias("__c"),
         F.col(id_col).alias("__a_id"),
