@@ -149,3 +149,19 @@ def test_ivf_candidate_join_is_equi_join(spark):
     )
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_packing_cumsum_no_single_partition_exchange(spark):
+    """The packing global cumsum must be the range-partition +
+    broadcast-offset formulation — never `Exchange SinglePartition` (the
+    footprint of sum() OVER (ORDER BY ...) with no PARTITION BY)."""
+    from featureextraction_spark.operators.packing import (
+        pack_segments,
+        pack_sequences,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = plan_of(pack_sequences(docs, 128))
+    assert "Exchange SinglePartition" not in plan, plan
+    plan = plan_of(pack_segments(docs, 128))
+    assert "Exchange SinglePartition" not in plan, plan
