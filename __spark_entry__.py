@@ -976,6 +976,38 @@ def q_c4_line_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c4_line_filter(aug)
 
 
+def q_duplicated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level exact substring dedup (Lee et al. ACL'22): maximal runs
+    of token positions whose 4-gram occurs in ≥2 distinct documents.
+    Deterministic boilerplate (copyright header / newsletter footer keyed
+    on doc_id) is injected so cross-document duplicated spans exist in
+    the synthetic corpus; DuckDB replays injection, positional n-grams,
+    doc frequencies, and the island merge."""
+    docs = _load(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    aug = docs.select(
+        "doc_id",
+        F.concat(
+            F.when(
+                d % 4 == 0,
+                F.lit(
+                    "copyright acme corp all rights reserved "
+                    "do not redistribute this file "
+                ),
+            ).otherwise(F.lit("")),
+            F.col("text"),
+            F.when(
+                d % 6 == 0,
+                F.lit(
+                    " subscribe to our newsletter for more updates"
+                    " and exclusive offers"
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return dedup_ops.duplicated_spans(aug, n=4, min_df=2)
+
+
 def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composed curation flow: quality score → exact-dedup canonical →
     hash split → final keep disposition, one row per document. Each leg
@@ -1074,6 +1106,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_segments": q_pack_segments,
         "c4_line_filter": q_c4_line_filter,
         "curation_pipeline": q_curation_pipeline,
+        "duplicated_spans": q_duplicated_spans,
     }
 
 
@@ -2876,6 +2909,59 @@ def _curation_oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS keep_doc,
                    array_to_string(kept, chr(10)) AS clean_text
             FROM f
+        """,
+        "duplicated_spans": f"""
+            WITH aug AS (
+                SELECT doc_id,
+                       CASE WHEN doc_id % 4 = 0
+                            THEN 'copyright acme corp all rights reserved '
+                                 || 'do not redistribute this file '
+                            ELSE '' END
+                       || text
+                       || CASE WHEN doc_id % 6 = 0
+                               THEN ' subscribe to our newsletter for more'
+                                    || ' updates and exclusive offers'
+                               ELSE '' END AS text
+                FROM documents
+            ),
+            toks AS (
+                SELECT doc_id, regexp_extract_all(lower(text), {_TOKENS_RE}) AS t
+                FROM aug
+            ),
+            pos AS (
+                SELECT doc_id, gs.g - 1 AS p,
+                       array_to_string(t[gs.g : gs.g + 3], ' ') AS ngram
+                FROM toks,
+                     LATERAL (SELECT unnest(generate_series(1, len(t) - 3)) AS g) gs
+                WHERE len(t) >= 4
+            ),
+            dfs AS (
+                SELECT ngram FROM (
+                    SELECT ngram, count(DISTINCT doc_id) AS ddf
+                    FROM pos GROUP BY 1
+                ) WHERE ddf >= 2
+            ),
+            dup AS (SELECT doc_id, p FROM pos JOIN dfs USING (ngram)),
+            grp AS (
+                SELECT doc_id, p,
+                       p - row_number() OVER (
+                           PARTITION BY doc_id ORDER BY p) AS g
+                FROM dup
+            ),
+            sp AS (
+                SELECT doc_id, min(p) AS start_tok, max(p) + 4 AS end_tok,
+                       count(*) AS n_dup_grams
+                FROM grp GROUP BY doc_id, g
+            )
+            SELECT doc_id,
+                   CAST(row_number() OVER (
+                       PARTITION BY doc_id ORDER BY start_tok) AS BIGINT)
+                       AS span_rank,
+                   CAST(start_tok AS BIGINT) AS start_tok,
+                   CAST(end_tok AS BIGINT) AS end_tok,
+                   CAST(end_tok - start_tok AS BIGINT) AS span_tokens,
+                   CAST(n_dup_grams AS BIGINT) AS n_dup_grams
+            FROM sp
         """,
         # composition of the text_quality score, exact_dedup fingerprint
         # groups, and the hash_split assignment — same fragments, one

@@ -20,7 +20,7 @@ Spark's xxhash64, which nothing else can replay.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from featureextraction_spark.operators.cache import persist_tracked
@@ -174,6 +174,89 @@ def dup_ngram_fraction(
                 F.col("dup_ngrams").cast("double") / F.col("n_ngrams").cast("double"),
             ).alias("dup_fraction"),
         )
+    )
+
+
+def token_ngrams_pos(
+    df: DataFrame, id_col: str = "doc_id", text: str = "text", n: int = 3
+) -> DataFrame:
+    """``token_ngrams`` with the 0-based token POSITION kept:
+    (id, pos, ngram). Same positions-explode shape (the ngram string is
+    built post-generate, once per row)."""
+    toks = df.select(
+        F.col(id_col),
+        F.regexp_extract_all(F.lower(F.col(text)), F.lit(TOKEN_REGEX), F.lit(0)).alias(
+            "__toks"
+        ),
+    )
+    return toks.select(
+        id_col,
+        "__toks",
+        F.explode(
+            F.when(
+                F.size("__toks") >= n,
+                F.expr(f"sequence(1, size(__toks) - {n - 1})"),
+            ).otherwise(F.array().cast("array<int>"))
+        ).alias("__i"),
+    ).select(
+        id_col,
+        (F.col("__i") - 1).cast("long").alias("pos"),
+        F.concat_ws(" ", F.expr(f"slice(__toks, __i, {n})")).alias("ngram"),
+    )
+
+
+def duplicated_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text: str = "text",
+    n: int = 4,
+    min_df: int = 2,
+) -> DataFrame:
+    """Span-level exact substring dedup (Lee et al. ACL'22): for each
+    document, the MAXIMAL runs of token positions whose ``n``-gram occurs
+    in ≥ ``min_df`` distinct documents — the spans a substring-dedup pass
+    would cut, as a (doc, span) table with token offsets.
+
+    Returns (id, span_rank, start_tok, end_tok, span_tokens,
+    n_dup_grams): ``[start_tok, end_tok)`` is the 0-based token interval
+    covered by consecutive duplicated n-grams (end = last dup position +
+    n), ``span_rank`` orders a document's spans, ``n_dup_grams`` counts
+    the run's duplicated positions.
+
+    Scale design: doc frequencies aggregate from per-doc DISTINCT n-grams
+    (map-side combine; a hot boilerplate gram costs one row per doc);
+    positions of duplicated grams come back through one ngram-keyed
+    equi-join, and the run merge is the cumsum-island trick (pos −
+    row_number is constant within a consecutive run) under a window
+    PARTITIONED by document — no global window, two keyed shuffles total.
+    """
+    pos = token_ngrams_pos(df, id_col=id_col, text=text, n=n)
+    dfs = (
+        pos.select(id_col, "ngram")
+        .distinct()
+        .groupBy("ngram")
+        .agg(F.count(F.lit(1)).alias("__ddf"))
+        .filter(F.col("__ddf") >= min_df)
+        .select("ngram")
+    )
+    dup = pos.join(dfs, "ngram").select(id_col, "pos")
+    w = Window.partitionBy(id_col).orderBy("pos")
+    grp = dup.withColumn(
+        "__grp", F.col("pos") - F.row_number().over(w)
+    )
+    spans = grp.groupBy(id_col, "__grp").agg(
+        F.min("pos").alias("start_tok"),
+        (F.max("pos") + n).alias("end_tok"),
+        F.count(F.lit(1)).alias("n_dup_grams"),
+    )
+    wr = Window.partitionBy(id_col).orderBy("start_tok")
+    return spans.select(
+        id_col,
+        F.row_number().over(wr).cast("long").alias("span_rank"),
+        F.col("start_tok").cast("long"),
+        F.col("end_tok").cast("long"),
+        (F.col("end_tok") - F.col("start_tok")).cast("long").alias("span_tokens"),
+        F.col("n_dup_grams").cast("long"),
     )
 
 

@@ -594,3 +594,61 @@ def test_dup_ngram_fraction_counts_positions_not_types(spark):
     assert got.loc[0, "dup_ngrams"] == 3
     assert got.loc[1, "n_ngrams"] == 1
     assert got.loc[1, "dup_ngrams"] == 1
+
+
+def test_duplicated_spans_vs_naive(spark):
+    """Island merge of duplicated n-gram positions vs a pure-python replay
+    on a corpus with known shared boilerplate."""
+    import re as _re
+
+    from featureextraction_spark.operators.dedup import duplicated_spans
+
+    boiler = "all rights reserved do not copy"
+    rows = [
+        (1, f"{boiler} unique alpha beta gamma delta"),
+        (2, f"prefix words here {boiler} and a tail"),
+        (3, "completely original text with no duplication at all"),
+        (4, f"{boiler} {boiler} doubled banner"),   # adjacent repeats merge
+        (5, "short"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    n = 3
+    out = duplicated_spans(df, n=n, min_df=2).toPandas()
+
+    tok = _re.compile(r"[^ \t\n\r\f\x0b]+")
+    toks = {i: tok.findall(t.lower()) for i, t in rows}
+    grams: dict = {}
+    for i, ts in toks.items():
+        for p in range(len(ts) - n + 1):
+            grams.setdefault(" ".join(ts[p : p + n]), set()).add(i)
+    dup_pos = {
+        i: sorted(
+            p
+            for p in range(len(ts) - n + 1)
+            if len(grams[" ".join(ts[p : p + n])]) >= 2
+        )
+        for i, ts in toks.items()
+    }
+    want = []
+    for i, ps in dup_pos.items():
+        run: list = []
+        for p in ps:
+            if run and p == run[-1] + 1:
+                run.append(p)
+            else:
+                if run:
+                    want.append((i, run[0], run[-1] + n, len(run)))
+                run = [p]
+        if run:
+            want.append((i, run[0], run[-1] + n, len(run)))
+    got = sorted(
+        (r.doc_id, r.start_tok, r.end_tok, r.n_dup_grams)
+        for r in out.itertuples()
+    )
+    assert got == sorted(want)
+    # ranks are dense per doc in start order
+    for _, g in out.groupby("doc_id"):
+        assert sorted(g.span_rank) == list(range(1, len(g) + 1))
+        assert (g.span_tokens == g.end_tok - g.start_tok).all()
+    # doc 3 and the too-short doc 5 have no spans
+    assert not set(out.doc_id) & {3, 5}
