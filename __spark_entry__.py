@@ -976,6 +976,63 @@ def q_c4_line_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c4_line_filter(aug)
 
 
+def q_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style hashed uni+bigram importance weights with the
+    doc_id % 10 == 0 slice as the target distribution. Ships the integer
+    quantized-ratio columns through the hash gate; the float
+    log-likelihood-ratio column is pytest-oracled with tolerance."""
+    from featureextraction_spark.operators.curation import dsir_weights
+
+    docs = _load(spark, sf_dir, "documents")
+    return dsir_weights(
+        docs, target=F.col("doc_id") % 10 == 0, buckets=1024
+    ).select("doc_id", "n_grams", "weight_q", "ratio_score")
+
+
+def q_unigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-shaped LM quality proxy: Laplace unigram LM fit on the
+    doc_id % 10 == 0 reference slice, every document scored under it.
+    Only the bit-exact columns ship through the hash gate (the integer
+    numerator and its single-division mean probability); the float
+    avg-logprob/ppl columns are pytest-oracled with tolerance instead
+    (multi-term float sums are accumulation-order-dependent)."""
+    from featureextraction_spark.functions.textstats import unigram_lm_score
+
+    docs = _load(spark, sf_dir, "documents")
+    return unigram_lm_score(docs, ref=F.col("doc_id") % 10 == 0).select(
+        "doc_id", "n_tokens", "oov_tokens", "lm_num", "mean_tok_prob"
+    )
+
+
+def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style line-level duplication fractions over a deterministic
+    multi-line fixture (repeated nav/footer lines and duplicate empties
+    keyed on doc_id — the corpus text is single-line, so line structure
+    is injected; both engines replay the construction byte-for-byte)."""
+    from featureextraction_spark.functions.textstats import line_dedup_features
+
+    docs = _load(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    aug = docs.select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.substring("text", 1, 40),
+            F.substring("text", 41, 30),
+            F.when(d % 3 == 0, F.substring("text", 1, 40)).otherwise(
+                F.substring("text", 71, 30)
+            ),
+            F.lit("contact us at example dot com"),
+            F.when(d % 5 == 0, F.lit("contact us at example dot com")).otherwise(
+                F.substring("text", 101, 25)
+            ),
+            F.when(d % 2 == 0, F.lit("")).otherwise(F.lit("x")),
+            F.lit(""),
+        ).alias("text"),
+    )
+    return line_dedup_features(aug)
+
+
 def q_duplicated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Span-level exact substring dedup (Lee et al. ACL'22): maximal runs
     of token positions whose 4-gram occurs in ≥2 distinct documents.
@@ -983,9 +1040,17 @@ def q_duplicated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     on doc_id) is injected so cross-document duplicated spans exist in
     the synthetic corpus; DuckDB replays injection, positional n-grams,
     doc frequencies, and the island merge."""
+    return dedup_ops.duplicated_spans(_spans_corpus(spark, sf_dir), n=4, min_df=2)
+
+
+def _spans_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents with deterministic boilerplate injected (copyright header
+    on doc_id % 4 == 0, newsletter footer on % 6 == 0) so cross-document
+    duplicated spans exist; shared by the substring-dedup queries and
+    replayed verbatim by their oracles."""
     docs = _load(spark, sf_dir, "documents")
     d = F.col("doc_id")
-    aug = docs.select(
+    return docs.select(
         "doc_id",
         F.concat(
             F.when(
@@ -1005,7 +1070,16 @@ def q_duplicated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).otherwise(F.lit("")),
         ).alias("text"),
     )
-    return dedup_ops.duplicated_spans(aug, n=4, min_df=2)
+
+
+def q_cut_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply step of span-level substring dedup: cut every token covered
+    by a cross-document duplicated 4-gram run (same boilerplate injection
+    as ``duplicated_spans``) and reassemble the survivors. DuckDB replays
+    the cover-set union and the token-level anti-join reassembly."""
+    return dedup_ops.cut_duplicated_spans(
+        _spans_corpus(spark, sf_dir), n=4, min_df=2
+    )
 
 
 def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1107,6 +1181,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c4_line_filter": q_c4_line_filter,
         "curation_pipeline": q_curation_pipeline,
         "duplicated_spans": q_duplicated_spans,
+        "cut_dup_spans": q_cut_dup_spans,
+        "line_dedup": q_line_dedup,
+        "unigram_lm": q_unigram_lm,
+        "dsir": q_dsir,
     }
 
 
@@ -2962,6 +3040,179 @@ def _curation_oracle_sql() -> dict[str, str]:
                    CAST(end_tok - start_tok AS BIGINT) AS span_tokens,
                    CAST(n_dup_grams AS BIGINT) AS n_dup_grams
             FROM sp
+        """,
+        "dsir": f"""
+            WITH toks AS (
+                SELECT doc_id,
+                       regexp_extract_all(lower(text), {_TOKENS_RE}) AS t
+                FROM documents
+            ),
+            grams AS (
+                SELECT doc_id, unnest(t) AS g FROM toks
+                UNION ALL
+                SELECT doc_id, t[gs.i] || ' ' || t[gs.i + 1] AS g
+                FROM toks,
+                     LATERAL (SELECT unnest(generate_series(1, len(t) - 1)) AS i) gs
+                WHERE len(t) >= 2
+            ),
+            gb AS (
+                SELECT doc_id,
+                       ('0x' || substr(md5(g), 1, 15))::BIGINT % 1024 AS b
+                FROM grams
+            ),
+            counts AS (
+                SELECT b,
+                       sum(CASE WHEN doc_id % 10 = 0 THEN 1 ELSE 0 END) AS ct,
+                       sum(CASE WHEN doc_id % 10 = 0 THEN 0 ELSE 1 END) AS cr
+                FROM gb GROUP BY b
+            ),
+            agg AS (
+                SELECT doc_id, count(*) AS n_grams,
+                       sum(((ct + 1) * 1000000) // (cr + 1)) AS weight_q
+                FROM gb JOIN counts USING (b) GROUP BY doc_id
+            )
+            SELECT doc_id,
+                   CAST(n_grams AS BIGINT) AS n_grams,
+                   CAST(weight_q AS BIGINT) AS weight_q,
+                   CAST(weight_q AS DOUBLE) / (n_grams * 1000000)
+                       AS ratio_score
+            FROM agg
+        """,
+        "unigram_lm": f"""
+            WITH tok AS (
+                SELECT doc_id,
+                       unnest(regexp_extract_all(lower(text), {_TOKENS_RE})) AS t
+                FROM documents
+            ),
+            lm AS (
+                SELECT t, count(*) AS c FROM tok
+                WHERE doc_id % 10 = 0 GROUP BY t
+            ),
+            tot AS (
+                SELECT coalesce(sum(c), 0) AS n, count(*) AS v FROM lm
+            ),
+            agg AS (
+                SELECT tok.doc_id,
+                       count(*) AS n_tokens,
+                       count(*) FILTER (lm.c IS NULL) AS oov_tokens,
+                       sum(coalesce(lm.c, 0) + 1) AS lm_num
+                FROM tok LEFT JOIN lm USING (t)
+                GROUP BY tok.doc_id
+            )
+            SELECT d.doc_id,
+                   CAST(coalesce(a.n_tokens, 0) AS BIGINT) AS n_tokens,
+                   CAST(coalesce(a.oov_tokens, 0) AS BIGINT) AS oov_tokens,
+                   CAST(coalesce(a.lm_num, 0) AS BIGINT) AS lm_num,
+                   CASE WHEN coalesce(a.n_tokens, 0) = 0 THEN 0.0
+                        ELSE CAST(a.lm_num AS DOUBLE)
+                             / (a.n_tokens * (tot.n + tot.v + 1)) END
+                       AS mean_tok_prob
+            FROM documents d LEFT JOIN agg a USING (doc_id), tot
+        """,
+        "line_dedup": """
+            WITH aug AS (
+                SELECT doc_id,
+                       concat_ws(chr(10),
+                           substr(text, 1, 40),
+                           substr(text, 41, 30),
+                           CASE WHEN doc_id % 3 = 0 THEN substr(text, 1, 40)
+                                ELSE substr(text, 71, 30) END,
+                           'contact us at example dot com',
+                           CASE WHEN doc_id % 5 = 0
+                                THEN 'contact us at example dot com'
+                                ELSE substr(text, 101, 25) END,
+                           CASE WHEN doc_id % 2 = 0 THEN '' ELSE 'x' END,
+                           '') AS text
+                FROM documents
+            ),
+            l AS (
+                SELECT doc_id, unnest(string_split(text, chr(10))) AS line
+                FROM aug
+            ),
+            per AS (
+                SELECT doc_id, line, count(*) AS c, len(line) AS ln
+                FROM l GROUP BY doc_id, line
+            ),
+            agg AS (
+                SELECT doc_id,
+                       CAST(sum(c) AS BIGINT) AS n_lines,
+                       CAST(sum(c - 1) AS BIGINT) AS dup_lines,
+                       CAST(sum(c * ln) AS BIGINT) AS chars,
+                       CAST(sum((c - 1) * ln) AS BIGINT) AS dup_chars
+                FROM per GROUP BY doc_id
+            )
+            SELECT doc_id, n_lines, dup_lines,
+                   CAST(dup_lines AS DOUBLE) / n_lines AS dup_line_frac,
+                   CASE WHEN chars = 0 THEN 0.0
+                        ELSE CAST(dup_chars AS DOUBLE) / chars END
+                       AS dup_char_frac
+            FROM agg
+        """,
+        # apply step: cased tokens for reassembly, lowercased grams for
+        # discovery; cover set = union of [p, p+4) over duplicated
+        # positions, cut via anti-join, survivors re-joined in order
+        "cut_dup_spans": f"""
+            WITH aug AS (
+                SELECT doc_id,
+                       CASE WHEN doc_id % 4 = 0
+                            THEN 'copyright acme corp all rights reserved '
+                                 || 'do not redistribute this file '
+                            ELSE '' END
+                       || text
+                       || CASE WHEN doc_id % 6 = 0
+                               THEN ' subscribe to our newsletter for more'
+                                    || ' updates and exclusive offers'
+                               ELSE '' END AS text
+                FROM documents
+            ),
+            toksc AS (
+                SELECT doc_id, regexp_extract_all(text, {_TOKENS_RE}) AS t
+                FROM aug
+            ),
+            pos AS (
+                SELECT doc_id, gs.g - 1 AS p,
+                       array_to_string(tl[gs.g : gs.g + 3], ' ') AS ngram
+                FROM (SELECT doc_id,
+                             regexp_extract_all(lower(text), {_TOKENS_RE}) AS tl
+                      FROM aug),
+                     LATERAL (SELECT unnest(generate_series(1, len(tl) - 3)) AS g) gs
+                WHERE len(tl) >= 4
+            ),
+            dfs AS (
+                SELECT ngram FROM (
+                    SELECT ngram, count(DISTINCT doc_id) AS ddf
+                    FROM pos GROUP BY 1
+                ) WHERE ddf >= 2
+            ),
+            dup AS (SELECT doc_id, p FROM pos JOIN dfs USING (ngram)),
+            cover AS (
+                SELECT DISTINCT doc_id, p + o.o AS ri
+                FROM dup CROSS JOIN
+                     (SELECT unnest(generate_series(0, 3)) AS o) o
+            ),
+            tok_rows AS (
+                SELECT doc_id, gs.i - 1 AS ti, t[gs.i] AS tok
+                FROM toksc,
+                     LATERAL (SELECT unnest(generate_series(1, len(t))) AS i) gs
+                WHERE len(t) > 0
+            ),
+            kept AS (
+                SELECT tr.doc_id, tr.ti, tr.tok
+                FROM tok_rows tr
+                ANTI JOIN cover c
+                  ON tr.doc_id = c.doc_id AND tr.ti = c.ri
+            ),
+            agg AS (
+                SELECT doc_id, count(*) AS kept_n,
+                       string_agg(tok, ' ' ORDER BY ti) AS clean_text
+                FROM kept GROUP BY doc_id
+            )
+            SELECT t.doc_id,
+                   CAST(len(t.t) AS BIGINT) AS n_tokens,
+                   CAST(len(t.t) - coalesce(a.kept_n, 0) AS BIGINT)
+                       AS removed_tokens,
+                   coalesce(a.clean_text, '') AS clean_text
+            FROM toksc t LEFT JOIN agg a USING (doc_id)
         """,
         # composition of the text_quality score, exact_dedup fingerprint
         # groups, and the hash_split assignment — same fragments, one

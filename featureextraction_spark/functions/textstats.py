@@ -231,3 +231,154 @@ def repetition_features(df: DataFrame, id_col: str = "doc_id", text: str = "text
             ).alias("frac_dup_bigrams"),
         )
     )
+
+
+def line_dedup_features(
+    df: DataFrame, id_col: str = "doc_id", text: str = "text"
+) -> DataFrame:
+    """Line-level within-document duplication (the Gopher repetition
+    family at LINE granularity, Rae et al. 2021 §A1.1): documents whose
+    lines repeat — boilerplate menus, chat-log echo, scraped nav bars —
+    are low-quality training data.
+
+    Per document:
+    - ``n_lines``         line occurrences (``\\n``-split, trailing empty
+                          parts KEPT — an empty line is a line);
+    - ``dup_lines``       occurrences beyond the first of each identical
+                          line (Σ count−1);
+    - ``dup_line_frac``   dup_lines / n_lines;
+    - ``dup_char_frac``   characters inside repeated occurrences /
+                          total line characters (0 when the document has
+                          no characters).
+
+    Integer counts with one final division per ratio — bit-stable across
+    engines. Two doc-keyed shuffles (per-line count, per-doc rollup),
+    both map-side combinable.
+    """
+    lines = df.select(
+        F.col(id_col),
+        F.explode(F.split(F.coalesce(F.col(text), F.lit("")), "\n", -1)).alias(
+            "__line"
+        ),
+    )
+    per = lines.groupBy(id_col, "__line").agg(F.count(F.lit(1)).alias("__c"))
+    agg = per.groupBy(id_col).agg(
+        F.sum("__c").cast("long").alias("n_lines"),
+        F.sum(F.col("__c") - 1).cast("long").alias("dup_lines"),
+        F.sum(F.col("__c") * F.length("__line")).cast("long").alias("__chars"),
+        F.sum((F.col("__c") - 1) * F.length("__line"))
+        .cast("long")
+        .alias("__dup_chars"),
+    )
+    return agg.select(
+        id_col,
+        "n_lines",
+        "dup_lines",
+        (F.col("dup_lines").cast("double") / F.col("n_lines")).alias(
+            "dup_line_frac"
+        ),
+        F.when(F.col("__chars") == 0, F.lit(0.0))
+        .otherwise(F.col("__dup_chars").cast("double") / F.col("__chars"))
+        .alias("dup_char_frac"),
+    )
+
+
+def unigram_lm_score(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text: str = "text",
+    ref: Column | None = None,
+) -> DataFrame:
+    """CCNet-style LM quality proxy (Wenzek et al. 2020): fit an add-one
+    (Laplace) unigram LM on a REFERENCE slice of the corpus (``ref``
+    boolean column; None = the whole corpus) and score every document's
+    tokens under it. Out-of-vocabulary mass is one extra Laplace bucket:
+    p(t) = (c_t + 1) / (N + V + 1), p(oov) = 1 / (N + V + 1).
+
+    Per document:
+    - ``n_tokens``, ``oov_tokens``  integer counts;
+    - ``lm_num``         Σ (c_t + 1) over the doc's tokens — the exact
+                         INTEGER numerator of the mean token probability
+                         (order-independent, bit-stable across engines);
+    - ``mean_tok_prob``  lm_num / (n_tokens · (N + V + 1)) — one float
+                         division of exact integers;
+    - ``avg_logprob``    mean ln p(t) — the CCNet headline. A multi-term
+                         FLOAT sum, so only tolerance-comparable across
+                         engines (pytest-oracled; excluded from the
+                         hash-compared driver query);
+    - ``ppl``            exp(−avg_logprob).
+
+    Scale design: the LM is one token-keyed count aggregate
+    (map-side-combinable; vocabulary-sized, NOT corpus-sized); totals are
+    a broadcast single row; scoring is one token-keyed left join (AQE
+    broadcasts the LM when the vocabulary is small) and one doc-keyed
+    rollup. No Python anywhere.
+    """
+    flag = (ref if ref is not None else F.lit(True)).alias("__ref")
+    toks = df.select(
+        F.col(id_col),
+        flag,
+        F.explode_outer(
+            F.regexp_extract_all(F.lower(F.col(text)), F.lit(TOKEN_REGEX), F.lit(0))
+        ).alias("__t"),
+    )
+    lm = (
+        toks.filter(F.col("__ref") & F.col("__t").isNotNull())
+        .groupBy("__t")
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    totals = lm.agg(
+        F.coalesce(F.sum("__c"), F.lit(0)).cast("long").alias("__N"),
+        F.count(F.lit(1)).cast("long").alias("__V"),
+    )
+    scored = (
+        toks.drop("__ref")
+        .join(lm, "__t", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.when(F.col("__t").isNotNull(), 1)).alias("n_tokens"),
+            F.count(
+                F.when(F.col("__t").isNotNull() & F.col("__c").isNull(), 1)
+            ).alias("oov_tokens"),
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.col("__t").isNotNull(), F.coalesce(F.col("__c"), F.lit(0)) + 1
+                    )
+                ),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("lm_num"),
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.col("__t").isNotNull(),
+                        F.log((F.coalesce(F.col("__c"), F.lit(0)) + 1).cast("double")),
+                    )
+                ),
+                F.lit(0.0),
+            ).alias("__sumlogc"),
+        )
+    )
+    denom = (F.col("__N") + F.col("__V") + 1).cast("long")
+    out = scored.crossJoin(F.broadcast(totals)).select(
+        id_col,
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("oov_tokens").cast("long").alias("oov_tokens"),
+        "lm_num",
+        F.when(F.col("n_tokens") == 0, F.lit(0.0))
+        .otherwise(
+            F.col("lm_num").cast("double") / (F.col("n_tokens") * denom)
+        )
+        .alias("mean_tok_prob"),
+        F.when(F.col("n_tokens") == 0, F.lit(0.0))
+        .otherwise(
+            F.col("__sumlogc") / F.col("n_tokens")
+            - F.log(denom.cast("double"))
+        )
+        .alias("avg_logprob"),
+    )
+    return out.withColumn(
+        "ppl", F.when(F.col("n_tokens") == 0, F.lit(1.0)).otherwise(F.exp(-F.col("avg_logprob")))
+    )

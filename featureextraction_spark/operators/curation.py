@@ -367,3 +367,84 @@ def pii_scrub(
         F.regexp_count(c, F.lit(PII_LONGNUM)).cast("long").alias("n_longnums"),
         clean.alias("clean_text"),
     )
+
+
+def dsir_weights(
+    df: DataFrame,
+    target,
+    id_col: str = "doc_id",
+    text: str = "text",
+    buckets: int = 1024,
+    quant: int = 1_000_000,
+) -> DataFrame:
+    """DSIR-style hashed-n-gram importance weights (Xie et al., NeurIPS
+    2023 "Data Selection for Language Models via Importance Resampling"):
+    featurize each document as a bag of word uni+bigrams hashed into
+    ``buckets``, fit Laplace-smoothed bucket distributions on the
+    ``target`` slice vs the rest ("raw"), and weight each document by how
+    target-like its buckets are.
+
+    Per document:
+    - ``n_grams``      uni+bigram instances;
+    - ``weight_q``     Σ over gram instances of the QUANTIZED probability
+                       ratio ``((ct_b+1)·quant) div (cr_b+1)`` — all
+                       integer, order-independent, bit-stable across
+                       engines (the hash-gate vehicle);
+    - ``ratio_score``  weight_q / (quant · n_grams) — mean quantized
+                       target/raw count ratio, one exact division;
+    - ``log_weight``   the paper's statistic: mean per-gram
+                       log-likelihood ratio ln p̂_target(b) − ln p̂_raw(b)
+                       with Laplace smoothing over ``buckets``. A
+                       multi-term FLOAT sum — pytest-oracled with
+                       tolerance, excluded from hash-compared queries.
+
+    Scale design: bucket counts are ONE ``buckets``-sized aggregate
+    (map-side combine collapses each partition to ≤ ``buckets`` rows);
+    the per-doc score joins gram instances to that tiny table
+    (broadcast) and rolls up by document — two doc/bucket-keyed
+    shuffles, no Python. The doc→target flag join is doc-keyed and
+    AQE-broadcastable.
+    """
+    flags = df.select(F.col(id_col), target.alias("__tgt"))
+    grams = token_ngrams(df, id_col=id_col, text=text, n=1).unionByName(
+        token_ngrams(df, id_col=id_col, text=text, n=2)
+    )
+    from featureextraction_spark.operators.dedup import portable_hash60
+
+    b = grams.select(
+        id_col, (portable_hash60(F.col("ngram")) % buckets).alias("__b")
+    ).join(flags, id_col)
+    counts = b.groupBy("__b").agg(
+        F.sum(F.when(F.col("__tgt"), 1).otherwise(0)).cast("long").alias("__ct"),
+        F.sum(F.when(F.col("__tgt"), 0).otherwise(1)).cast("long").alias("__cr"),
+    )
+    totals = counts.agg(
+        F.coalesce(F.sum("__ct"), F.lit(0)).cast("long").alias("__Nt"),
+        F.coalesce(F.sum("__cr"), F.lit(0)).cast("long").alias("__Nr"),
+    )
+    ratio_q = F.expr(f"(( __ct + 1) * {quant}) div (__cr + 1)")
+    llr = (
+        F.log((F.col("__ct") + 1).cast("double"))
+        - F.log((F.col("__Nt") + F.lit(buckets)).cast("double"))
+        - F.log((F.col("__cr") + 1).cast("double"))
+        + F.log((F.col("__Nr") + F.lit(buckets)).cast("double"))
+    )
+    scored = (
+        b.join(F.broadcast(counts), "__b")
+        .crossJoin(F.broadcast(totals))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_grams"),
+            F.sum(ratio_q).cast("long").alias("weight_q"),
+            F.sum(llr).alias("__sumllr"),
+        )
+    )
+    return scored.select(
+        id_col,
+        "n_grams",
+        "weight_q",
+        (
+            F.col("weight_q").cast("double") / (F.col("n_grams") * F.lit(quant))
+        ).alias("ratio_score"),
+        (F.col("__sumllr") / F.col("n_grams")).alias("log_weight"),
+    )

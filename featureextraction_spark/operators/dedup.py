@@ -205,6 +205,26 @@ def token_ngrams_pos(
     )
 
 
+def _dup_gram_positions(
+    df: DataFrame, id_col: str, text: str, n: int, min_df: int
+) -> DataFrame:
+    """(id, pos) of every token n-gram whose document frequency is ≥
+    ``min_df`` — the shared discovery step of ``duplicated_spans`` and
+    ``cut_duplicated_spans``. Doc frequencies aggregate from per-doc
+    DISTINCT n-grams (map-side combine), positions come back through one
+    ngram-keyed equi-join."""
+    pos = token_ngrams_pos(df, id_col=id_col, text=text, n=n)
+    dfs = (
+        pos.select(id_col, "ngram")
+        .distinct()
+        .groupBy("ngram")
+        .agg(F.count(F.lit(1)).alias("__ddf"))
+        .filter(F.col("__ddf") >= min_df)
+        .select("ngram")
+    )
+    return pos.join(dfs, "ngram").select(id_col, "pos")
+
+
 def duplicated_spans(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -230,16 +250,7 @@ def duplicated_spans(
     row_number is constant within a consecutive run) under a window
     PARTITIONED by document — no global window, two keyed shuffles total.
     """
-    pos = token_ngrams_pos(df, id_col=id_col, text=text, n=n)
-    dfs = (
-        pos.select(id_col, "ngram")
-        .distinct()
-        .groupBy("ngram")
-        .agg(F.count(F.lit(1)).alias("__ddf"))
-        .filter(F.col("__ddf") >= min_df)
-        .select("ngram")
-    )
-    dup = pos.join(dfs, "ngram").select(id_col, "pos")
+    dup = _dup_gram_positions(df, id_col=id_col, text=text, n=n, min_df=min_df)
     w = Window.partitionBy(id_col).orderBy("pos")
     grp = dup.withColumn(
         "__grp", F.col("pos") - F.row_number().over(w)
@@ -257,6 +268,60 @@ def duplicated_spans(
         F.col("end_tok").cast("long"),
         (F.col("end_tok") - F.col("start_tok")).cast("long").alias("span_tokens"),
         F.col("n_dup_grams").cast("long"),
+    )
+
+
+def cut_duplicated_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text: str = "text",
+    n: int = 4,
+    min_df: int = 2,
+) -> DataFrame:
+    """The APPLY step of span-level substring dedup (Lee et al. ACL'22):
+    remove every token covered by a cross-document duplicated ``n``-gram
+    run and reassemble the remaining tokens.
+
+    A token at index ``t`` is cut iff some duplicated n-gram position
+    ``p`` covers it (``p ≤ t < p + n`` — the union of the
+    ``duplicated_spans`` intervals, which may overlap when dup positions
+    are ``< n`` apart). Returns one row per document: (id, n_tokens,
+    removed_tokens, clean_text). ``clean_text`` preserves original token
+    CASE but normalizes inter-token whitespace to single spaces
+    (tokenization is lossy by construction); duplicate discovery itself
+    is case-insensitive, matching ``duplicated_spans``.
+
+    Scale design: the discovery shuffles are ``_dup_gram_positions``'s
+    (distinct-ngram doc frequency + one ngram join); the cover set
+    explodes ``n`` rows per duplicated position and collapses back to one
+    ``collect_set`` row per affected document, so the final left join is
+    doc-keyed with at most one array per doc; the cut itself is a
+    higher-order ``filter`` lambda — JVM expressions, zero Python.
+    """
+    toks = df.select(
+        F.col(id_col),
+        F.regexp_extract_all(F.col(text), F.lit(TOKEN_REGEX), F.lit(0)).alias(
+            "__toks"
+        ),
+    )
+    dup = _dup_gram_positions(df, id_col=id_col, text=text, n=n, min_df=min_df)
+    cover = (
+        dup.select(
+            id_col,
+            F.explode(F.expr(f"sequence(pos, pos + {n - 1})")).alias("__ri"),
+        )
+        .groupBy(id_col)
+        .agg(F.collect_set(F.col("__ri").cast("int")).alias("__removed"))
+    )
+    kept = F.expr(
+        "filter(__toks, (t, i) -> NOT array_contains("
+        "coalesce(__removed, array()), i))"
+    )
+    return toks.join(cover, id_col, "left").select(
+        id_col,
+        F.size("__toks").cast("long").alias("n_tokens"),
+        (F.size("__toks") - F.size(kept)).cast("long").alias("removed_tokens"),
+        F.concat_ws(" ", kept).alias("clean_text"),
     )
 
 

@@ -318,3 +318,62 @@ def test_semdedup_auto_gate(emb):
     small = semdedup(emb, cluster_col="label", gemm_min_rows=10**9)
     forced = semdedup(emb, cluster_col="label", gemm_min_rows=1)
     assert small.count() == forced.count() == emb.count()
+
+
+def test_dsir_weights_vs_naive(spark):
+    """Hashed uni+bigram importance weights vs a pure-python replay:
+    md5-bucket parity, integer quantized ratio, float LLR tolerance."""
+    import hashlib
+    import math
+    import re as _re
+    from collections import Counter
+
+    from pyspark.sql import functions as F
+
+    from featureextraction_spark.operators.curation import dsir_weights
+
+    rows = [
+        (0, "high quality prose about science and method"),
+        (1, "buy cheap pills online now best price pills"),
+        (2, "science method and careful high quality analysis"),
+        (3, "cheap cheap online online now now"),
+        (4, "mixed science pills prose online"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    B, Q = 64, 1_000_000
+    out = (
+        dsir_weights(df, target=F.col("doc_id") % 2 == 0, buckets=B, quant=Q)
+        .toPandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+
+    tok = _re.compile(r"[^ \t\n\r\f\x0b]+")
+
+    def bucket(g):
+        return int(hashlib.md5(g.encode()).hexdigest()[:15], 16) % B
+
+    doc_grams = {}
+    for i, s in rows:
+        ts = tok.findall(s.lower())
+        doc_grams[i] = [*ts, *(" ".join(ts[j : j + 2]) for j in range(len(ts) - 1))]
+    ct: Counter = Counter()
+    cr: Counter = Counter()
+    for i, gs in doc_grams.items():
+        c = ct if i % 2 == 0 else cr
+        for g in gs:
+            c[bucket(g)] += 1
+    Nt, Nr = sum(ct.values()), sum(cr.values())
+    for i, gs in doc_grams.items():
+        wq = sum(((ct[bucket(g)] + 1) * Q) // (cr[bucket(g)] + 1) for g in gs)
+        llr = sum(
+            math.log((ct[bucket(g)] + 1) / (Nt + B))
+            - math.log((cr[bucket(g)] + 1) / (Nr + B))
+            for g in gs
+        ) / len(gs)
+        assert out.loc[i, "n_grams"] == len(gs)
+        assert out.loc[i, "weight_q"] == wq
+        assert out.loc[i, "ratio_score"] == wq / (len(gs) * Q)
+        assert abs(out.loc[i, "log_weight"] - llr) < 1e-9
+    # target-slice docs should look more target-like than spam
+    assert out.loc[0, "log_weight"] > out.loc[1, "log_weight"]

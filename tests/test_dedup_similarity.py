@@ -652,3 +652,125 @@ def test_duplicated_spans_vs_naive(spark):
         assert (g.span_tokens == g.end_tok - g.start_tok).all()
     # doc 3 and the too-short doc 5 have no spans
     assert not set(out.doc_id) & {3, 5}
+
+
+def test_cut_duplicated_spans_vs_naive(spark):
+    """Token-cut apply step vs a pure-python replay: union of covered
+    intervals removed, original case kept, whitespace normalized."""
+    import re as _re
+
+    from featureextraction_spark.operators.dedup import cut_duplicated_spans
+
+    boiler = "All Rights Reserved do not copy"
+    rows = [
+        (1, f"{boiler} Unique alpha beta gamma delta"),
+        (2, f"prefix words here {boiler.lower()} and a tail"),
+        (3, "completely original text with no duplication at all"),
+        (4, f"{boiler} {boiler} doubled banner"),
+        (5, "short"),
+        # overlapping cover: dup positions < n apart must union, not stack
+        (6, "one two three four X one two three four"),
+        (7, "zz one two three four yy one two three four qq"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    n = 3
+    out = (
+        cut_duplicated_spans(df, n=n, min_df=2)
+        .toPandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+
+    tok = _re.compile(r"[^ \t\n\r\f\x0b]+")
+    cased = {i: tok.findall(t) for i, t in rows}
+    lowered = {i: [w.lower() for w in ws] for i, ws in cased.items()}
+    grams: dict = {}
+    for i, ts in lowered.items():
+        for p in range(len(ts) - n + 1):
+            grams.setdefault(" ".join(ts[p : p + n]), set()).add(i)
+    for i, ts in lowered.items():
+        removed = set()
+        for p in range(len(ts) - n + 1):
+            if len(grams[" ".join(ts[p : p + n])]) >= 2:
+                removed.update(range(p, p + n))
+        kept = [w for j, w in enumerate(cased[i]) if j not in removed]
+        assert out.loc[i, "n_tokens"] == len(ts)
+        assert out.loc[i, "removed_tokens"] == len(removed)
+        assert out.loc[i, "clean_text"] == " ".join(kept)
+
+
+def test_line_dedup_features_vs_naive(spark):
+    """Line-occurrence dedup fractions vs a pure-python replay, including
+    empty lines, trailing-empty retention, and the zero-char guard."""
+    from collections import Counter
+
+    from featureextraction_spark.functions.textstats import line_dedup_features
+
+    rows = [
+        (1, "menu\nhome\nmenu\nabout\nmenu"),
+        (2, "alpha\nbeta\ngamma"),
+        (3, "x\n\n\nx\n"),          # duplicate empties + trailing empty
+        (4, ""),                    # one empty line, zero chars
+        (5, "same\nsame"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = line_dedup_features(df).toPandas().set_index("doc_id").sort_index()
+
+    for i, t in rows:
+        parts = t.split("\n")
+        c = Counter(parts)
+        n = len(parts)
+        dup = sum(v - 1 for v in c.values())
+        chars = sum(len(p) for p in parts)
+        dup_chars = sum((v - 1) * len(k) for k, v in c.items())
+        assert out.loc[i, "n_lines"] == n
+        assert out.loc[i, "dup_lines"] == dup
+        assert out.loc[i, "dup_line_frac"] == dup / n
+        assert out.loc[i, "dup_char_frac"] == (
+            dup_chars / chars if chars else 0.0
+        )
+
+
+def test_unigram_lm_score_vs_naive(spark):
+    """Laplace unigram LM scoring vs a pure-python replay: reference-slice
+    fit, OOV bucket, exact integer numerator, float log-prob tolerance."""
+    import math
+    import re as _re
+    from collections import Counter
+
+    from pyspark.sql import functions as F
+
+    from featureextraction_spark.functions.textstats import unigram_lm_score
+
+    rows = [
+        (0, "the cat sat on the mat"),
+        (1, "the dog sat on the log"),
+        (2, "completely novel vocabulary zone"),
+        (3, "the the the cat cat"),
+        (10, "the mat and the cat again"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = (
+        unigram_lm_score(df, ref=F.col("doc_id") % 2 == 0)
+        .toPandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+
+    tok = _re.compile(r"[^ \t\n\r\f\x0b]+")
+    ref_toks = [
+        t for i, s in rows if i % 2 == 0 for t in tok.findall(s.lower())
+    ]
+    lm = Counter(ref_toks)
+    N, V = sum(lm.values()), len(lm)
+    D = N + V + 1
+    for i, s in rows:
+        ts = tok.findall(s.lower())
+        num = sum(lm.get(t, 0) + 1 for t in ts)
+        assert out.loc[i, "n_tokens"] == len(ts)
+        assert out.loc[i, "oov_tokens"] == sum(1 for t in ts if t not in lm)
+        assert out.loc[i, "lm_num"] == num
+        assert out.loc[i, "mean_tok_prob"] == num / (len(ts) * D)
+        want_lp = sum(math.log((lm.get(t, 0) + 1) / D) for t in ts) / len(ts)
+        assert abs(out.loc[i, "avg_logprob"] - want_lp) < 1e-9
+        assert abs(out.loc[i, "ppl"] - math.exp(-want_lp)) < 1e-6
