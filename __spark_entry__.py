@@ -976,6 +976,32 @@ def q_c4_line_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c4_line_filter(aug)
 
 
+def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ADC top-k (the PQ half of IVF-PQ, Jégou et
+    al. 2011) with the deterministic sample-codebook path: codebooks are
+    the 8 smallest-id vectors' subvectors, encode is decomposed-L2
+    argmin, scoring is the per-query LUT scan. Every step is replayed in
+    SQL (DuckDB's list_dot_product is the same sequential fold as the
+    engine's zip_with/aggregate, bit-for-bit; ADC adds in fixed j
+    order)."""
+    emb = _load(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    return sim_ops.pq_topk(q, emb, m=4, ks=8, k=10)
+
+
+def q_ngram_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style within-document bigram repetition coverage: most
+    frequent bigram + union token-coverage fractions. DuckDB replays the
+    positional grams, the (count desc, gram asc) tie-break, and the
+    DISTINCT position-union aggregation."""
+    from featureextraction_spark.functions.textstats import (
+        ngram_repetition_features,
+    )
+
+    docs = _load(spark, sf_dir, "documents")
+    return ngram_repetition_features(docs, n=2)
+
+
 def q_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR-style hashed uni+bigram importance weights with the
     doc_id % 10 == 0 slice as the target distribution. Ships the integer
@@ -1185,6 +1211,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_dedup": q_line_dedup,
         "unigram_lm": q_unigram_lm,
         "dsir": q_dsir,
+        "ngram_repetition": q_ngram_repetition,
+        "pq_topk": q_pq_topk,
     }
 
 
@@ -3040,6 +3068,116 @@ def _curation_oracle_sql() -> dict[str, str]:
                    CAST(end_tok - start_tok AS BIGINT) AS span_tokens,
                    CAST(n_dup_grams AS BIGINT) AS n_dup_grams
             FROM sp
+        """,
+        "pq_topk": """
+            WITH cb AS (
+                SELECT vec_id AS c, embedding::DOUBLE[] AS v
+                FROM embeddings WHERE vec_id < 8
+            ),
+            sub AS (SELECT unnest(generate_series(0, 3)) AS j),
+            cbsub AS (
+                SELECT j, c, v[j*16+1 : j*16+16] AS cv FROM cb, sub
+            ),
+            corp AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+            corpsub AS (
+                SELECT vec_id, j, v[j*16+1 : j*16+16] AS sv FROM corp, sub
+            ),
+            enc AS (
+                SELECT vec_id, j, c AS code, cv FROM (
+                    SELECT cs.vec_id, cs.j, k.c, k.cv,
+                           row_number() OVER (
+                               PARTITION BY cs.vec_id, cs.j
+                               ORDER BY list_dot_product(cs.sv, cs.sv)
+                                        - 2 * list_dot_product(cs.sv, k.cv)
+                                        + list_dot_product(k.cv, k.cv),
+                                     k.c) AS rn
+                    FROM corpsub cs JOIN cbsub k USING (j)
+                ) WHERE rn = 1
+            ),
+            q AS (
+                SELECT vec_id AS query_id, j, v[j*16+1 : j*16+16] AS qsub
+                FROM corp, sub WHERE vec_id < 10
+            ),
+            persub AS (
+                SELECT q.query_id, e.vec_id AS neighbor_id, q.j,
+                       list_dot_product(q.qsub, e.cv) AS ip
+                FROM q JOIN enc e ON q.j = e.j
+                WHERE q.query_id <> e.vec_id
+            ),
+            piv AS (
+                SELECT query_id, neighbor_id,
+                       max(CASE WHEN j = 0 THEN ip END) AS ip0,
+                       max(CASE WHEN j = 1 THEN ip END) AS ip1,
+                       max(CASE WHEN j = 2 THEN ip END) AS ip2,
+                       max(CASE WHEN j = 3 THEN ip END) AS ip3
+                FROM persub GROUP BY query_id, neighbor_id
+            ),
+            scored AS (
+                SELECT query_id, neighbor_id,
+                       round(ip0 + ip1 + ip2 + ip3, 6) AS adc
+                FROM piv
+            ),
+            ranked AS (
+                SELECT *, row_number() OVER (
+                    PARTITION BY query_id
+                    ORDER BY adc DESC, neighbor_id) AS rank
+                FROM scored
+            )
+            SELECT query_id, neighbor_id, adc, CAST(rank AS BIGINT) AS rank
+            FROM ranked WHERE rank <= 10
+        """,
+        "ngram_repetition": f"""
+            WITH toks AS (
+                SELECT doc_id,
+                       regexp_extract_all(lower(text), {_TOKENS_RE}) AS t
+                FROM documents
+            ),
+            pos AS (
+                SELECT doc_id, gs.g - 1 AS p,
+                       array_to_string(t[gs.g : gs.g + 1], ' ') AS ngram
+                FROM toks,
+                     LATERAL (SELECT unnest(generate_series(1, len(t) - 1)) AS g) gs
+                WHERE len(t) >= 2
+            ),
+            counts AS (
+                SELECT doc_id, ngram, count(*) AS c
+                FROM pos GROUP BY doc_id, ngram
+            ),
+            top AS (
+                SELECT doc_id, ngram AS top_gram, c AS top_gram_count
+                FROM (
+                    SELECT doc_id, ngram, c,
+                           row_number() OVER (
+                               PARTITION BY doc_id
+                               ORDER BY c DESC, ngram ASC) AS rn
+                    FROM counts
+                ) WHERE rn = 1
+            ),
+            cov AS (
+                SELECT p.doc_id,
+                       count(DISTINCT CASE WHEN p.ngram = t.top_gram
+                                           THEN p.p + o.o END) AS top_cov,
+                       count(DISTINCT CASE WHEN c.c > 1
+                                           THEN p.p + o.o END) AS dup_cov
+                FROM pos p
+                JOIN counts c ON p.doc_id = c.doc_id AND p.ngram = c.ngram
+                JOIN top t ON p.doc_id = t.doc_id
+                CROSS JOIN (SELECT unnest(generate_series(0, 1)) AS o) o
+                GROUP BY p.doc_id
+            )
+            SELECT b.doc_id,
+                   CAST(len(b.t) AS BIGINT) AS n_tokens,
+                   t.top_gram,
+                   CAST(t.top_gram_count AS BIGINT) AS top_gram_count,
+                   CASE WHEN len(b.t) = 0 THEN 0.0
+                        ELSE CAST(coalesce(c.top_cov, 0) AS DOUBLE) / len(b.t)
+                        END AS top_cover_frac,
+                   CASE WHEN len(b.t) = 0 THEN 0.0
+                        ELSE CAST(coalesce(c.dup_cov, 0) AS DOUBLE) / len(b.t)
+                        END AS dup_cover_frac
+            FROM toks b
+            LEFT JOIN top t USING (doc_id)
+            LEFT JOIN cov c USING (doc_id)
         """,
         "dsir": f"""
             WITH toks AS (

@@ -8,7 +8,7 @@ reproducible bit-for-bit in DuckDB/pandas oracles.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from featureextraction_spark.plans.feature_pipeline import TOKEN_REGEX
@@ -381,4 +381,94 @@ def unigram_lm_score(
     )
     return out.withColumn(
         "ppl", F.when(F.col("n_tokens") == 0, F.lit(1.0)).otherwise(F.exp(-F.col("avg_logprob")))
+    )
+
+
+def ngram_repetition_features(
+    df: DataFrame, id_col: str = "doc_id", text: str = "text", n: int = 3
+) -> DataFrame:
+    """Within-document n-gram repetition coverage (the remaining Gopher
+    §A1.1 filters: "fraction of characters in the most frequent n-gram" /
+    "in duplicated n-grams"), measured at TOKEN granularity as the UNION
+    of covered positions — exact integers, no overlap double-counting,
+    bit-stable across engines (the char-based variant divides float
+    char sums; this is the same signal on token offsets).
+
+    Per document:
+    - ``n_tokens``        whitespace tokens;
+    - ``top_gram``        most frequent n-gram (count desc, gram asc
+                          tie-break; NULL when the doc has < n tokens);
+    - ``top_gram_count``  its occurrence count;
+    - ``top_cover_frac``  tokens covered by any of its occurrences / n_tokens;
+    - ``dup_cover_frac``  tokens covered by any occurrence of any n-gram
+                          that repeats within the doc / n_tokens.
+
+    Scale design: everything is keyed by document — positional gram
+    explode, per-(doc, gram) count, a per-doc window for the top gram,
+    and a position-union explode of n rows per repeated occurrence. No
+    global state, no Python.
+    """
+    from featureextraction_spark.operators.dedup import token_ngrams_pos
+
+    base = df.select(
+        F.col(id_col),
+        F.size(
+            F.regexp_extract_all(F.lower(F.col(text)), F.lit(TOKEN_REGEX), F.lit(0))
+        )
+        .cast("long")
+        .alias("n_tokens"),
+    )
+    pos = token_ngrams_pos(df, id_col=id_col, text=text, n=n)
+    counts = pos.groupBy(id_col, "ngram").agg(F.count(F.lit(1)).alias("__c"))
+    w = Window.partitionBy(id_col).orderBy(F.desc("__c"), F.asc("ngram"))
+    top = (
+        counts.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            id_col,
+            F.col("ngram").alias("top_gram"),
+            F.col("__c").cast("long").alias("top_gram_count"),
+        )
+    )
+    tagged = pos.join(counts, [id_col, "ngram"]).join(
+        top.select(id_col, "top_gram"), id_col
+    )
+    cover = (
+        tagged.select(
+            id_col,
+            (F.col("ngram") == F.col("top_gram")).alias("__is_top"),
+            (F.col("__c") > 1).alias("__is_dup"),
+            F.explode(F.expr(f"sequence(pos, pos + {n - 1})")).alias("__ri"),
+        )
+        .groupBy(id_col)
+        .agg(
+            F.count_distinct(F.when(F.col("__is_top"), F.col("__ri"))).alias(
+                "__top_cov"
+            ),
+            F.count_distinct(F.when(F.col("__is_dup"), F.col("__ri"))).alias(
+                "__dup_cov"
+            ),
+        )
+    )
+    return (
+        base.join(top, id_col, "left")
+        .join(cover, id_col, "left")
+        .select(
+            id_col,
+            "n_tokens",
+            "top_gram",
+            "top_gram_count",
+            F.when(F.col("n_tokens") == 0, F.lit(0.0))
+            .otherwise(
+                F.coalesce(F.col("__top_cov"), F.lit(0)).cast("double")
+                / F.col("n_tokens")
+            )
+            .alias("top_cover_frac"),
+            F.when(F.col("n_tokens") == 0, F.lit(0.0))
+            .otherwise(
+                F.coalesce(F.col("__dup_cov"), F.lit(0)).cast("double")
+                / F.col("n_tokens")
+            )
+            .alias("dup_cover_frac"),
+        )
     )

@@ -774,3 +774,196 @@ def test_unigram_lm_score_vs_naive(spark):
         want_lp = sum(math.log((lm.get(t, 0) + 1) / D) for t in ts) / len(ts)
         assert abs(out.loc[i, "avg_logprob"] - want_lp) < 1e-9
         assert abs(out.loc[i, "ppl"] - math.exp(-want_lp)) < 1e-6
+
+
+def test_ngram_repetition_features_vs_naive(spark):
+    """Union token-coverage repetition metrics vs a pure-python replay,
+    including overlap-union, tie-break determinism, and short docs."""
+    import re as _re
+    from collections import Counter
+
+    from featureextraction_spark.functions.textstats import (
+        ngram_repetition_features,
+    )
+
+    rows = [
+        (1, "spam spam spam spam eggs"),          # heavy overlap unions
+        (2, "a b c a b c a b c"),
+        (3, "all tokens here are unique words"),
+        (4, "x y"),                               # shorter than n
+        (5, "t1 t2 t1 t2 zz t1 t2"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    n = 2
+    out = (
+        ngram_repetition_features(df, n=n)
+        .toPandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+
+    tok = _re.compile(r"[^ \t\n\r\f\x0b]+")
+    for i, s in rows:
+        ts = tok.findall(s.lower())
+        grams = [" ".join(ts[p : p + n]) for p in range(len(ts) - n + 1)]
+        c = Counter(grams)
+        assert out.loc[i, "n_tokens"] == len(ts)
+        if not grams:
+            assert pd.isna(out.loc[i, "top_gram"])
+            assert out.loc[i, "top_cover_frac"] == 0.0
+            assert out.loc[i, "dup_cover_frac"] == 0.0
+            continue
+        top = min(c, key=lambda g: (-c[g], g))
+        top_cov = set()
+        dup_cov = set()
+        for p, g in enumerate(grams):
+            if g == top:
+                top_cov.update(range(p, p + n))
+            if c[g] > 1:
+                dup_cov.update(range(p, p + n))
+        assert out.loc[i, "top_gram"] == top
+        assert out.loc[i, "top_gram_count"] == c[top]
+        assert out.loc[i, "top_cover_frac"] == len(top_cov) / len(ts)
+        assert out.loc[i, "dup_cover_frac"] == len(dup_cov) / len(ts)
+
+
+def _np_pq_replay(X, Q, m, ks, k=5):
+    """Naive ADC replay: sample codebooks (first ks rows' subvectors),
+    decomposed-L2 argmin encode, per-query LUT scan, (adc desc, id asc)."""
+    n, d = X.shape
+    dsub = d // m
+    cbs = [X[:ks, j * dsub : (j + 1) * dsub].copy() for j in range(m)]
+
+    def seqdot(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc = acc + float(x) * float(y)
+        return acc
+
+    codes = []
+    for i in range(n):
+        cs = []
+        for j in range(m):
+            a = X[i, j * dsub : (j + 1) * dsub]
+            best = min(
+                range(ks),
+                key=lambda c: (
+                    seqdot(a, a) - 2.0 * seqdot(a, cbs[j][c])
+                    + seqdot(cbs[j][c], cbs[j][c]),
+                    c,
+                ),
+            )
+            cs.append(best)
+        codes.append(cs)
+    out = {}
+    for qi in range(Q.shape[0]):
+        scores = []
+        for i in range(n):
+            if i == qi:
+                continue
+            adc = 0.0
+            for j in range(m):
+                adc = adc + seqdot(
+                    Q[qi, j * dsub : (j + 1) * dsub], cbs[j][codes[i][j]]
+                )
+            scores.append((round(adc, 6), i))
+        scores.sort(key=lambda t: (-t[0], t[1]))
+        out[qi] = scores[:k]
+    return out
+
+
+def test_pq_topk_matches_naive_replay(spark):
+    """Sample-codebook ADC is bit-equal to the pure-python replay
+    (decomposed-L2 encode, fixed-order LUT adds, deterministic ties)."""
+    from featureextraction_spark.operators.similarity import pq_topk
+
+    rng = np.random.default_rng(7)
+    X = rng.standard_normal((40, 16)).astype(np.float32).astype(np.float64)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in X[i]]) for i in range(len(X))],
+        "vec_id long, embedding array<double>",
+    )
+    q = df.filter(F.col("vec_id") < 6)
+    got = (
+        pq_topk(q, df, m=4, ks=8, k=5)
+        .toPandas()
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+    want = _np_pq_replay(X, X[:6], m=4, ks=8, k=5)
+    for _, r in got.iterrows():
+        adc, nid = want[r.query_id][int(r["rank"]) - 1]
+        assert nid == r.neighbor_id, (r.query_id, r["rank"])
+        assert adc == r.adc
+
+
+def test_pq_encode_identity_on_codebook_rows(spark):
+    """Vectors that ARE codebook entries encode to their own index
+    (d2 = 0 in every subspace) when subvectors are distinct."""
+    from featureextraction_spark.operators.similarity import (
+        pq_encode,
+        pq_sample_codebooks,
+    )
+
+    rng = np.random.default_rng(3)
+    X = rng.standard_normal((12, 8))
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in X[i]]) for i in range(len(X))],
+        "vec_id long, embedding array<double>",
+    )
+    cbs = pq_sample_codebooks(df, m=2, ks=8)
+    got = (
+        pq_encode(df, cbs).toPandas().set_index("vec_id").sort_index()
+    )
+    for i in range(8):
+        assert list(got.loc[i, "codes"]) == [i, i]
+
+
+def test_pq_fit_kmeans_recall(spark):
+    """k-means codebooks: ADC top-k recall vs exact inner-product top-k
+    on clustered data clears a sane floor (and beats the tiny sample
+    codebook's recall)."""
+    from featureextraction_spark.operators.similarity import (
+        pq_fit,
+        pq_sample_codebooks,
+        pq_topk,
+    )
+
+    rng = np.random.default_rng(11)
+    centers = rng.standard_normal((6, 32)) * 3
+    X = np.vstack(
+        [c + rng.standard_normal((30, 32)) * 0.5 for c in centers]
+    )
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in X[i]]) for i in range(len(X))],
+        "vec_id long, embedding array<double>",
+    )
+    q = df.filter(F.col("vec_id") % 45 == 0)
+    qids = [int(r.vec_id) for r in q.collect()]
+
+    def exact_top(qi, k=10):
+        scores = X @ X[qi]
+        order = sorted(
+            (i for i in range(len(X)) if i != qi),
+            key=lambda i: (-scores[i], i),
+        )
+        return set(order[:k])
+
+    def recall(pdf):
+        hits = tot = 0
+        for qi in qids:
+            want = exact_top(qi)
+            gotn = set(
+                pdf[pdf.query_id == qi].neighbor_id.tolist()
+            )
+            hits += len(want & gotn)
+            tot += len(want)
+        return hits / tot
+
+    km = pq_topk(q, df, codebooks=pq_fit(df, m=4, ks=16, sample_n=200), k=10)
+    r_km = recall(km.toPandas())
+    assert r_km >= 0.5, r_km
+    samp = pq_topk(
+        q, df, codebooks=pq_sample_codebooks(df, m=4, ks=8), k=10
+    )
+    assert r_km >= recall(samp.toPandas()) - 0.05
