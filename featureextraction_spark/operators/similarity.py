@@ -704,6 +704,7 @@ def pq_encode(
     codebooks: list[list[list[float]]],
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    keep: tuple[str, ...] = (),
 ) -> DataFrame:
     """Encode every vector as ``m`` codebook indices (argmin subspace L2,
     ties to the smallest code). Pure JVM expressions over literal
@@ -726,7 +727,7 @@ def pq_encode(
         )
         codes.append(F.array_min(cands)["c"])
     return corpus.select(
-        F.col(id_col), F.array(*codes).alias("codes")
+        F.col(id_col), F.array(*codes).alias("codes"), *[F.col(c) for c in keep]
     )
 
 
@@ -791,6 +792,109 @@ def pq_topk(
         "query_id",
         "neighbor_id",
         F.round(adc, round_digits).alias("adc"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", "neighbor_id", "adc", F.col("rank").cast("long").alias("rank")
+        )
+    )
+
+
+def ivfpq_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    n_lists: int = 8,
+    n_probe: int = 2,
+    m: int = 4,
+    ks: int = 8,
+    codebooks: list[list[list[float]]] | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    round_digits: int = 6,
+    centroids: list[list[float]] | None = None,
+    assigned: DataFrame | None = None,
+    init_mode: str = "k-means||",
+) -> DataFrame:
+    """IVF-PQ — the billion-scale composition: probe the ``n_probe``
+    nearest coarse lists per query (IVF), then ADC-score ONLY those
+    lists' PQ codes (per-query LUT over literal codebooks).
+
+    The scan cost per query drops from n·m LUT adds to
+    (n·n_probe/n_lists)·m, and the corpus side of the join carries only
+    (list_id, m codes) — no full-width vectors cross the wire. The
+    candidate join is an equi-join on ``list_id`` (never a cartesian).
+    ``n_probe == n_lists`` scans every list and is row-identical to
+    ``pq_topk`` with the same codebooks (tested); recall at lower
+    n_probe is measured against the exact scan in the tests.
+    """
+    from pyspark.sql import Window
+
+    if assigned is None or centroids is None:
+        centroids, assigned = ivf_fit(
+            corpus, n_lists, id_col, vec_col, seed=seed, init_mode=init_mode
+        )
+    if codebooks is None:
+        codebooks = pq_sample_codebooks(
+            corpus, m=m, ks=ks, id_col=id_col, vec_col=vec_col
+        )
+    m = len(codebooks)
+    ks = len(codebooks[0])
+    dsub = len(codebooks[0][0])
+    encoded = pq_encode(
+        assigned, codebooks, id_col=id_col, vec_col=vec_col, keep=("list_id",)
+    )
+
+    qv = F.col(vec_col).cast("array<double>")
+    luts = [
+        F.array(
+            *[
+                _dot(
+                    F.slice(qv, j * dsub + 1, dsub),
+                    F.array(*[F.lit(float(x)) for x in codebooks[j][c]]),
+                )
+                for c in range(ks)
+            ]
+        ).alias(f"__lut{j}")
+        for j in range(m)
+    ]
+    probe_scores = F.array(
+        *[
+            F.struct(
+                cosine_similarity_col(
+                    F.col(vec_col), F.array(*[F.lit(float(v)) for v in c])
+                ).alias("s"),
+                F.lit(i).alias("list_id"),
+            )
+            for i, c in enumerate(centroids)
+        ]
+    )
+    probed = queries.select(
+        F.col(id_col).alias("query_id"),
+        *luts,
+        F.slice(F.reverse(F.array_sort(probe_scores)), 1, n_probe).alias("__top"),
+    ).select(
+        "query_id",
+        *[f"__lut{j}" for j in range(m)],
+        F.explode(F.transform("__top", lambda t: t["list_id"])).alias("list_id"),
+    )
+    cand = probed.join(
+        encoded.select(
+            F.col(id_col).alias("neighbor_id"), "codes", "list_id"
+        ),
+        "list_id",
+    ).filter(F.col("query_id") != F.col("neighbor_id"))
+    adc = F.col("__lut0")[F.col("codes")[0]]
+    for j in range(1, m):
+        adc = adc + F.col(f"__lut{j}")[F.col("codes")[j]]
+    scored = cand.select(
+        "query_id", "neighbor_id", F.round(adc, round_digits).alias("adc")
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("adc").desc(), F.col("neighbor_id").asc()

@@ -967,3 +967,66 @@ def test_pq_fit_kmeans_recall(spark):
         q, df, codebooks=pq_sample_codebooks(df, m=4, ks=8), k=10
     )
     assert r_km >= recall(samp.toPandas()) - 0.05
+
+
+def test_ivfpq_full_probe_equals_pq_scan(spark):
+    """IVF-PQ probing every list is row-identical to the flat PQ scan
+    with the same codebooks (ADC values and ranks)."""
+    from featureextraction_spark.operators.similarity import (
+        ivfpq_topk,
+        pq_sample_codebooks,
+        pq_topk,
+    )
+
+    rng = np.random.default_rng(5)
+    X = rng.standard_normal((60, 16))
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in X[i]]) for i in range(len(X))],
+        "vec_id long, embedding array<double>",
+    )
+    q = df.filter(F.col("vec_id") < 5)
+    cbs = pq_sample_codebooks(df, m=4, ks=8)
+    flat = (
+        pq_topk(q, df, codebooks=cbs, k=7)
+        .toPandas()
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+    ivf = (
+        ivfpq_topk(
+            q, df, codebooks=cbs, k=7, n_lists=4, n_probe=4, init_mode="random"
+        )
+        .toPandas()
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(flat, ivf)
+
+
+def test_ivfpq_partial_probe_recall(spark):
+    """Probing a strict subset of lists keeps most of the flat-scan
+    neighbors on clustered data, and its candidates are a subset."""
+    from featureextraction_spark.operators.similarity import (
+        ivfpq_topk,
+        pq_fit,
+        pq_topk,
+    )
+
+    rng = np.random.default_rng(13)
+    centers = rng.standard_normal((4, 16)) * 4
+    X = np.vstack([c + rng.standard_normal((40, 16)) * 0.5 for c in centers])
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in X[i]]) for i in range(len(X))],
+        "vec_id long, embedding array<double>",
+    )
+    q = df.filter(F.col("vec_id") % 40 == 0)
+    cbs = pq_fit(df, m=4, ks=16, sample_n=160)
+    flat = pq_topk(q, df, codebooks=cbs, k=10).toPandas()
+    part = ivfpq_topk(q, df, codebooks=cbs, k=10, n_lists=4, n_probe=2).toPandas()
+    hits = tot = 0
+    for qid in flat.query_id.unique():
+        want = set(flat[flat.query_id == qid].neighbor_id)
+        got = set(part[part.query_id == qid].neighbor_id)
+        hits += len(want & got)
+        tot += len(want)
+    assert hits / tot >= 0.6, hits / tot

@@ -165,3 +165,75 @@ def test_packing_cumsum_no_single_partition_exchange(spark):
     assert "Exchange SinglePartition" not in plan, plan
     plan = plan_of(pack_segments(docs, 128))
     assert "Exchange SinglePartition" not in plan, plan
+
+
+def test_span_and_line_ops_no_global_state(spark):
+    """The substring-span / line-dedup family is doc-keyed end to end:
+    no single-partition exchange, no cartesian, no Python eval."""
+    from featureextraction_spark.functions.textstats import line_dedup_features
+    from featureextraction_spark.operators.dedup import (
+        cut_duplicated_spans,
+        duplicated_spans,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"tok{i % 7} alpha beta tok{i % 3} gamma delta") for i in range(40)],
+        "doc_id long, text string",
+    )
+    for op in (
+        lambda d: duplicated_spans(d, n=3),
+        lambda d: cut_duplicated_spans(d, n=3),
+        line_dedup_features,
+    ):
+        plan = plan_of(op(docs))
+        assert "Exchange SinglePartition" not in plan, plan
+        assert "CartesianProduct" not in plan, plan
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_lm_and_dsir_bounded_global_aggregates_only(spark):
+    """unigram_lm/dsir may reduce their vocabulary/bucket tables to one
+    totals row (bounded by vocab/bucket count, not corpus size) — exactly
+    ONE single-partition exchange and one 1-row broadcast cross join; no
+    cartesian against corpus-sized data, no Python."""
+    from featureextraction_spark.functions.textstats import unigram_lm_score
+    from featureextraction_spark.operators.curation import dsir_weights
+
+    docs = spark.createDataFrame(
+        [(i, f"tok{i % 7} alpha beta tok{i % 3}") for i in range(40)],
+        "doc_id long, text string",
+    )
+    for op in (
+        lambda d: unigram_lm_score(d, ref=F.col("doc_id") % 2 == 0),
+        lambda d: dsir_weights(d, target=F.col("doc_id") % 2 == 0, buckets=64),
+    ):
+        plan = plan_of(op(docs))
+        assert plan.count("Exchange SinglePartition") == 1, plan
+        assert "CartesianProduct" not in plan, plan
+        assert plan.count("BroadcastNestedLoopJoin") == 1, plan
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_ivfpq_candidate_join_is_equi_join(spark):
+    """The IVF-PQ candidate join runs on list_id as a hash/sort-merge
+    equi-join — no nested-loop scan of the code table."""
+    import numpy as np
+
+    from featureextraction_spark.operators.similarity import (
+        ivfpq_topk,
+        pq_sample_codebooks,
+    )
+
+    rng = np.random.default_rng(2)
+    X = rng.standard_normal((50, 16))
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in X[i]]) for i in range(len(X))],
+        "vec_id long, embedding array<double>",
+    )
+    q = df.filter(F.col("vec_id") < 4)
+    cbs = pq_sample_codebooks(df, m=4, ks=8)
+    plan = plan_of(
+        ivfpq_topk(q, df, codebooks=cbs, n_lists=4, n_probe=2, init_mode="random")
+    )
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
