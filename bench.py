@@ -170,7 +170,7 @@ def main() -> None:
         if "engine_value" in sc:
             out["scaling_engine_efficiency"] = sc.get("engine_value")
         out["scaling_pairs"] = sc.get("pairs")
-        out["scaling_peak_turns_per_sec"] = max(
+        out["scaling_peak_turns_per_sec"] = sc.get("peak_turns_per_sec") or max(
             (lv["turns_per_sec"] for lv in sc.get("levels", [])), default=None
         )
     # the JSON record also goes to a file so the result never depends on
