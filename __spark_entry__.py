@@ -19,7 +19,7 @@ import os
 import sys
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
@@ -49,6 +49,25 @@ from featureextraction_spark.operators import dedup as dedup_ops  # noqa: E402
 from featureextraction_spark.operators import similarity as sim_ops  # noqa: E402
 
 SESSION_GAP_SECONDS = 1800
+
+# Hash-vehicle rounding for float-summed feature columns: nudge by +1e-9
+# BEFORE round-to-6 on BOTH engines. Spark's round (BigDecimal HALF_UP of
+# the exact double) and DuckDB's round (scaled-double) can disagree only
+# when the value sits exactly at a .xxxxxx5 decimal boundary — and
+# float-summed features land exactly on such boundaries whenever the true
+# value is a small rational, so a 1-ulp accumulation-order difference
+# flips the 6th digit run-to-run (the r2 `feature_families` / r3
+# `feature_vectors_oracled` flake class). The identical nudge on both
+# sides moves every boundary value consistently upward, and is value-
+# neutral otherwise: round(x + 1e-9, 6) ≠ round(x, 6) only when x lies
+# within 1e-9 below a boundary.
+HASH_EPS = 1e-9
+
+
+def _hround6(col: Column) -> Column:
+    """round(col + 1e-9, 6) — the Spark half of the nudged hash vehicle;
+    the DuckDB oracles apply the literal same `round(x + 1e-9, 6)`."""
+    return F.round(col + F.lit(HASH_EPS), 6)
 
 
 def _load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -429,7 +448,7 @@ def q_feature_vectors_oracled(spark: SparkSession, sf_dir: str) -> DataFrame:
         "session_id",
         "turn_count",
         *[
-            F.round(F.when(~F.isnan(F.col(c)), F.col(c)), 6).alias(c)
+            _hround6(F.when(~F.isnan(F.col(c)), F.col(c))).alias(c)
             for c in PIPELINE_NUMERIC_FEATURES
         ],
         "prev_role",
@@ -596,7 +615,7 @@ def q_feature_families(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         "n_points",
         *[
-            F.round(F.when(~F.isnan(F.col(c)), F.col(c)), 6).alias(c)
+            _hround6(F.when(~F.isnan(F.col(c)), F.col(c))).alias(c)
             for c in num_cols
         ],
     )
@@ -989,6 +1008,30 @@ def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim_ops.pq_topk(q, emb, m=4, ks=8, k=10)
 
 
+def q_ivfpq_topk_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ — the billion-scale ANN composition (Jégou et al., TPAMI
+    2011) — probed at n_probe == n_lists: every inverted list is
+    ADC-scanned, so the result is provably row-identical to the flat PQ
+    scan with the same codebooks REGARDLESS of the coarse assignment
+    (each corpus vector lives in exactly one list; scanning all lists
+    scans the corpus exactly once, and ADC scores don't depend on
+    list_id). The DuckDB oracle is therefore the flat ADC replay — this
+    externally hash-gates the whole composition: coarse k-means listing,
+    per-query probe selection, the list_id candidate equi-join, PQ
+    encode, per-query LUT build and the fixed-j-order ADC adds.
+    Partial-probe recall vs the exact scan is pytest-gated
+    (tests/test_dedup_similarity.py::test_ivfpq_partial_probe_recall;
+    full-probe ≡ flat equality: test_ivfpq_full_probe_equals_pq_scan)."""
+    emb = _load(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    # full probe is exact for ANY centroids, so a short random-init fit
+    # exercises the identical machinery without 20 training iterations
+    return sim_ops.ivfpq_topk(
+        q, emb, k=10, n_lists=8, n_probe=8, m=4, ks=8,
+        max_iter=2, init_mode="random",
+    )
+
+
 def q_ngram_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style within-document bigram repetition coverage: most
     frequent bigram + union token-coverage fractions. DuckDB replays the
@@ -1213,6 +1256,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir": q_dsir,
         "ngram_repetition": q_ngram_repetition,
         "pq_topk": q_pq_topk,
+        "ivfpq_topk_full": q_ivfpq_topk_full,
     }
 
 
@@ -1465,6 +1509,9 @@ def oracle_sql() -> dict[str, str]:
     base.update(_curation_oracle_sql())
     # full-probe IVF is exhaustive by construction — the exact replay gates it
     base["ivf_topk_full"] = base["cosine_topk"]
+    # full-probe IVF-PQ scans every list exactly once == the flat ADC scan
+    # with the same codebooks (see q_ivfpq_topk_full docstring)
+    base["ivfpq_topk_full"] = base["pq_topk"]
     return base
 
 
@@ -1775,12 +1822,12 @@ def _feature_families_oracle_sql() -> str:
         )
         SELECT n.user_id,
                CAST(n.h AS BIGINT) AS n_points,
-               round(z.upper_zone, 6) AS upper_zone,
-               round(z.middle_zone, 6) AS middle_zone,
-               round(z.lower_zone, 6) AS lower_zone,
-               round(mw.median_width, 6) AS median_width,
-               round(o.slant, 6) AS slant,
-               round(o.slant_mse, 6) AS slant_mse,
+               round(z.upper_zone + 1e-9, 6) AS upper_zone,
+               round(z.middle_zone + 1e-9, 6) AS middle_zone,
+               round(z.lower_zone + 1e-9, 6) AS lower_zone,
+               round(mw.median_width + 1e-9, 6) AS median_width,
+               round(o.slant + 1e-9, 6) AS slant,
+               round(o.slant_mse + 1e-9, 6) AS slant_mse,
                round(180 - degrees(coalesce(x.bin, 1) * pi()/40), 1) AS slant_max_angle,
                coalesce(round_even(180 - degrees(a.wmean), 1), 0.0) AS slant_avg_angle,
                CASE WHEN a.sn > 1 THEN round_even(degrees(t.stdev_rad), 1)
@@ -2125,26 +2172,26 @@ def _feature_vectors_oracle_sql() -> str:
         SELECT k.conv_id, k.probe_ts AS ts,
                st.session_id,
                k.k AS turn_count,
-               round(z.upper_zone, 6) AS upper_zone,
-               round(z.middle_zone, 6) AS middle_zone,
-               round(z.lower_zone, 6) AS lower_zone,
-               round(mw.median_width, 6) AS median_width,
-               round(lco.slant, 6) AS lc_slant,
-               round(lco.slant_mse, 6) AS lc_slant_mse,
-               round(lcf.local_max_freq, 6) AS lc_local_max_freq,
-               round(lcf.local_min_freq, 6) AS lc_local_min_freq,
-               round(lcs.max_l, 6) AS lc_max_slopes_left_avg,
-               round(lcs.max_r, 6) AS lc_max_slopes_right_avg,
-               round(lcs.min_l, 6) AS lc_min_slopes_left_avg,
-               round(lcs.min_r, 6) AS lc_min_slopes_right_avg,
-               round(uco.slant, 6) AS uc_slant,
-               round(uco.slant_mse, 6) AS uc_slant_mse,
-               round(ucf.local_max_freq, 6) AS uc_local_max_freq,
-               round(ucf.local_min_freq, 6) AS uc_local_min_freq,
-               round(ucs.max_l, 6) AS uc_max_slopes_left_avg,
-               round(ucs.max_r, 6) AS uc_max_slopes_right_avg,
-               round(ucs.min_l, 6) AS uc_min_slopes_left_avg,
-               round(ucs.min_r, 6) AS uc_min_slopes_right_avg,
+               round(z.upper_zone + 1e-9, 6) AS upper_zone,
+               round(z.middle_zone + 1e-9, 6) AS middle_zone,
+               round(z.lower_zone + 1e-9, 6) AS lower_zone,
+               round(mw.median_width + 1e-9, 6) AS median_width,
+               round(lco.slant + 1e-9, 6) AS lc_slant,
+               round(lco.slant_mse + 1e-9, 6) AS lc_slant_mse,
+               round(lcf.local_max_freq + 1e-9, 6) AS lc_local_max_freq,
+               round(lcf.local_min_freq + 1e-9, 6) AS lc_local_min_freq,
+               round(lcs.max_l + 1e-9, 6) AS lc_max_slopes_left_avg,
+               round(lcs.max_r + 1e-9, 6) AS lc_max_slopes_right_avg,
+               round(lcs.min_l + 1e-9, 6) AS lc_min_slopes_left_avg,
+               round(lcs.min_r + 1e-9, 6) AS lc_min_slopes_right_avg,
+               round(uco.slant + 1e-9, 6) AS uc_slant,
+               round(uco.slant_mse + 1e-9, 6) AS uc_slant_mse,
+               round(ucf.local_max_freq + 1e-9, 6) AS uc_local_max_freq,
+               round(ucf.local_min_freq + 1e-9, 6) AS uc_local_min_freq,
+               round(ucs.max_l + 1e-9, 6) AS uc_max_slopes_left_avg,
+               round(ucs.max_r + 1e-9, 6) AS uc_max_slopes_right_avg,
+               round(ucs.min_l + 1e-9, 6) AS uc_min_slopes_left_avg,
+               round(ucs.min_r + 1e-9, 6) AS uc_min_slopes_right_avg,
                round(180 - degrees(coalesce(x.bin, 1) * pi()/40), 1)
                    AS slantness_max_angle,
                coalesce(round_even(180 - degrees(a.wmean), 1), 0.0)

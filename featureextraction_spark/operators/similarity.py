@@ -742,22 +742,68 @@ def pq_topk(
     vec_col: str = "embedding",
     round_digits: int = 6,
     encoded: DataFrame | None = None,
+    strategy: str = "auto",
+    flat_max_rows: int = 200_000,
+    n_rows: int | None = None,
+    n_lists: int = 32,
+    n_probe: int = 8,
+    seed: int = 42,
 ) -> DataFrame:
     """Asymmetric-distance (ADC) top-k by inner product: corpus vectors
     are PQ codes, queries stay exact; score(q, x) ≈ Σ_j dot(q_j,
     C_j[code_j(x)]), evaluated as a per-query lookup table indexed by the
-    neighbor's codes — the classic PQ scan.
+    neighbor's codes — the classic PQ scan — with an automatic physical
+    strategy mirroring ``embedding_pairs``'s corpus-size gate:
 
-    Scale design: the corpus side carries only ``m`` small-int codes per
-    vector (d·4 bytes → m bytes — the whole point of PQ); the LUT is m·ks
-    dot products per QUERY, built JVM-side from literal codebooks; the
-    scan is a broadcast-able join of the (small) query set against codes
-    with a fixed-order 4-term add per pair — no Python, no full-width
-    vector shuffle. Compose with IVF lists to cut the scan to probed
-    lists (IVF-PQ).
+    - ``flat``: scan every code (linear per query) — exact ADC, the right
+      engine while the corpus is small enough that queries × corpus is
+      cheap.
+    - ``ivfpq``: delegate to ``ivfpq_topk`` with the same codebooks —
+      coarse-probe ``n_probe`` of ``n_lists`` inverted lists, so the scan
+      cost per query drops to (n·n_probe/n_lists)·m LUT adds and the
+      candidate join is an equi-join on ``list_id``. Approximate (the
+      standard ANN contract); row-identical to ``flat`` at
+      ``n_probe == n_lists`` (pytest: test_ivfpq_full_probe_equals_pq_scan,
+      test_pq_topk_auto_gate_ivfpq_full_probe).
+    - ``auto``: ``flat`` while the corpus has ≤ ``flat_max_rows`` rows
+      (pass ``n_rows`` to skip the count when the caller already knows),
+      else ``ivfpq`` — the same call site stays exact at sf0.01 and
+      survives a 100× corpus without a quadratic queries×corpus blow-up.
+      Callers that pass a precomputed ``encoded`` table stay on ``flat``
+      (the IVF path re-encodes with list assignments).
+
+    Scale design (flat): the corpus side carries only ``m`` small-int
+    codes per vector (d·4 bytes → m bytes — the whole point of PQ); the
+    LUT is m·ks dot products per QUERY, built JVM-side from literal
+    codebooks; the scan is a broadcast-able join of the (small) query set
+    against codes with a fixed-order 4-term add per pair — no Python, no
+    full-width vector shuffle.
     """
     from pyspark.sql import Window
 
+    if strategy == "auto":
+        if encoded is not None:
+            strategy = "flat"
+        else:
+            n = n_rows if n_rows is not None else corpus.count()
+            strategy = "flat" if n <= flat_max_rows else "ivfpq"
+    if strategy == "ivfpq":
+        return ivfpq_topk(
+            queries,
+            corpus,
+            k=k,
+            n_lists=n_lists,
+            n_probe=n_probe,
+            m=m,
+            ks=ks,
+            codebooks=codebooks,
+            id_col=id_col,
+            vec_col=vec_col,
+            seed=seed,
+            round_digits=round_digits,
+        )
+    if strategy != "flat":
+        raise ValueError(f"unknown pq_topk strategy: {strategy!r}")
     if codebooks is None:
         codebooks = pq_sample_codebooks(
             corpus, m=m, ks=ks, id_col=id_col, vec_col=vec_col
@@ -821,6 +867,7 @@ def ivfpq_topk(
     centroids: list[list[float]] | None = None,
     assigned: DataFrame | None = None,
     init_mode: str = "k-means||",
+    max_iter: int = 20,
 ) -> DataFrame:
     """IVF-PQ — the billion-scale composition: probe the ``n_probe``
     nearest coarse lists per query (IVF), then ADC-score ONLY those
@@ -838,7 +885,8 @@ def ivfpq_topk(
 
     if assigned is None or centroids is None:
         centroids, assigned = ivf_fit(
-            corpus, n_lists, id_col, vec_col, seed=seed, init_mode=init_mode
+            corpus, n_lists, id_col, vec_col, seed=seed,
+            max_iter=max_iter, init_mode=init_mode,
         )
     if codebooks is None:
         codebooks = pq_sample_codebooks(

@@ -1003,6 +1003,52 @@ def test_ivfpq_full_probe_equals_pq_scan(spark):
     pd.testing.assert_frame_equal(flat, ivf)
 
 
+def test_pq_topk_auto_gate_ivfpq_full_probe(spark):
+    """The corpus-size auto-gate: below ``flat_max_rows`` auto rides the
+    flat ADC scan; above it, auto delegates to IVF-PQ — and at
+    ``n_probe == n_lists`` the two physical strategies are row-identical
+    (same codebooks, same ADC values/ranks), so the gate can never change
+    results at full probe."""
+    from featureextraction_spark.operators.similarity import (
+        pq_sample_codebooks,
+        pq_topk,
+    )
+
+    rng = np.random.default_rng(23)
+    X = rng.standard_normal((60, 16))
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in X[i]]) for i in range(len(X))],
+        "vec_id long, embedding array<double>",
+    )
+    q = df.filter(F.col("vec_id") < 5)
+    cbs = pq_sample_codebooks(df, m=4, ks=8)
+    flat = (
+        pq_topk(q, df, codebooks=cbs, k=7, strategy="flat")
+        .toPandas()
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+    # auto under the gate == flat
+    auto_small = (
+        pq_topk(q, df, codebooks=cbs, k=7, strategy="auto", n_rows=60)
+        .toPandas()
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(flat, auto_small)
+    # force the over-gate IVF-PQ path at full probe: still row-identical
+    auto_big = (
+        pq_topk(
+            q, df, codebooks=cbs, k=7, strategy="auto",
+            flat_max_rows=1, n_rows=60, n_lists=4, n_probe=4,
+        )
+        .toPandas()
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(flat, auto_big)
+
+
 def test_ivfpq_partial_probe_recall(spark):
     """Probing a strict subset of lists keeps most of the flat-scan
     neighbors on clustered data, and its candidates are a subset."""
