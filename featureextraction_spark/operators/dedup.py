@@ -292,11 +292,17 @@ def cut_duplicated_spans(
     is case-insensitive, matching ``duplicated_spans``.
 
     Scale design: the discovery shuffles are ``_dup_gram_positions``'s
-    (distinct-ngram doc frequency + one ngram join); the cover set
-    explodes ``n`` rows per duplicated position and collapses back to one
-    ``collect_set`` row per affected document, so the final left join is
-    doc-keyed with at most one array per doc; the cut itself is a
-    higher-order ``filter`` lambda — JVM expressions, zero Python.
+    (distinct-ngram doc frequency + one ngram join); duplicated positions
+    merge into DISJOINT covered intervals with one lag window — two
+    intervals [p1, p1+n) and [p2, p2+n) union into one run iff
+    p2 ≤ p1 + n, the island trick on the positions themselves (no
+    explode) — and each document collapses to one sorted interval array,
+    so the final left join is doc-keyed. The cut rebuilds the kept tokens
+    as a concatenation of ``slice``s of the token array BETWEEN the
+    intervals: O(tokens + intervals) per document — linear even for a
+    heavily-duplicated long document (the per-token ``array_contains``
+    scan this replaces was O(tokens × removed)) — JVM expressions, zero
+    Python.
     """
     toks = df.select(
         F.col(id_col),
@@ -305,19 +311,45 @@ def cut_duplicated_spans(
         ),
     )
     dup = _dup_gram_positions(df, id_col=id_col, text=text, n=n, min_df=min_df)
-    cover = (
-        dup.select(
-            id_col,
-            F.explode(F.expr(f"sequence(pos, pos + {n - 1})")).alias("__ri"),
+    wpos = Window.partitionBy(id_col).orderBy("pos")
+    wcum = wpos.rowsBetween(Window.unboundedPreceding, 0)
+    ivs = (
+        dup.withColumn(
+            "__new",
+            F.when(
+                F.col("pos") <= F.lag("pos").over(wpos) + n, F.lit(0)
+            ).otherwise(F.lit(1)),
+        )
+        .withColumn("__grp", F.sum("__new").over(wcum))
+        .groupBy(id_col, "__grp")
+        .agg(
+            F.min("pos").cast("int").alias("s"),
+            (F.max("pos") + n).cast("int").alias("e"),
         )
         .groupBy(id_col)
-        .agg(F.collect_set(F.col("__ri").cast("int")).alias("__removed"))
+        .agg(F.array_sort(F.collect_list(F.struct("s", "e"))).alias("__ivs"))
     )
-    kept = F.expr(
-        "filter(__toks, (t, i) -> NOT array_contains("
-        "coalesce(__removed, array()), i))"
+    cov = F.coalesce(
+        F.col("__ivs"), F.expr("CAST(array() AS array<struct<s:int,e:int>>)")
     )
-    return toks.join(cover, id_col, "left").select(
+    # kept tokens = slices of __toks between the disjoint covered
+    # intervals: gap starts = [0] ++ interval ends, gap ends = interval
+    # starts ++ [n_tokens]
+    starts = F.concat(F.array(F.lit(0)), F.transform(cov, lambda iv: iv["e"]))
+    ends = F.concat(
+        F.transform(cov, lambda iv: iv["s"]),
+        F.array(F.size("__toks")),
+    )
+    kept = F.flatten(
+        F.zip_with(
+            starts,
+            ends,
+            lambda s, e: F.slice(
+                F.col("__toks"), s + F.lit(1), F.greatest(e - s, F.lit(0))
+            ),
+        )
+    )
+    return toks.join(ivs, id_col, "left").select(
         id_col,
         F.size("__toks").cast("long").alias("n_tokens"),
         (F.size("__toks") - F.size(kept)).cast("long").alias("removed_tokens"),

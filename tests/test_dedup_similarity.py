@@ -699,6 +699,61 @@ def test_cut_duplicated_spans_vs_naive(spark):
         assert out.loc[i, "clean_text"] == " ".join(kept)
 
 
+def test_cut_duplicated_spans_pathological_doc(spark):
+    """Linearity guard: a 10k-token document with ~50% of its tokens
+    covered by duplicated runs (exactly what the operator targets) must
+    cut correctly and quickly — the interval-slice formulation is
+    O(tokens + intervals) per doc, not O(tokens × removed) like a
+    per-token array_contains scan."""
+    import re as _re
+    import time
+
+    from featureextraction_spark.operators.dedup import cut_duplicated_spans
+
+    n = 4
+    # alternating blocks: 10 boilerplate tokens (shared with doc 2, so
+    # every n-gram inside is duplicated) then 10 unique tokens — ~half
+    # the 10k tokens end up covered, in ~500 separate intervals
+    blocks = []
+    for b in range(500):
+        blocks.append(" ".join(f"boiler{j}" for j in range(10)))
+        blocks.append(" ".join(f"u{b}x{j}" for j in range(10)))
+    doc1 = " ".join(blocks)
+    doc2 = " ".join(f"boiler{j}" for j in range(10))
+    df = spark.createDataFrame(
+        [(1, doc1), (2, doc2)], "doc_id long, text string"
+    )
+    t0 = time.monotonic()
+    out = (
+        cut_duplicated_spans(df, n=n, min_df=2)
+        .toPandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    elapsed = time.monotonic() - t0
+
+    tok = _re.compile(r"[^ \t\n\r\f\x0b]+")
+    texts = {1: doc1, 2: doc2}
+    cased = {i: tok.findall(t) for i, t in texts.items()}
+    lowered = {i: [w.lower() for w in ws] for i, ws in cased.items()}
+    grams: dict = {}
+    for i, ts in lowered.items():
+        for p in range(len(ts) - n + 1):
+            grams.setdefault(" ".join(ts[p : p + n]), set()).add(i)
+    for i, ts in lowered.items():
+        removed = set()
+        for p in range(len(ts) - n + 1):
+            if len(grams[" ".join(ts[p : p + n])]) >= 2:
+                removed.update(range(p, p + n))
+        kept = [w for j, w in enumerate(cased[i]) if j not in removed]
+        assert out.loc[i, "n_tokens"] == len(ts)
+        assert out.loc[i, "removed_tokens"] == len(removed)
+        assert out.loc[i, "clean_text"] == " ".join(kept)
+    assert out.loc[1, "removed_tokens"] >= 4500
+    # generous wall bound — the quadratic formulation blows far past this
+    assert elapsed < 60, f"cut took {elapsed:.1f}s on a 10k-token doc"
+
+
 def test_line_dedup_features_vs_naive(spark):
     """Line-occurrence dedup fractions vs a pure-python replay, including
     empty lines, trailing-empty retention, and the zero-char guard."""
