@@ -408,3 +408,116 @@ def test_stateless_curation_ops_run_on_streams(spark, tmp_path):
     pd.testing.assert_frame_equal(got, want)
     # the scrub actually fired before the line filter saw the text
     assert "<EMAIL>" in got.loc[0, "clean_text"] or got.loc[0, "n_kept"] >= 1
+
+
+@pytest.fixture(scope="module")
+def doc_stream_dir(spark, tmp_path_factory):
+    """A document stream: 2 parquet chunks with line structure, repeated
+    lines, empty lines, an empty doc, and a NULL-text doc."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    base = tmp_path_factory.mktemp("docstream")
+    rows = []
+    for i in range(40):
+        if i == 7:
+            rows.append((i, None))
+        elif i == 13:
+            rows.append((i, ""))
+        else:
+            lines = [
+                f"alpha beta doc {i}",
+                "shared nav bar line",
+                f"unique tail {i} gamma",
+                "",
+                "shared nav bar line" if i % 3 == 0 else f"solo {i}",
+                "",
+            ]
+            rows.append((i, "\n".join(lines)))
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text"])
+    for j in range(2):
+        pq.write_table(
+            pa.Table.from_pandas(
+                pdf.iloc[j * 20 : (j + 1) * 20], preserve_index=False
+            ),
+            os.path.join(str(base), f"c{j}.parquet"),
+        )
+    return str(base)
+
+
+def test_streaming_line_dedup_matches_batch(spark, doc_stream_dir):
+    """The stateless line-dedup projection on a stream is row-equal to the
+    batch explode+groupBy formulation — same Σ(count−1) duplication counts
+    and char-mass fractions, including empty/NULL documents."""
+    import pandas as pd
+
+    from featureextraction_spark.functions.textstats import line_dedup_features
+    from featureextraction_spark.streaming.scoring import streaming_line_dedup
+
+    batch = spark.read.parquet(doc_stream_dir)
+    got = _run_stream(
+        spark,
+        doc_stream_dir,
+        batch,
+        lambda src: streaming_line_dedup(src),
+        "append",
+        "line_dedup_stream",
+    ).sort_values("doc_id").reset_index(drop=True)
+    want = (
+        line_dedup_features(batch)
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want)
+    # the fixture actually exercises duplication: some doc repeats a line
+    assert (got["dup_lines"] > 0).any()
+
+
+def test_streaming_unigram_lm_matches_batch(spark, doc_stream_dir):
+    """Unigram-LM scoring against a broadcast batch-fit snapshot is equal
+    to the batch operator with the same reference slice: integer columns
+    (n_tokens, oov_tokens, lm_num) and the single-division mean_tok_prob
+    bit-equal; avg_logprob/ppl tolerance-equal (multi-term float sums are
+    accumulation-order-dependent — the batch driver query's own
+    contract)."""
+    import numpy as np
+    import pandas as pd
+
+    from featureextraction_spark.functions.textstats import unigram_lm_score
+    from featureextraction_spark.streaming.scoring import (
+        streaming_unigram_lm,
+        unigram_lm_snapshot,
+    )
+
+    batch = spark.read.parquet(doc_stream_dir)
+    ref = F.col("doc_id") % 4 == 0
+    snapshot = unigram_lm_snapshot(batch.filter(ref)).persist()
+    snapshot.count()
+    got = _run_stream(
+        spark,
+        doc_stream_dir,
+        batch,
+        lambda src: streaming_unigram_lm(src, snapshot),
+        "append",
+        "unigram_lm_stream",
+    ).sort_values("doc_id").reset_index(drop=True)
+    want = (
+        unigram_lm_score(batch, ref=ref)
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    for c in ["n_tokens", "oov_tokens", "lm_num"]:
+        assert (got[c].to_numpy() == want[c].to_numpy()).all(), c
+    assert (got["mean_tok_prob"].to_numpy() == want["mean_tok_prob"].to_numpy()).all()
+    np.testing.assert_allclose(
+        got["avg_logprob"].to_numpy(), want["avg_logprob"].to_numpy(), rtol=1e-12
+    )
+    np.testing.assert_allclose(
+        got["ppl"].to_numpy(), want["ppl"].to_numpy(), rtol=1e-12
+    )
+    # OOV actually exercised: non-reference docs carry unseen tokens
+    assert (got["oov_tokens"] > 0).any()
+    snapshot.unpersist()
