@@ -124,6 +124,94 @@ def test_iceberg_gated_off_in_this_container(spark):
         IcebergFeatureStore(spark, "cat.db.t", ["conv_id", "ts"])
 
 
+# Exact provisioning for the skipped integration test below. The test body
+# is real and complete — it runs unmodified the moment the Iceberg runtime
+# is on the classpath. This container has no network and ships no Iceberg
+# jar, so it skips here; on any provisioned machine run:
+#
+#   spark-submit (or pytest under a spark-submit-launched session) with
+#     --packages org.apache.iceberg:iceberg-spark-runtime-4.0_2.13:1.10.0
+#       (match the artifact to the Spark/Scala version: Spark 4.x/2.13;
+#        for Spark 3.5 use iceberg-spark-runtime-3.5_2.12)
+#     --conf spark.sql.extensions=org.apache.iceberg.spark.extensions.\
+# IcebergSparkSessionExtensions
+#       (extensions must be set at session START; MERGE INTO routes through
+#        Iceberg's row-level-operation rules)
+#   then: python -m pytest tests/test_feature_store.py -k iceberg_end_to_end
+#
+# The catalog itself needs no pre-provisioning — the test registers a
+# hadoop-type catalog on a tmp dir at runtime (Iceberg resolves
+# spark.sql.catalog.* confs lazily on first reference).
+_ICEBERG_SKIP_REASON = (
+    "Iceberg runtime jar not on the classpath (no network in this "
+    "container); see the provisioning comment above this test"
+)
+
+
+def _iceberg_jar_present(spark) -> bool:
+    try:
+        spark._jvm.java.lang.Class.forName(
+            "org.apache.iceberg.spark.SparkCatalog"
+        )
+        return True
+    except Exception:
+        return False
+
+
+def test_iceberg_feature_store_end_to_end(spark, tmp_path):
+    """The declared ship path, executed for real when the jar is present:
+    CREATE TABLE USING iceberg → append (writeTo + snapshot-property tag)
+    → ALTER TABLE ADD COLUMNS + MERGE INTO (keyed column merge) →
+    snapshot-id time travel — the same keyed-not-positional assertions as
+    the parquet FeatureStore twin above."""
+    if not _iceberg_jar_present(spark):
+        pytest.skip(_ICEBERG_SKIP_REASON)
+    wh = str(tmp_path / "wh")
+    spark.conf.set("spark.sql.catalog.fexit", "org.apache.iceberg.spark.SparkCatalog")
+    spark.conf.set("spark.sql.catalog.fexit.type", "hadoop")
+    spark.conf.set("spark.sql.catalog.fexit.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS fexit.db")
+    spark.sql(
+        "CREATE TABLE fexit.db.fs (conv_id string, ts timestamp, f1 double) "
+        "USING iceberg"
+    )
+    try:
+        store = IcebergFeatureStore(spark, "fexit.db.fs", ["conv_id", "ts"])
+        store.append(
+            _batch(spark, [("a", T0, 1.0), ("b", T1, 2.0), ("c", T2, 3.0)]),
+            tag="run-1",
+        )
+        first_snapshot = (
+            spark.sql("SELECT snapshot_id FROM fexit.db.fs.snapshots")
+            .collect()[0][0]
+        )
+        new = spark.createDataFrame(
+            pd.DataFrame(
+                [("c", T2, 30.0), ("a", T0, 10.0), ("zz", T1, 99.0)],
+                columns=["conv_id", "ts", "f2"],
+            ),
+            schema="conv_id string, ts timestamp, f2 double",
+        )
+        store.merge_columns(new, ["f2"])
+        out = store.read().toPandas().sort_values("conv_id").reset_index(drop=True)
+        assert list(out["f1"]) == [1.0, 2.0, 3.0]
+        assert out.loc[out.conv_id == "a", "f2"].iloc[0] == 10.0
+        assert pd.isna(out.loc[out.conv_id == "b", "f2"].iloc[0])
+        assert out.loc[out.conv_id == "c", "f2"].iloc[0] == 30.0
+        assert "zz" not in set(out["conv_id"])  # MERGE has no INSERT branch
+        # snapshot-id time travel: the pre-merge snapshot has no f2
+        old = store.read(version=first_snapshot).toPandas()
+        assert "f2" not in old.columns and len(old) == 3
+        # the tag landed in the snapshot summary
+        tags = spark.sql(
+            "SELECT summary['run-tag'] FROM fexit.db.fs.snapshots "
+            "ORDER BY committed_at"
+        ).collect()
+        assert tags[0][0] == "run-1"
+    finally:
+        spark.sql("DROP TABLE IF EXISTS fexit.db.fs")
+
+
 # --- EP2 categorise plan --------------------------------------------------
 
 
