@@ -1163,6 +1163,54 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curation_pipeline(docs, quality_min=0.5, seed=42)
 
 
+def q_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking (window=16, stride=12) — the
+    pretraining/RAG shard-prep explode. Map-only: zero exchanges in the
+    plan; DuckDB replays the covering-rule start grid and slices."""
+    from featureextraction_spark.operators.chunking import chunk_documents
+
+    docs = _load(spark, sf_dir, "documents")
+    return chunk_documents(docs, window=16, stride=12)
+
+
+def q_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token-budget sampling (600 tokens/source): documents
+    walk in the deterministic md5-60-bit order (hash_split contract) and
+    the budget-crossing doc is admitted. One windowed shuffle."""
+    from featureextraction_spark.operators.curation import quota_sample
+
+    docs = _load(spark, sf_dir, "documents")
+    return quota_sample(docs, budget_tokens=600, group="source")
+
+
+def q_render_conversations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chat-template render of the transcript table under stable
+    (conv_id, turn_idx) ordering — a hash-green row on ``rendered``
+    proves per-turn text byte-equality AND order stability (the north
+    rule's per-row invariant) in one externally-gated query."""
+    from featureextraction_spark.operators.render import render_conversations
+
+    tr = _events_as_transcripts(spark, sf_dir)
+    return render_conversations(tr)
+
+
+def q_quality_clf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expression-only logistic quality classifier (fixed public weights
+    over the text_quality signals). Map-only scoring; logit/prob ride
+    the shared nudged hash vehicle."""
+    from featureextraction_spark.functions.textstats import quality_classifier
+
+    docs = _load(spark, sf_dir, "documents")
+    out = quality_classifier(docs)
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        _hround6(F.col("logit")).alias("logit"),
+        _hround6(F.col("prob")).alias("prob"),
+        F.col("keep").cast("long").alias("keep"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: point-in-time feature lookup — for every purchase probe,
     the session id, running state and latest click value as of that ts,
@@ -1257,6 +1305,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_repetition": q_ngram_repetition,
         "pq_topk": q_pq_topk,
         "ivfpq_topk_full": q_ivfpq_topk_full,
+        "chunk_docs": q_chunk_docs,
+        "quota_sample": q_quota_sample,
+        "render_conversations": q_render_conversations,
+        "quality_clf": q_quality_clf,
     }
 
 
@@ -3449,5 +3501,107 @@ def _curation_oracle_sql() -> dict[str, str]:
             SELECT v.vec_id, v.label, per.max_cos_lower,
                    CAST(coalesce(per.max_cos_lower < 0.35, TRUE) AS BIGINT) AS keep
             FROM v LEFT JOIN per USING (vec_id)
+        """,
+        # covering-rule start grid replayed with the same integer-only
+        # arithmetic as the Spark plan (last start L = 1 + ceil((n-w)/s)·s)
+        "chunk_docs": """
+            WITH t AS (
+                SELECT doc_id,
+                       list_filter(
+                           string_split(
+                               trim(regexp_replace(text, '[ \\t\\n\\r\\f\\x0B]+', ' ', 'g')),
+                               ' '),
+                           x -> x <> '') AS toks
+                FROM documents
+            ),
+            nn AS (SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) > 0),
+            s AS (
+                SELECT doc_id, toks,
+                       unnest(generate_series(1,
+                           1 + CAST(((greatest(n - 16, 0) + 11)
+                                     - ((greatest(n - 16, 0) + 11) % 12)) / 12 AS INT) * 12,
+                           12)) AS st
+                FROM nn
+            )
+            SELECT doc_id,
+                   CAST((st - 1) / 12 AS INT) AS chunk_id,
+                   CAST(len(toks[st : st + 15]) AS BIGINT) AS n_tokens,
+                   array_to_string(toks[st : st + 15], ' ') AS chunk_text
+            FROM s
+        """,
+        # per-source token budget walk in hash_split's md5-60-bit order;
+        # the budget-crossing document is admitted
+        "quota_sample": f"""
+            WITH d AS (
+                SELECT doc_id, source,
+                       CAST(length(regexp_extract_all(text, {_TOKENS_RE})) AS BIGINT)
+                           AS n_tokens,
+                       CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':42'),
+                                            1, 15))::BIGINT AS DOUBLE)
+                       / 1152921504606846976.0 AS u
+                FROM documents
+            ),
+            c AS (
+                SELECT doc_id, source, n_tokens, u,
+                       sum(n_tokens) OVER (PARTITION BY source ORDER BY u, doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                           AS cum_tokens
+                FROM d
+            )
+            SELECT doc_id, source, n_tokens, u,
+                   CAST(cum_tokens AS BIGINT) AS cum_tokens
+            FROM c WHERE cum_tokens - n_tokens < 600
+        """,
+        # hash-green `rendered` == per-turn text byte-equality + stable
+        # (conv_id, turn_idx) ordering, the north-rule per-row invariant
+        "render_conversations": """
+            WITH tr AS (
+                SELECT CAST(user_id AS VARCHAR) AS conv_id,
+                       row_number() OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id) - 1 AS turn_idx,
+                       event_type AS role,
+                       coalesce(props, '') AS text
+                FROM events
+            )
+            SELECT conv_id,
+                   CAST(count(*) AS BIGINT) AS turn_count,
+                   CAST(length(string_agg('<|' || role || '|>' || text, chr(10)
+                                          ORDER BY turn_idx)) AS BIGINT) AS n_chars,
+                   string_agg('<|' || role || '|>' || text, chr(10)
+                              ORDER BY turn_idx) AS rendered
+            FROM tr GROUP BY conv_id
+        """,
+        # same literal weight/order arithmetic as QUALITY_CLF_WEIGHTS; the
+        # 1-ulp ln/exp divergence rides the shared nudged rounding
+        "quality_clf": f"""
+            WITH f AS (
+                SELECT doc_id,
+                       CAST(length(regexp_extract_all(text, {_TOKENS_RE})) AS BIGINT)
+                           AS n_tokens,
+                       CASE WHEN length(text) > 0
+                            THEN length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) * 1.0
+                                 / length(text) ELSE 0 END AS a,
+                       CASE WHEN length(text) > 0
+                            THEN length(regexp_replace(text,
+                                 $$[^.,;:!?'"()\\[\\]{{}}-]$$, '', 'g')) * 1.0
+                                 / length(text) ELSE 0 END AS p,
+                       CASE WHEN length(regexp_extract_all(text, {_TOKENS_RE})) > 0
+                            THEN length(regexp_extract_all(lower(text),
+                                 '(^|[ ])(the|and|of|to|is|in|that|it|for|with)([ ]|$)')) * 1.0
+                                 / length(regexp_extract_all(text, {_TOKENS_RE}))
+                            ELSE 0 END AS s
+                FROM documents
+            ),
+            l AS (
+                SELECT doc_id, n_tokens,
+                       -2.0 + 2.5 * a + 4.0 * s + -6.0 * p
+                            + 0.35 * ln(CAST(n_tokens AS DOUBLE) + 1.0) AS logit
+                FROM f
+            )
+            SELECT doc_id, n_tokens,
+                   round(logit + 1e-9, 6) AS logit,
+                   round(1.0 / (1.0 + exp(-logit)) + 1e-9, 6) AS prob,
+                   CAST(logit > 0 AS BIGINT) AS keep
+            FROM l
         """,
     }

@@ -472,3 +472,53 @@ def ngram_repetition_features(
             .alias("dup_cover_frac"),
         )
     )
+
+
+# fixed, public, hand-set logistic weights for the expression-only quality
+# classifier — the shape of a fastText/linear quality model (features →
+# w·x + b → sigmoid) with deterministic hardcoded weights instead of
+# trained ones (no external data in this environment). Positive weight on
+# alpha/stopword prose signals, negative on punctuation soup, a mild
+# sweet-spot prior on token length via log1p.
+QUALITY_CLF_WEIGHTS: dict[str, float] = {
+    "bias": -2.0,
+    "alpha_ratio": 2.5,
+    "stopword_ratio": 4.0,
+    "punct_ratio": -6.0,
+    "log1p_tokens": 0.35,
+}
+
+
+def quality_classifier(
+    df: DataFrame, id_col: str = "doc_id", text: str = "text"
+) -> DataFrame:
+    """Linear (logistic) document-quality classifier over the
+    ``with_quality_features`` signals — the standard "model-based quality
+    filter" stage of an LLM data pipeline (CCNet/GPT-3 style), expressed
+    entirely as Catalyst expressions: featurize → dot product with fixed
+    ``QUALITY_CLF_WEIGHTS`` → sigmoid → threshold at 0.5.
+
+    Output: (id_col, n_tokens, logit, prob, keep). ``logit``/``prob``
+    are float expressions (hash-gated queries round them through the
+    shared nudged vehicle); ``keep`` is the boolean decision.
+
+    Scale: map-only scoring — no shuffle, whole-stage codegen, trivially
+    100-TB-parallel; a trained model swaps in by replacing the weight
+    dict (same plan shape).
+    """
+    w = QUALITY_CLF_WEIGHTS
+    q = with_quality_features(df.select(id_col, text), text=text)
+    logit = (
+        F.lit(w["bias"])
+        + F.lit(w["alpha_ratio"]) * F.col("alpha_ratio")
+        + F.lit(w["stopword_ratio"]) * F.col("stopword_ratio")
+        + F.lit(w["punct_ratio"]) * F.col("punct_ratio")
+        + F.lit(w["log1p_tokens"]) * F.log(F.col("n_tokens").cast("double") + 1.0)
+    )
+    return q.select(
+        id_col,
+        "n_tokens",
+        logit.alias("logit"),
+        (F.lit(1.0) / (F.lit(1.0) + F.exp(-logit))).alias("prob"),
+        (logit > 0).alias("keep"),
+    )

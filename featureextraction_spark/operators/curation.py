@@ -448,3 +448,54 @@ def dsir_weights(
         ).alias("ratio_score"),
         (F.col("__sumllr") / F.col("n_grams")).alias("log_weight"),
     )
+
+
+def quota_sample(
+    df: DataFrame,
+    budget_tokens: int,
+    group: str = "source",
+    id_col: str = "doc_id",
+    text: str = "text",
+    salt: str = "42",
+) -> DataFrame:
+    """Deterministic per-group token-budget sampling — the data-mixing
+    step that turns target mixture token counts into a concrete document
+    subset: within each ``group`` (domain/source), walk documents in a
+    deterministic pseudo-random order (the md5 60-bit uniform used by
+    ``hash_split``/``domain_mix``, salted + tie-broken by ``id_col``) and
+    keep each document whose running token total BEFORE it is still
+    under ``budget_tokens`` — so the budget-crossing document is
+    admitted and every non-empty group yields at least one document,
+    matching the usual "take until the quota is exceeded" mixing rule.
+
+    Output per kept document: (id_col, group, n_tokens, u, cum_tokens)
+    where ``cum_tokens`` is the inclusive running total in sample order.
+
+    Scale design: one shuffle (the per-group ordered window). The running
+    sum is a prefix aggregate, so a mega-group does NOT need a single
+    partition at 100 TB: swap the window for the two-phase
+    repartitionByRange + per-partition-offset global cumsum used by
+    ``packing.with_global_cumsum`` keyed by (group, u) — the per-group
+    offsets are one ≤n_partitions-row driver exchange. The window form
+    is kept here because it is the plan Catalyst can reason about and
+    group cardinality ≪ partition budget at test scale.
+    """
+    from featureextraction_spark.functions.textstats import token_count
+    from featureextraction_spark.operators.sampling import _seed_hash
+
+    u = _seed_hash(id_col, int(salt)).cast("double") / F.lit(float(1 << 60))
+    d = df.select(
+        id_col,
+        F.col(group).alias(group),
+        token_count(text).alias("n_tokens"),
+        u.alias("u"),
+    )
+    w = (
+        Window.partitionBy(group)
+        .orderBy("u", id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    d = d.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+    return d.filter(
+        (F.col("cum_tokens") - F.col("n_tokens")) < F.lit(budget_tokens)
+    )
