@@ -237,3 +237,46 @@ def test_ivfpq_candidate_join_is_equi_join(spark):
     )
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_chunking_is_map_only(spark):
+    from featureextraction_spark.operators.chunking import chunk_documents
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = plan_of(chunk_documents(docs, window=16, stride=12))
+    assert count_exchanges(plan) == 0, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_quota_sample_one_exchange_no_python(spark):
+    from featureextraction_spark.operators.curation import quota_sample
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = plan_of(quota_sample(docs, budget_tokens=120, group="source"))
+    assert count_exchanges(plan) == 1, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_render_conversations_bounded_exchanges(spark, tr_parquet):
+    from featureextraction_spark.operators.render import render_conversations
+
+    # full render: one conv-keyed aggregate (partial+final hash agg pair
+    # around a single exchange)
+    plan = plan_of(render_conversations(tr_parquet))
+    assert count_exchanges(plan) == 1, plan
+    # last_k truncation adds only the max-turn window on the SAME key —
+    # AQE may or may not reuse the exchange, so allow ≤ 2, never more
+    plan_k = plan_of(render_conversations(tr_parquet, last_k=4))
+    assert count_exchanges(plan_k) <= 2, plan_k
+    assert "BatchEvalPython" not in plan_k
+
+
+def test_quality_classifier_map_only_codegen(spark):
+    from featureextraction_spark.functions.textstats import quality_classifier
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = plan_of(quality_classifier(docs))
+    assert count_exchanges(plan) == 0, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # codegen'd operators print as "*(n) Op" in the compact plan string
+    assert "WholeStageCodegen" in plan or "*(1)" in plan, plan

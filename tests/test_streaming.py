@@ -521,3 +521,65 @@ def test_streaming_unigram_lm_matches_batch(spark, doc_stream_dir):
     # OOV actually exercised: non-reference docs carry unseen tokens
     assert (got["oov_tokens"] > 0).any()
     snapshot.unpersist()
+
+
+def test_streaming_chunking_matches_batch(spark, doc_stream_dir):
+    """chunk_documents is map-only (split → sequence → explode → slice),
+    so the BATCH operator runs on a live stream unchanged — append mode,
+    zero state — and is row-equal to its batch run."""
+    import pandas as pd
+
+    from featureextraction_spark.operators.chunking import chunk_documents
+
+    batch = spark.read.parquet(doc_stream_dir)
+    key = ["doc_id", "chunk_id"]
+    got = (
+        _run_stream(
+            spark,
+            doc_stream_dir,
+            batch,
+            lambda src: chunk_documents(src, window=8, stride=6),
+            "append",
+            "chunk_stream",
+        )
+        .sort_values(key)
+        .reset_index(drop=True)
+    )
+    want = (
+        chunk_documents(batch, window=8, stride=6)
+        .toPandas()
+        .sort_values(key)
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want)
+    assert (got.groupby("doc_id").size() > 1).any()  # overlap exercised
+
+
+def test_streaming_quality_classifier_matches_batch(spark, doc_stream_dir):
+    """quality_classifier is a pure projection — stream-runnable as-is;
+    integer/boolean columns bit-equal, float logit/prob exactly equal
+    (single-row arithmetic, no accumulation order in play)."""
+    import pandas as pd
+
+    from featureextraction_spark.functions.textstats import quality_classifier
+
+    batch = spark.read.parquet(doc_stream_dir)
+    got = (
+        _run_stream(
+            spark,
+            doc_stream_dir,
+            batch,
+            lambda src: quality_classifier(src),
+            "append",
+            "qclf_stream",
+        )
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    want = (
+        quality_classifier(batch)
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want)
