@@ -1211,6 +1211,64 @@ def q_quality_clf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_turn_taking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-conversation turn-taking / agent-loop features (alternation
+    rate, longest same-role run, tool density, longest tool chain, mean
+    inter-turn latency) — one window pass + key-local aggs; every float
+    is a single integer÷integer division riding the nudged rounding."""
+    from featureextraction_spark.operators.turns import turn_taking_features
+
+    tr = _events_as_transcripts(spark, sf_dir)
+    out = turn_taking_features(tr)
+    return out.select(
+        "conv_id",
+        "n_turns",
+        "n_roles",
+        "alternations",
+        _hround6(F.col("alternation_rate")).alias("alternation_rate"),
+        "max_role_run",
+        "tool_turns",
+        _hround6(F.col("tool_fraction")).alias("tool_fraction"),
+        "max_tool_chain",
+        "gap_sum_us",
+        _hround6(F.col("mean_gap_sec")).alias("mean_gap_sec"),
+    )
+
+
+def q_context_truncate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Serving-side context-window truncation: longest suffix of each
+    conversation within a 60-token budget (newest turn always kept) —
+    one descending window pass, integer token counts only."""
+    from featureextraction_spark.operators.chunking import truncate_context
+
+    tr = _events_as_transcripts(spark, sf_dir)
+    return truncate_context(tr, budget_tokens=60)
+
+
+BM25_QUERY_TERMS = ("filter", "join", "merge", "scan", "vector", "window")
+
+
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 top-20 over documents for a fixed query — corpus
+    filtered to query terms before the only explode, broadcast
+    df/corpus stats, TakeOrdered top-k; score quantized through the
+    nudged rounding BEFORE ranking so the k-set is engine-stable."""
+    from featureextraction_spark.operators.retrieval import bm25_topk
+
+    docs = _load(spark, sf_dir, "documents")
+    return bm25_topk(docs, BM25_QUERY_TERMS, k=20)
+
+
+def q_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-iteration BPE merge statistics: top-50 adjacent character
+    pairs by word-frequency-weighted count — vocabulary-sized shuffles
+    only (distinct words first, then pairs), exact integer counts."""
+    from featureextraction_spark.functions.textstats import bpe_pair_counts
+
+    docs = _load(spark, sf_dir, "documents")
+    return bpe_pair_counts(docs, top=50)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: point-in-time feature lookup — for every purchase probe,
     the session id, running state and latest click value as of that ts,
@@ -1309,6 +1367,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quota_sample": q_quota_sample,
         "render_conversations": q_render_conversations,
         "quality_clf": q_quality_clf,
+        "turn_taking": q_turn_taking,
+        "context_truncate": q_context_truncate,
+        "bm25_topk": q_bm25_topk,
+        "bpe_pairs": q_bpe_pairs,
     }
 
 
@@ -3603,5 +3665,176 @@ def _curation_oracle_sql() -> dict[str, str]:
                    round(1.0 / (1.0 + exp(-logit)) + 1e-9, 6) AS prob,
                    CAST(logit > 0 AS BIGINT) AS keep
             FROM l
+        """,
+        # lag flags + cumulative-sum island ids replayed 1:1; every float
+        # is one integer/integer division so only the rounding needs the
+        # shared nudge
+        "turn_taking": """
+            WITH tr AS (
+                SELECT CAST(user_id AS VARCHAR) AS conv_id,
+                       row_number() OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id) - 1 AS turn_idx,
+                       event_type AS role,
+                       CASE WHEN event_type = 'error' THEN event_type END AS tool,
+                       ts
+                FROM events
+            ),
+            f AS (
+                SELECT conv_id, turn_idx, role, tool,
+                       CASE WHEN lag(role) OVER w IS NOT NULL
+                                 AND role <> lag(role) OVER w
+                            THEN 1 ELSE 0 END AS role_chg,
+                       CASE WHEN tool IS NOT NULL THEN 1 ELSE 0 END AS tool_flag,
+                       CASE WHEN tool IS NOT NULL
+                                 AND NOT coalesce(lag(tool IS NOT NULL) OVER w, FALSE)
+                            THEN 1 ELSE 0 END AS chain_start,
+                       epoch_us(ts) - lag(epoch_us(ts)) OVER w AS gap_us
+                FROM tr
+                WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
+            ),
+            g AS (
+                SELECT *,
+                       sum(role_chg) OVER wc AS role_grp,
+                       sum(chain_start) OVER wc AS chain_grp
+                FROM f
+                WINDOW wc AS (PARTITION BY conv_id ORDER BY turn_idx
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            ),
+            base AS (
+                SELECT conv_id,
+                       CAST(count(*) AS BIGINT) AS n_turns,
+                       CAST(count(DISTINCT role) AS BIGINT) AS n_roles,
+                       CAST(sum(role_chg) AS BIGINT) AS alternations,
+                       CAST(sum(tool_flag) AS BIGINT) AS tool_turns,
+                       CAST(sum(gap_us) AS BIGINT) AS gap_sum_us,
+                       count(gap_us) AS n_gaps
+                FROM g GROUP BY conv_id
+            ),
+            runs AS (
+                SELECT conv_id, CAST(max(c) AS BIGINT) AS max_role_run
+                FROM (SELECT conv_id, role_grp, count(*) AS c
+                      FROM g GROUP BY conv_id, role_grp)
+                GROUP BY conv_id
+            ),
+            chains AS (
+                SELECT conv_id, CAST(max(c) AS BIGINT) AS max_tool_chain
+                FROM (SELECT conv_id, chain_grp, count(*) AS c
+                      FROM g WHERE tool_flag = 1 GROUP BY conv_id, chain_grp)
+                GROUP BY conv_id
+            )
+            SELECT b.conv_id, n_turns, n_roles, alternations,
+                   round(CASE WHEN n_turns > 1
+                              THEN alternations * 1.0 / (n_turns - 1)
+                              ELSE 0.0 END + 1e-9, 6) AS alternation_rate,
+                   max_role_run, tool_turns,
+                   round(tool_turns * 1.0 / n_turns + 1e-9, 6) AS tool_fraction,
+                   CAST(coalesce(max_tool_chain, 0) AS BIGINT) AS max_tool_chain,
+                   gap_sum_us,
+                   round(CASE WHEN n_gaps > 0
+                              THEN gap_sum_us * 1.0 / n_gaps / 1000000.0
+                              END + 1e-9, 6) AS mean_gap_sec
+            FROM base b
+            JOIN runs USING (conv_id)
+            LEFT JOIN chains USING (conv_id)
+        """,
+        # reverse cumulative token sum; integer counts only, newest turn
+        # always kept
+        "context_truncate": """
+            WITH tr AS (
+                SELECT CAST(user_id AS VARCHAR) AS conv_id,
+                       row_number() OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id) - 1 AS turn_idx,
+                       coalesce(props, '') AS text
+                FROM events
+            ),
+            t AS (
+                SELECT conv_id, turn_idx,
+                       CAST(len(list_filter(
+                           string_split(trim(regexp_replace(
+                               text, '[ \\t\\n\\r\\f\\x0B]+', ' ', 'g')), ' '),
+                           x -> x <> '')) AS BIGINT) AS n_tokens
+                FROM tr
+            ),
+            c AS (
+                SELECT conv_id, turn_idx, n_tokens,
+                       sum(n_tokens) OVER (PARTITION BY conv_id
+                           ORDER BY turn_idx DESC
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                           AS cum,
+                       row_number() OVER (PARTITION BY conv_id
+                                          ORDER BY turn_idx DESC) AS rn
+                FROM t
+            )
+            SELECT conv_id, turn_idx, n_tokens,
+                   CAST(cum AS BIGINT) AS cum_tokens_from_end
+            FROM c WHERE cum <= 60 OR rn = 1
+        """,
+        # identical Lucene-idf BM25 arithmetic in the identical operation
+        # order; score quantized through the shared nudge BEFORE the
+        # ORDER BY so the top-k SET survives 1-ulp ln()/sum divergence
+        "bm25_topk": """
+            WITH t AS (
+                SELECT doc_id,
+                       list_filter(
+                           string_split(lower(trim(regexp_replace(
+                               text, '[ \\t\\n\\r\\f\\x0B]+', ' ', 'g'))), ' '),
+                           x -> x <> '') AS toks
+                FROM documents
+            ),
+            b AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS dl FROM t),
+            st AS (SELECT CAST(count(*) AS BIGINT) AS n_docs, avg(dl) AS avgdl
+                   FROM b),
+            tf AS (
+                SELECT doc_id, dl, term, CAST(count(*) AS BIGINT) AS tf
+                FROM (SELECT doc_id, dl, unnest(toks) AS term FROM b)
+                WHERE term IN ('filter', 'join', 'merge', 'scan', 'vector',
+                               'window')
+                GROUP BY doc_id, dl, term
+            ),
+            dfq AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+                    FROM tf GROUP BY term),
+            sc AS (
+                SELECT doc_id,
+                       ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+                           * (tf * 2.2)
+                           / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)) AS s
+                FROM tf JOIN dfq USING (term) CROSS JOIN st
+            ),
+            agg AS (
+                SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms_hit,
+                       round(sum(s) + 1e-9, 6) AS score
+                FROM sc GROUP BY doc_id
+            )
+            SELECT doc_id, n_terms_hit, score
+            FROM agg ORDER BY score DESC, doc_id LIMIT 20
+        """,
+        # distinct-words-with-counts first (the BPE trainer optimization),
+        # then pair explode; exact integer counts, deterministic top-50
+        "bpe_pairs": """
+            WITH w AS (
+                SELECT unnest(list_filter(
+                    string_split(lower(trim(regexp_replace(
+                        text, '[ \\t\\n\\r\\f\\x0B]+', ' ', 'g'))), ' '),
+                    x -> x <> '')) AS w
+                FROM documents
+            ),
+            wc AS (
+                SELECT w, CAST(count(*) AS BIGINT) AS c
+                FROM w WHERE length(w) >= 2 GROUP BY w
+            ),
+            p AS (
+                SELECT w, c,
+                       unnest(list_transform(range(1, length(w)),
+                                             i -> substr(w, CAST(i AS INT), 2)))
+                           AS pair
+                FROM wc
+            ),
+            agg AS (
+                SELECT pair, CAST(count(DISTINCT w) AS BIGINT) AS n_words,
+                       CAST(sum(c) AS BIGINT) AS pair_count
+                FROM p GROUP BY pair
+            )
+            SELECT pair, n_words, pair_count
+            FROM agg ORDER BY pair_count DESC, pair LIMIT 50
         """,
     }

@@ -522,3 +522,66 @@ def quality_classifier(
         (F.lit(1.0) / (F.lit(1.0) + F.exp(-logit))).alias("prob"),
         (logit > 0).alias("keep"),
     )
+
+
+def bpe_pair_counts(
+    df: DataFrame, text: str = "text", top: int = 50
+) -> DataFrame:
+    """First-iteration BPE merge statistics: the ``top`` most frequent
+    adjacent character pairs inside words, corpus-wide — the pair the
+    byte-pair-encoding trainer would merge first, plus its runners-up.
+
+    Output: (pair, n_words, pair_count) ordered deterministically by
+    (pair_count DESC, pair ASC) and limited to ``top`` rows —
+    ``pair_count`` counts occurrences weighted by word frequency (the
+    BPE trainer's objective), ``n_words`` counts distinct words
+    containing the pair.
+
+    Scale design — the classic BPE-trainer optimization, distributed:
+    aggregate the corpus to DISTINCT WORDS WITH COUNTS first (the heavy
+    shuffle is word-keyed and map-side combinable; vocabulary, not
+    corpus, sized), then explode each distinct word into its
+    length−1 adjacent pairs and re-aggregate pair-keyed — the pair
+    shuffle is vocabulary-bounded regardless of corpus size. Counts are
+    exact integers (hash-gate safe with no rounding vehicle); the
+    top-``top`` is orderBy+limit = TakeOrderedAndProject, never a
+    single-partition sort.
+    """
+    toks = F.filter(
+        F.split(
+            F.lower(
+                F.trim(
+                    F.regexp_replace(
+                        F.col(text), "[ \\t\\n\\r\\f\\u000B]+", " "
+                    )
+                )
+            ),
+            " ",
+        ),
+        lambda x: x != "",
+    )
+    words = (
+        df.select(F.explode(toks).alias("__w"))
+        .filter(F.length("__w") >= 2)
+        .groupBy("__w")
+        .agg(F.count(F.lit(1)).cast("long").alias("__wc"))
+    )
+    pairs = words.select(
+        "__w",
+        "__wc",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(__w) - 1),"
+                " i -> substring(__w, i, 2))"
+            )
+        ).alias("pair"),
+    )
+    agg = pairs.groupBy("pair").agg(
+        F.countDistinct("__w").cast("long").alias("n_words"),
+        F.sum("__wc").cast("long").alias("pair_count"),
+    )
+    return (
+        agg.orderBy(F.col("pair_count").desc(), F.col("pair"))
+        .limit(top)
+        .select("pair", "n_words", "pair_count")
+    )

@@ -15,7 +15,7 @@ between cleaning and packing (`pack_sequences` consumes its output).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 # single-space normalization shared with the DuckDB oracle: collapse every
@@ -75,3 +75,51 @@ def chunk_documents(
         F.size(chunk).cast("long").alias("n_tokens"),
         F.array_join(chunk, " ").alias("chunk_text"),
     )
+
+
+def truncate_context(
+    df: DataFrame,
+    key: str = "conv_id",
+    order: str = "turn_idx",
+    text: str = "text",
+    budget_tokens: int = 512,
+) -> DataFrame:
+    """Serving-side context-window truncation: keep the longest SUFFIX of
+    each conversation whose total token count fits ``budget_tokens`` —
+    the "drop the oldest turns" rule every chat-serving stack applies
+    before rendering a prompt. The newest turn is always kept, even when
+    it alone exceeds the budget (a request must carry at least the
+    current message).
+
+    Output: the kept turns only, as (key, order, n_tokens,
+    cum_tokens_from_end) — ``cum_tokens_from_end`` is the running token
+    total walking backwards from the newest turn, so the kept set is
+    exactly the rows with ``cum_tokens_from_end ≤ budget`` plus the
+    newest turn.
+
+    Scale: one window pass partitioned by conversation (descending turn
+    order), then a filter — one exchange, map-side prunable; the
+    reverse-cumulative-sum is the same pattern as the backfill family
+    and inherits its salted escape hatch for mega-conversations.
+    """
+    if budget_tokens <= 0:
+        raise ValueError("budget_tokens must be positive")
+    toks = F.filter(
+        F.split(F.trim(F.regexp_replace(F.col(text), _WS_RUN, " ")), " "),
+        lambda x: x != "",
+    )
+    w = Window.partitionBy(key).orderBy(F.col(order).desc())
+    d = (
+        df.select(key, order, toks.alias("__toks"))
+        .withColumn("n_tokens", F.size("__toks").cast("long"))
+        .withColumn(
+            "cum_tokens_from_end",
+            F.sum("n_tokens").over(
+                w.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+        .withColumn("__rn", F.row_number().over(w))
+    )
+    return d.filter(
+        (F.col("cum_tokens_from_end") <= budget_tokens) | (F.col("__rn") == 1)
+    ).select(key, order, "n_tokens", "cum_tokens_from_end")

@@ -1,0 +1,117 @@
+"""BM25 text retrieval scoring — the lexical similarity-search baseline.
+
+Okapi BM25 with the standard (k1=1.2, b=0.75) parametrization and the
+Lucene/ATIRE idf form ln(1 + (N − df + 0.5)/(df + 0.5)), which is
+non-negative for every df (classic Robertson idf goes negative for
+terms in more than half the corpus).
+
+Scale design (the point of doing this in Spark):
+
+- the corpus is tokenized and FILTERED TO THE QUERY TERMS before the
+  only explode — the per-doc term-frequency aggregation therefore
+  shuffles O(matching (doc, term) pairs), not O(corpus tokens);
+- document length comes from the token array size (map-side, no
+  explode); corpus stats (N, avgdl) are a 1-row aggregate joined back
+  by broadcast, and the per-term document frequencies are a
+  |query_terms|-row aggregate, also broadcast — the corpus-sized side
+  is never reshuffled after the tf aggregation;
+- the top-k is ``orderBy(...).limit(k)``, which Spark executes as
+  TakeOrderedAndProject (per-partition heaps + driver merge of k rows),
+  NOT a single-partition global sort — safe at any corpus size;
+- scores are quantized through the shared nudged rounding BEFORE the
+  ordering, so the top-k SET is identical across engines even when
+  ln()/accumulation differ by 1 ulp (ties broken by doc id).
+
+No reference counterpart; this is the retrieval/quality-scoring sibling
+of the embedding ANN operators in ``similarity.py``.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_WS_RUN = "[ \\t\\n\\r\\f\\u000B]+"
+_HASH_EPS = 1e-9
+
+
+def bm25_topk(
+    df: DataFrame,
+    query_terms: Sequence[str],
+    k: int = 20,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text: str = "text",
+) -> DataFrame:
+    """Top-``k`` documents by BM25 score against ``query_terms``
+    (case-insensitive, whitespace tokenization shared with the DuckDB
+    oracle). Output: (id_col, n_terms_hit, score) with ``score`` rounded
+    through the nudged 6-digit hash vehicle; deterministic tie-break on
+    ``id_col``.
+    """
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
+    terms = sorted({t.lower() for t in query_terms})
+
+    toks = F.filter(
+        F.split(
+            F.lower(F.trim(F.regexp_replace(F.col(text), _WS_RUN, " "))), " "
+        ),
+        lambda x: x != "",
+    )
+    base = df.select(F.col(id_col), toks.alias("__toks")).withColumn(
+        "__dl", F.size("__toks").cast("long")
+    )
+
+    stats = base.agg(
+        F.count(F.lit(1)).cast("long").alias("__n_docs"),
+        F.avg("__dl").alias("__avgdl"),
+    )
+
+    tf = (
+        base.select(id_col, "__dl", F.explode("__toks").alias("__term"))
+        .filter(F.col("__term").isin(list(terms)))
+        .groupBy(id_col, "__dl", "__term")
+        .agg(F.count(F.lit(1)).cast("long").alias("__tf"))
+    )
+    dfreq = tf.groupBy("__term").agg(
+        F.count(F.lit(1)).cast("long").alias("__df")
+    )
+
+    scored = (
+        tf.join(F.broadcast(dfreq), "__term")
+        .join(F.broadcast(stats))
+        .withColumn(
+            "__idf",
+            F.log(
+                F.lit(1.0)
+                + (F.col("__n_docs") - F.col("__df") + F.lit(0.5))
+                / (F.col("__df") + F.lit(0.5))
+            ),
+        )
+        .withColumn(
+            "__s",
+            F.col("__idf")
+            * (F.col("__tf") * F.lit(k1 + 1.0))
+            / (
+                F.col("__tf")
+                + F.lit(k1)
+                * (
+                    F.lit(1.0 - b)
+                    + F.lit(b) * F.col("__dl") / F.col("__avgdl")
+                )
+            ),
+        )
+    )
+    agg = scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_terms_hit"),
+        F.round(F.sum("__s") + F.lit(_HASH_EPS), 6).alias("score"),
+    )
+    return (
+        agg.orderBy(F.col("score").desc(), F.col(id_col))
+        .limit(k)
+        .select(id_col, "n_terms_hit", "score")
+    )

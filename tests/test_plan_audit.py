@@ -280,3 +280,56 @@ def test_quality_classifier_map_only_codegen(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     # codegen'd operators print as "*(n) Op" in the compact plan string
     assert "WholeStageCodegen" in plan or "*(1)" in plan, plan
+
+
+def test_turn_taking_single_subtree_two_sort_phases(spark, tr_parquet):
+    from featureextraction_spark.operators.turns import turn_taking_features
+
+    # one exchange over the transcript: the island-length window counts
+    # run on (key, island-id), which HashPartitioning(key) satisfies, and
+    # the final key aggregation reuses it too — the whole operator is ONE
+    # window subtree, never re-computed per aggregate branch
+    plan = plan_of(
+        turn_taking_features(tr_parquet, key="conv_id", order="turn_idx")
+    )
+    assert count_exchanges(plan) == 1, plan
+    assert "Exchange SinglePartition" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_truncate_context_one_exchange_map_filter(spark, tr_parquet):
+    from featureextraction_spark.operators.chunking import truncate_context
+
+    plan = plan_of(truncate_context(tr_parquet, budget_tokens=64))
+    assert count_exchanges(plan) == 1, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_bm25_topk_takeordered_and_broadcasts(spark):
+    from featureextraction_spark.operators.retrieval import bm25_topk
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = plan_of(bm25_topk(docs, ("join", "hash", "scan"), k=15))
+    # global top-k must be per-partition heaps + driver merge of k rows,
+    # NOT a single-partition global sort
+    assert "TakeOrderedAndProject" in plan, plan
+    # df / corpus-stats sides broadcast — the corpus-sized side is never
+    # reshuffled after the tf aggregation
+    assert plan.count("BroadcastExchange") >= 2, plan
+    # the only SinglePartition exchange allowed is the bounded 1-row
+    # corpus-stats aggregate
+    assert plan.count("Exchange SinglePartition") <= 1, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_bpe_pair_counts_vocab_bounded_shuffles(spark):
+    from featureextraction_spark.functions.textstats import bpe_pair_counts
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = plan_of(bpe_pair_counts(docs, top=30))
+    # two vocabulary-sized shuffles (distinct words, then pairs) and a
+    # TakeOrdered top-k — corpus-sized data is only ever map-side
+    assert count_exchanges(plan) == 2, plan
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Exchange SinglePartition" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
