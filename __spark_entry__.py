@@ -1269,6 +1269,90 @@ def q_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_pair_counts(docs, top=50)
 
 
+def q_rolling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 5-minute rolling features at every event (RANGE frame
+    over epoch µs — tie-deterministic on both engines): window turn /
+    tool counts, distinct roles, exact quantized value sum, and a mean
+    that is one integer÷integer division on the nudged rounding."""
+    from featureextraction_spark.operators.rolling import rolling_time_features
+
+    ev = _load(spark, sf_dir, "events")
+    ev = ev.withColumn(
+        "tool", F.when(F.col("event_type") == "error", F.col("event_type"))
+    )
+    out = rolling_time_features(
+        ev, key="user_id", ts="ts", role="event_type", tool="tool",
+        value="value", window_sec=300,
+    )
+    return out.select(
+        "user_id",
+        "event_id",
+        "win_turns",
+        "win_tool_turns",
+        "win_roles",
+        "win_value_sum_q",
+        _hround6(F.col("win_value_mean")).alias("win_value_mean"),
+    )
+
+
+def q_target_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-free cumulative target encoding of event_type by the
+    quantized value mean over strictly-earlier events — the scalable
+    two-phase (bucket partials + in-bucket window) formulation; the
+    DuckDB oracle replays the single-window spec it is row-equal to."""
+    from featureextraction_spark.operators.encoding import cumulative_target_encode
+
+    ev = _load(spark, sf_dir, "events")
+    out = cumulative_target_encode(
+        ev, category="event_type", ts="ts", tie=("event_id",),
+        value="value", bucket_sec=86_400,
+    )
+    return out.select(
+        "event_id",
+        "event_type",
+        "prior_n",
+        "prior_sum_q",
+        _hround6(F.col("te_mean")).alias("te_mean"),
+    )
+
+
+def q_transition_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus (prev_role → role) hand-off matrix with exact integer
+    latency aggregates — one conversation window + one map-combinable
+    groupBy onto |roles|² rows."""
+    from featureextraction_spark.operators.turns import role_transition_latency
+
+    tr = _events_as_transcripts(spark, sf_dir)
+    out = role_transition_latency(tr)
+    return out.select(
+        "prev_role",
+        "role",
+        "n",
+        "gap_sum_us",
+        "gap_min_us",
+        "gap_max_us",
+        _hround6(F.col("mean_gap_sec")).alias("mean_gap_sec"),
+    )
+
+
+def q_len_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width (200-char) length histogram per language over the
+    document corpus — integer bin ids (`div`), exact counts, share as
+    one integer÷integer division on the nudged rounding."""
+    from featureextraction_spark.operators.profiling import length_histogram
+
+    docs = _load(spark, sf_dir, "documents")
+    out = length_histogram(docs, col="n_chars", group="lang", bin_width=200)
+    return out.select(
+        "lang",
+        "bin",
+        "bin_lo",
+        "bin_hi",
+        "n",
+        _hround6(F.col("share")).alias("share"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: point-in-time feature lookup — for every purchase probe,
     the session id, running state and latest click value as of that ts,
@@ -1371,6 +1455,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "context_truncate": q_context_truncate,
         "bm25_topk": q_bm25_topk,
         "bpe_pairs": q_bpe_pairs,
+        "rolling_window": q_rolling_window,
+        "target_encode": q_target_encode,
+        "transition_latency": q_transition_latency,
+        "len_histogram": q_len_histogram,
     }
 
 
@@ -3836,5 +3924,92 @@ def _curation_oracle_sql() -> dict[str, str]:
             )
             SELECT pair, n_words, pair_count
             FROM agg ORDER BY pair_count DESC, pair LIMIT 50
+        """,
+        # RANGE frame over epoch µs — ties are peers on both engines, so
+        # the window contents are deterministic; the only float is one
+        # integer/integer division on the shared nudge
+        "rolling_window": """
+            WITH t AS (
+                SELECT user_id, event_id, epoch_us(ts) AS us,
+                       event_type AS role,
+                       CASE WHEN event_type = 'error' THEN event_type END AS tool,
+                       CAST(floor(value * 1000000.0 + 0.5) AS BIGINT) AS vq
+                FROM events
+            )
+            SELECT user_id, event_id,
+                   CAST(count(*) OVER w AS BIGINT) AS win_turns,
+                   CAST(count(tool) OVER w AS BIGINT) AS win_tool_turns,
+                   CAST(count(DISTINCT role) OVER w AS BIGINT) AS win_roles,
+                   CAST(sum(vq) OVER w AS BIGINT) AS win_value_sum_q,
+                   round(sum(vq) OVER w / (1000000.0 * count(*) OVER w)
+                         + 1e-9, 6) AS win_value_mean
+            FROM t
+            WINDOW w AS (PARTITION BY user_id ORDER BY us
+                         RANGE BETWEEN 300000000 PRECEDING AND CURRENT ROW)
+        """,
+        # the single-window SPEC of the two-phase bucketed encoder —
+        # prior stats over strictly-earlier same-category rows under the
+        # total (us, event_id) order
+        "target_encode": """
+            WITH t AS (
+                SELECT event_id, event_type, epoch_us(ts) AS us,
+                       CAST(floor(value * 1000000.0 + 0.5) AS BIGINT) AS vq
+                FROM events
+            )
+            SELECT event_id, event_type,
+                   CAST(count(*) OVER wprev AS BIGINT) AS prior_n,
+                   CAST(coalesce(sum(vq) OVER wprev, 0) AS BIGINT)
+                       AS prior_sum_q,
+                   round(CASE WHEN count(*) OVER wprev > 0
+                              THEN coalesce(sum(vq) OVER wprev, 0)
+                                   / (1000000.0 * count(*) OVER wprev)
+                         END + 1e-9, 6) AS te_mean
+            FROM t
+            WINDOW wprev AS (PARTITION BY event_type ORDER BY us, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND 1 PRECEDING)
+        """,
+        "transition_latency": """
+            WITH tr AS (
+                SELECT CAST(user_id AS VARCHAR) AS conv_id,
+                       row_number() OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id) - 1 AS turn_idx,
+                       event_type AS role, ts
+                FROM events
+            ),
+            p AS (
+                SELECT conv_id, role,
+                       lag(role) OVER w AS prev_role,
+                       epoch_us(ts) - lag(epoch_us(ts)) OVER w AS gap_us
+                FROM tr
+                WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
+            )
+            SELECT prev_role, role,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(gap_us) AS BIGINT) AS gap_sum_us,
+                   CAST(min(gap_us) AS BIGINT) AS gap_min_us,
+                   CAST(max(gap_us) AS BIGINT) AS gap_max_us,
+                   round(sum(gap_us) / CAST(count(*) AS DOUBLE) / 1000000.0
+                         + 1e-9, 6) AS mean_gap_sec
+            FROM p WHERE prev_role IS NOT NULL
+            GROUP BY prev_role, role
+        """,
+        # integer `//` ≡ Spark `div` (both truncate); counts exact, the
+        # share is one integer/integer division on the shared nudge
+        "len_histogram": """
+            WITH b AS (
+                SELECT lang, n_chars // 200 AS bin FROM documents
+            ),
+            c AS (
+                SELECT lang, bin, CAST(count(*) AS BIGINT) AS n
+                FROM b GROUP BY lang, bin
+            )
+            SELECT lang, bin,
+                   CAST(bin * 200 AS BIGINT) AS bin_lo,
+                   CAST((bin + 1) * 200 - 1 AS BIGINT) AS bin_hi,
+                   n,
+                   round(n / CAST(sum(n) OVER (PARTITION BY lang) AS DOUBLE)
+                         + 1e-9, 6) AS share
+            FROM c
         """,
     }

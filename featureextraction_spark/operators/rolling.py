@@ -1,0 +1,85 @@
+"""Trailing time-window (point-in-time) rolling features.
+
+Per turn, features over the trailing ``window_sec`` seconds of the SAME
+conversation, current row inclusive — "state of the last five minutes"
+at every event timestamp. The frame is a RANGE frame over epoch
+microseconds, so rows whose timestamps tie are peers and see identical
+windows on every engine and every partitioning (no ROWS-frame tie
+nondeterminism). Zero temporal leakage by construction: the frame upper
+bound is CURRENT ROW.
+
+Outputs per turn:
+
+- ``win_turns``      — turns inside the window (current included);
+- ``win_tool_turns`` — of those, turns with a non-null tool;
+- ``win_roles``      — distinct roles inside the window;
+- ``win_value_sum_q`` — exact integer sum of the value column quantized
+  to 1e-6 (``CAST(floor(value * 1e6 + 0.5) AS BIGINT)`` — identical
+  IEEE ops on both engines, so the sum is a portable hash vehicle);
+- ``win_value_mean`` — that sum divided by ``1e6 * win_turns``: ONE
+  integer/integer division, nudge-rounded by the caller.
+
+Scale design: one ``HashPartitioning(key)`` exchange serves every
+window; the range frame's working set is bounded by the window span
+(turns a conversation emits in ``window_sec``), not by conversation
+length, so mega-conversations degrade only the per-key sort. The
+distinct-role count materializes the in-window role list
+(``collect_list`` under the frame) — bounded by the same span and kept
+JVM-side (no Python). For skewed keys the sessionize/backfill salted
+variants show the standard escape hatch.
+
+No reference counterpart (the reference pipeline is per-image); this is
+the standard trailing-window feature family a point-in-time engine
+serves (BASELINE.json north rule: windowed operators over transcripts).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.time import epoch_us
+
+US = 1_000_000
+
+
+def quantize_q6(col: F.Column) -> F.Column:
+    """value → integer micro-units: floor(value * 1e6 + 0.5), exact and
+    engine-portable (pure IEEE double ops on identical input bits)."""
+    return F.floor(col * F.lit(1e6) + F.lit(0.5)).cast("long")
+
+
+def rolling_time_features(
+    df: DataFrame,
+    key: str = "conv_id",
+    ts: str = "ts",
+    role: str = "role",
+    tool: str = "tool",
+    value: str = "value",
+    window_sec: int = 300,
+) -> DataFrame:
+    """Append trailing-``window_sec`` rolling features to every row."""
+    us = epoch_us(df, ts)
+    t = df.withColumn("__us", us).withColumn("__vq", quantize_q6(F.col(value)))
+    w = (
+        Window.partitionBy(key)
+        .orderBy("__us")
+        .rangeBetween(-window_sec * US, 0)
+    )
+    out = (
+        t.withColumn("win_turns", F.count(F.lit(1)).over(w))
+        .withColumn("win_tool_turns", F.count(F.col(tool)).over(w))
+        .withColumn(
+            "win_roles",
+            F.size(F.array_distinct(F.collect_list(F.col(role)).over(w))).cast(
+                "long"
+            ),
+        )
+        .withColumn("win_value_sum_q", F.sum("__vq").over(w))
+        .withColumn(
+            "win_value_mean",
+            F.col("win_value_sum_q")
+            / (F.lit(float(US)) * F.col("win_turns")),
+        )
+    )
+    return out.drop("__us", "__vq")

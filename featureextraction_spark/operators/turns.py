@@ -130,3 +130,53 @@ def turn_taking_features(
             / F.lit(1000000.0),
         ).alias("mean_gap_sec"),
     )
+
+
+def role_transition_latency(
+    df: DataFrame,
+    key: str = "conv_id",
+    order: str = "turn_idx",
+    role: str = "role",
+    ts: str = "ts",
+) -> DataFrame:
+    """Corpus-level (prev_role -> role) transition/latency matrix: for
+    every ordered pair of consecutive turns within a conversation, how
+    often each role handed off to each other role and how long the
+    hand-off took — the timing side of the Markov structure
+    ``transitions.transition_counts`` counts.
+
+    One row per (prev_role, role) pair:
+
+    - ``n`` — transition count;
+    - ``gap_sum_us`` / ``gap_min_us`` / ``gap_max_us`` — exact integer
+      inter-turn latency aggregates (µs);
+    - ``mean_gap_sec`` — one integer/integer division (portable hash
+      vehicle after the caller's nudged rounding).
+
+    Plan: the lag runs under the same ``(key, order)`` window as every
+    sibling operator (ONE conversation exchange); the final groupBy is
+    map-side-combinable onto a |roles|² result — a shuffle of partial
+    rows only, never of turns. First turns (no predecessor) are
+    excluded, matching the pair semantics.
+    """
+    w = Window.partitionBy(key).orderBy(order)
+    ts_us = epoch_us(df, ts)
+    t = (
+        df.select(key, order, role, ts)
+        .withColumn("__prev_role", F.lag(role).over(w))
+        .withColumn("__gap_us", ts_us - F.lag(ts_us).over(w))
+        .filter(F.col("__prev_role").isNotNull())
+    )
+    return (
+        t.groupBy(F.col("__prev_role").alias("prev_role"), F.col(role))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("__gap_us").cast("long").alias("gap_sum_us"),
+            F.min("__gap_us").cast("long").alias("gap_min_us"),
+            F.max("__gap_us").cast("long").alias("gap_max_us"),
+        )
+        .withColumn(
+            "mean_gap_sec",
+            F.col("gap_sum_us").cast("double") / F.col("n") / F.lit(1000000.0),
+        )
+    )

@@ -333,3 +333,61 @@ def test_bpe_pair_counts_vocab_bounded_shuffles(spark):
     assert "TakeOrderedAndProject" in plan, plan
     assert "Exchange SinglePartition" not in plan, plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_rolling_window_single_exchange_no_python(spark, tr_parquet):
+    from featureextraction_spark.operators.rolling import rolling_time_features
+
+    df = tr_parquet.withColumn("value", F.col("turn_idx") * 1.5)
+    plan = plan_of(rolling_time_features(df, key="conv_id", window_sec=300))
+    # every trailing-window feature rides ONE HashPartitioning(key)
+    # exchange; the collect_list stays JVM-side
+    assert count_exchanges(plan) == 1, plan
+    assert "Exchange SinglePartition" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_target_encode_facts_shuffled_once_offsets_broadcast(spark, tr_parquet):
+    from featureextraction_spark.operators.encoding import cumulative_target_encode
+
+    df = tr_parquet.withColumn("value", F.col("turn_idx") * 1.5)
+    plan = plan_of(
+        cumulative_target_encode(
+            df, category="role", ts="ts", tie=("turn_idx",), value="value"
+        )
+    )
+    # exchanges: facts once on (category, bucket) for the in-bucket
+    # window, plus the two BOUNDED partial-table moves (partial agg +
+    # its prefix window) — never a per-category global window over facts
+    assert count_exchanges(plan) <= 3, plan
+    assert "Exchange SinglePartition" not in plan, plan
+    assert "BroadcastExchange" in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_transition_latency_window_plus_bounded_agg(spark, tr_parquet):
+    from featureextraction_spark.operators.turns import role_transition_latency
+
+    plan = plan_of(
+        role_transition_latency(tr_parquet, key="conv_id", order="turn_idx")
+    )
+    # one conversation exchange for the lag window, one exchange of
+    # |roles|^2-bounded aggregation partials
+    assert count_exchanges(plan) == 2, plan
+    assert "Exchange SinglePartition" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_length_histogram_partials_only(spark):
+    from featureextraction_spark.operators.profiling import length_histogram
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = plan_of(length_histogram(docs))
+    # map-side-combinable groupBy onto (group, bin) partials, then the
+    # group-total window over that bounded result only
+    assert count_exchanges(plan) == 2, plan
+    assert "Exchange SinglePartition" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # pruning: the text column never reaches the scan
+    schemas = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert schemas and all("text" not in l for l in schemas), plan
