@@ -1353,6 +1353,71 @@ def q_len_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_embedding_cov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Upper-triangle covariance of the embedding corpus — the PCA
+    foundation as map-side-combinable integer moments (quantized
+    component sums + pairwise product sums); auto-gated expr/GEMM
+    strategies are bit-identical by test; cov is one float expression
+    over the integers on the nudged rounding."""
+    from featureextraction_spark.operators.decomposition import embedding_covariance
+
+    emb = _load(spark, sf_dir, "embeddings")
+    out = embedding_covariance(emb, strategy="auto")
+    return out.select(
+        F.col("i").cast("long").alias("i"),
+        F.col("j").cast("long").alias("j"),
+        "n",
+        "sum_i",
+        "sum_j",
+        "s_ij",
+        _hround6(F.col("cov")).alias("cov"),
+    )
+
+
+def q_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median/MAD robust outlier screen per event_type over the value
+    column — doubled/quadrupled integer medians (both engines linearly
+    interpolate), pure-integer outlier test, robust z as one division
+    of integers on the nudged rounding."""
+    from featureextraction_spark.operators.profiling import robust_outliers
+
+    ev = _load(spark, sf_dir, "events")
+    out = robust_outliers(ev, value="value", group="event_type", id_col="event_id")
+    return out.select(
+        "event_id",
+        "event_type",
+        "vq",
+        "med_x2",
+        "mad_x4",
+        "dev_x2",
+        "is_outlier",
+        _hround6(F.col("robust_z")).alias("robust_z"),
+    )
+
+
+def q_conv_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-conversation summary features (size/tempo/role-mix/tool-use)
+    — one conv_id exchange serves the gap window AND the aggregation;
+    role diversity is Gini impurity (rational in integer counts, chosen
+    over entropy's libm-dependent ln), floats are single divisions on
+    the nudged rounding."""
+    from featureextraction_spark.operators.turns import conversation_summary
+
+    tr = _events_as_transcripts(spark, sf_dir)
+    out = conversation_summary(tr)
+    return out.select(
+        "conv_id",
+        "n_turns",
+        "duration_us",
+        "n_roles",
+        "tool_turns",
+        "text_chars",
+        "max_gap_us",
+        _hround6(F.col("mean_turn_chars")).alias("mean_turn_chars"),
+        _hround6(F.col("role_gini")).alias("role_gini"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: point-in-time feature lookup — for every purchase probe,
     the session id, running state and latest click value as of that ts,
@@ -1459,6 +1524,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "target_encode": q_target_encode,
         "transition_latency": q_transition_latency,
         "len_histogram": q_len_histogram,
+        "embedding_cov": q_embedding_cov,
+        "robust_outliers": q_robust_outliers,
+        "conv_summary": q_conv_summary,
     }
 
 
@@ -4011,5 +4079,119 @@ def _curation_oracle_sql() -> dict[str, str]:
                    round(n / CAST(sum(n) OVER (PARTITION BY lang) AS DOUBLE)
                          + 1e-9, 6) AS share
             FROM c
+        """,
+        # integer moments are exact on both engines; the cov expression
+        # multiplies the sums as DOUBLES (DuckDB sums land in HUGEINT,
+        # Spark in long — double×double is the shared exact product while
+        # |sum| < 2^53)
+        "embedding_cov": """
+            WITH comp AS (
+                SELECT vec_id,
+                       CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS i,
+                       -- explicit DOUBLE cast: FLOAT * 1000000.0 stays
+                       -- FLOAT in DuckDB (decimal literal), which flips
+                       -- floor boundaries vs Spark's double arithmetic
+                       CAST(floor(CAST(unnest(embedding) AS DOUBLE)
+                                  * 1000000.0 + 0.5) AS BIGINT) AS xq
+                FROM embeddings
+            ),
+            pairs AS (
+                SELECT a.i AS i, b.i AS j, a.xq AS xi, b.xq AS xj
+                FROM comp a JOIN comp b USING (vec_id)
+                WHERE b.i >= a.i
+            )
+            SELECT i, j,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(xi) AS BIGINT) AS sum_i,
+                   CAST(sum(xj) AS BIGINT) AS sum_j,
+                   CAST(sum(xi * xj) AS BIGINT) AS s_ij,
+                   round((CAST(sum(xi * xj) AS DOUBLE)
+                          - CAST(sum(xi) AS DOUBLE) * CAST(sum(xj) AS DOUBLE)
+                            / CAST(count(*) AS DOUBLE))
+                         / (CAST(count(*) AS DOUBLE) - 1.0) / 1e12
+                         + 1e-9, 6) AS cov
+            FROM pairs GROUP BY i, j
+        """,
+        # doubled/quadrupled medians: both engines linearly interpolate
+        # (Spark percentile(0.5) ≡ DuckDB median ≡ quantile_cont), so
+        # 2·median of integers is integer-valued and floor() is a no-op
+        # cast; outlier test is pure integer arithmetic (44478 = 3·1.4826·1e4)
+        "robust_outliers": """
+            WITH t AS (
+                SELECT event_id, event_type,
+                       CAST(floor(value * 1000000.0 + 0.5) AS BIGINT) AS vq
+                FROM events
+            ),
+            med AS (
+                SELECT event_type,
+                       CAST(floor(2.0 * median(vq)) AS BIGINT) AS med_x2
+                FROM t GROUP BY event_type
+            ),
+            dev AS (
+                SELECT t.event_id, t.event_type, t.vq, med.med_x2,
+                       abs(2 * t.vq - med.med_x2) AS dev_x2
+                FROM t JOIN med USING (event_type)
+            ),
+            mad AS (
+                SELECT event_type,
+                       CAST(floor(2.0 * median(dev_x2)) AS BIGINT) AS mad_x4
+                FROM dev GROUP BY event_type
+            )
+            SELECT dev.event_id, dev.event_type, dev.vq, dev.med_x2,
+                   mad.mad_x4, dev.dev_x2,
+                   20000 * dev.dev_x2 > 44478 * mad.mad_x4 AS is_outlier,
+                   CASE WHEN mad.mad_x4 > 0
+                        THEN round(20000.0 * dev.dev_x2
+                                   / (14826.0 * mad.mad_x4) + 1e-9, 6)
+                   END AS robust_z
+            FROM dev JOIN mad USING (event_type)
+        """,
+        # Gini impurity instead of entropy: rational in the integer role
+        # counts, so no libm ln on the hash path
+        "conv_summary": """
+            WITH tr AS (
+                SELECT CAST(user_id AS VARCHAR) AS conv_id,
+                       row_number() OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id) - 1 AS turn_idx,
+                       event_type AS role,
+                       coalesce(props, '') AS text,
+                       CASE WHEN event_type = 'error' THEN event_type END AS tool,
+                       ts
+                FROM events
+            ),
+            g AS (
+                SELECT conv_id, role, tool,
+                       epoch_us(ts) AS us,
+                       epoch_us(ts) - lag(epoch_us(ts))
+                           OVER (PARTITION BY conv_id ORDER BY turn_idx)
+                           AS gap_us,
+                       length(text) AS chars
+                FROM tr
+            ),
+            agg AS (
+                SELECT conv_id,
+                       CAST(count(*) AS BIGINT) AS n_turns,
+                       CAST(max(us) - min(us) AS BIGINT) AS duration_us,
+                       CAST(count(DISTINCT role) AS BIGINT) AS n_roles,
+                       CAST(count(tool) AS BIGINT) AS tool_turns,
+                       CAST(sum(chars) AS BIGINT) AS text_chars,
+                       CAST(max(gap_us) AS BIGINT) AS max_gap_us
+                FROM g GROUP BY conv_id
+            ),
+            rc AS (
+                SELECT conv_id, CAST(sum(c * c) AS BIGINT) AS sum_sq
+                FROM (
+                    SELECT conv_id, role, count(*) AS c
+                    FROM tr GROUP BY conv_id, role
+                ) GROUP BY conv_id
+            )
+            SELECT agg.conv_id, agg.n_turns, agg.duration_us, agg.n_roles,
+                   agg.tool_turns, agg.text_chars, agg.max_gap_us,
+                   round(agg.text_chars / CAST(agg.n_turns AS DOUBLE)
+                         + 1e-9, 6) AS mean_turn_chars,
+                   round(CAST(agg.n_turns * agg.n_turns - rc.sum_sq AS DOUBLE)
+                         / CAST(agg.n_turns * agg.n_turns AS DOUBLE)
+                         + 1e-9, 6) AS role_gini
+            FROM agg JOIN rc USING (conv_id)
         """,
     }

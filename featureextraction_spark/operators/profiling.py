@@ -51,3 +51,76 @@ def length_histogram(
         "n",
         (F.col("n").cast("double") / F.sum("n").over(wg)).alias("share"),
     )
+
+
+def robust_outliers(
+    df: DataFrame,
+    value: str = "value",
+    group: str = "event_type",
+    id_col: str = "event_id",
+    k: float = 3.0,
+) -> DataFrame:
+    """Median/MAD outlier flags per group — the robust z-score screen a
+    curation pipeline runs over any numeric quality signal (value
+    distributions are heavy-tailed at corpus scale; mean/stdev screens
+    chase their own outliers, median/MAD does not).
+
+    Engine-portable by integer vehicles: the value is quantized to
+    micro-units ``vq = floor(v·1e6 + 0.5)``; the group median is carried
+    DOUBLED (``med_x2 = floor(2·median(vq))`` — exactly integer for the
+    interpolated even-count case, and both Spark ``percentile(0.5)`` and
+    DuckDB ``median`` linearly interpolate, so 2· it is bit-stable);
+    each row's deviation ``dev_x2 = |2·vq − med_x2|`` is integer; the MAD
+    is carried QUADRUPLED (``mad_x4 = floor(2·median(dev_x2))``).  The
+    outlier test is pure integer arithmetic:
+
+        is_outlier ⇔ 10000 · 2 · dev_x2 > round(k·1.4826·10000) · mad_x4
+
+    (1.4826 ≈ the normal-consistency constant σ ≈ 1.4826·MAD).  The only
+    float column is the robust z itself — ONE division of integers,
+    nudge-rounded by the caller; NULL when the MAD is 0.
+
+    Plan: two exact-percentile aggregations onto |groups| rows (each a
+    single shuffle of quantized longs), broadcast back — the fact table
+    is never shuffled.  Exact percentile sorts per group inside the agg
+    buffer; for 100-TB fact tables with few groups that buffer is the
+    bottleneck and the standard escape is approx_percentile with an
+    accuracy bound, kept OFF here because the driver gate demands
+    bit-stable medians.
+
+    No reference counterpart; the reference's closest screen is the
+    thresholded confusion split (``src/training/statistics.py:62-100``).
+    """
+    vq = F.floor(F.col(value) * F.lit(1e6) + F.lit(0.5)).cast("long")
+    t = df.withColumn("__vq", vq)
+    med = t.groupBy(group).agg(
+        F.floor(F.lit(2.0) * F.expr("percentile(__vq, 0.5)"))
+        .cast("long")
+        .alias("med_x2")
+    )
+    dev = t.join(F.broadcast(med), group).withColumn(
+        "dev_x2", F.abs(F.lit(2) * F.col("__vq") - F.col("med_x2"))
+    )
+    mad = dev.groupBy(group).agg(
+        F.floor(F.lit(2.0) * F.expr("percentile(dev_x2, 0.5)"))
+        .cast("long")
+        .alias("mad_x4")
+    )
+    kq = int(round(k * 1.4826 * 10000))
+    out = dev.join(F.broadcast(mad), group)
+    rz = F.when(
+        F.col("mad_x4") > 0,
+        (F.lit(20000.0) * F.col("dev_x2")) / (F.lit(14826.0) * F.col("mad_x4")),
+    )
+    return out.select(
+        F.col(id_col),
+        F.col(group),
+        F.col("__vq").alias("vq"),
+        "med_x2",
+        "mad_x4",
+        "dev_x2",
+        (F.lit(20000) * F.col("dev_x2") > F.lit(kq) * F.col("mad_x4")).alias(
+            "is_outlier"
+        ),
+        rz.alias("robust_z"),
+    )

@@ -180,3 +180,78 @@ def role_transition_latency(
             F.col("gap_sum_us").cast("double") / F.col("n") / F.lit(1000000.0),
         )
     )
+
+
+def conversation_summary(df: DataFrame) -> DataFrame:
+    """Per-conversation summary features — the entity-level row a
+    training pipeline joins next to every turn-level vector: size,
+    tempo, role mix, tool usage.
+
+    One conv_id exchange serves everything: the lag window (inter-turn
+    gaps) and the groupBy reuse the same HashPartitioning(conv_id), so
+    the plan is sort + window + partial/final agg with no second
+    shuffle (plan-audited).
+
+    Engine-portable columns: every aggregate is an exact integer (counts,
+    epoch-µs durations, summed text bytes); the two floats are single
+    divisions of those integers, nudge-rounded by the caller —
+
+    - ``mean_turn_chars`` = text_chars / n_turns;
+    - ``role_gini``       = (n² − Σ c_r²) / n², the Gini impurity of the
+      role distribution.  Chosen over Shannon entropy deliberately: it is
+      a RATIONAL function of integer counts (one subtraction + one
+      division), whereas entropy's ``ln`` is libm-dependent across
+      engines and would flake the hash gate.
+
+    No reference counterpart at the entity level (the reference only
+    aggregates per image); north-rule transcript analog of its per-image
+    feature families.
+    """
+    from ..functions.time import epoch_us
+
+    us = epoch_us(df, "ts")
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    t = (
+        df.withColumn("__us", us)
+        .withColumn("__gap", F.col("__us") - F.lag("__us").over(w))
+        .withColumn("__chars", F.length(F.coalesce(F.col("text"), F.lit(""))))
+    )
+    agg = t.groupBy("conv_id").agg(
+        F.count(F.lit(1)).alias("n_turns"),
+        (F.max("__us") - F.min("__us")).alias("duration_us"),
+        F.size(F.array_distinct(F.collect_list("role"))).cast("long").alias("n_roles"),
+        F.count("tool").alias("tool_turns"),
+        F.sum("__chars").alias("text_chars"),
+        F.max("__gap").alias("max_gap_us"),
+        F.map_from_entries(
+            F.array_sort(
+                F.map_entries(
+                    F.aggregate(
+                        F.collect_list("role"),
+                        F.create_map().cast("map<string,long>"),
+                        lambda m, r: F.map_zip_with(
+                            m,
+                            F.create_map(r, F.lit(1).cast("long")),
+                            lambda _, a, b: F.coalesce(a, F.lit(0))
+                            + F.coalesce(b, F.lit(0)),
+                        ),
+                    )
+                )
+            )
+        ).alias("__role_counts"),
+    )
+    n = F.col("n_turns")
+    sum_sq = F.aggregate(
+        F.map_values("__role_counts"), F.lit(0).cast("long"), lambda a, c: a + c * c
+    )
+    return agg.select(
+        "conv_id",
+        "n_turns",
+        "duration_us",
+        "n_roles",
+        "tool_turns",
+        "text_chars",
+        "max_gap_us",
+        (F.col("text_chars") / n.cast("double")).alias("mean_turn_chars"),
+        ((n * n - sum_sq).cast("double") / (n * n).cast("double")).alias("role_gini"),
+    )
