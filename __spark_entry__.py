@@ -1418,6 +1418,51 @@ def q_conv_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_hashed_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick vectorizer: tokens → 64 signed-count buckets via
+    the portable 60-bit md5; bucket and sign are independent bits of the
+    same digest, all outputs exact integers — no vocabulary fit, the
+    unbounded-vocab path a 100-TB corpus needs."""
+    from featureextraction_spark.operators.encoding import hashed_features
+
+    docs = _load(spark, sf_dir, "documents")
+    return hashed_features(docs, text="text", id_col="doc_id", n_buckets=64)
+
+
+def q_fold_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group 5-fold assignment (whole conversations share a fold — the
+    group-leakage guard) + the per-fold balance sheet; content-addressed
+    md5 folds, zero RNG, zero fitted state, exact integer counts."""
+    from featureextraction_spark.operators.sampling import fold_stats, group_kfold
+
+    tr = _events_as_transcripts(spark, sf_dir)
+    return fold_stats(group_kfold(tr, "conv_id", k=5, seed=23), "conv_id")
+
+
+def q_standard_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-free z-scaling: mean/std fitted on train CONVERSATIONS
+    only (md5 group split), applied everywhere — integer milli-unit
+    moments, double-spelled transform with IEEE sqrt on the nudged
+    rounding."""
+    from featureextraction_spark.operators.encoding import standard_scale
+
+    ev = _load(spark, sf_dir, "events")
+    out = standard_scale(
+        ev, value="value", id_col="event_id", group_id="user_id",
+        train_frac=0.8, seed=42,
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "split",
+        "vq",
+        "n_train",
+        "sum_q",
+        "sum_sq_q",
+        _hround6(F.col("z")).alias("z"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: point-in-time feature lookup — for every purchase probe,
     the session id, running state and latest click value as of that ts,
@@ -1527,6 +1572,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_cov": q_embedding_cov,
         "robust_outliers": q_robust_outliers,
         "conv_summary": q_conv_summary,
+        "hashed_features": q_hashed_features,
+        "fold_assign": q_fold_assign,
+        "standard_scale": q_standard_scale,
     }
 
 
@@ -4193,5 +4241,73 @@ def _curation_oracle_sql() -> dict[str, str]:
                          / CAST(agg.n_turns * agg.n_turns AS DOUBLE)
                          + 1e-9, 6) AS role_gini
             FROM agg JOIN rc USING (conv_id)
+        """,
+        # bucket = h % 64, sign = bit 6 of h via pure modulo (h % 128 <
+        # 64) — both engines agree on % of non-negative longs
+        "hashed_features": f"""
+            WITH toks AS (
+                SELECT doc_id,
+                       unnest(regexp_extract_all(lower(text),
+                                                 {_TOKENS_RE}, 0)) AS tok
+                FROM documents
+            ),
+            h AS (
+                SELECT doc_id,
+                       ('0x' || substr(md5(tok || ':17'), 1, 15))::BIGINT AS h
+                FROM toks
+            )
+            SELECT doc_id, CAST(h % 64 AS BIGINT) AS bucket,
+                   CAST(sum(CASE WHEN h % 128 < 64 THEN 1 ELSE -1 END)
+                        AS BIGINT) AS val,
+                   CAST(count(*) AS BIGINT) AS n_tokens
+            FROM h GROUP BY doc_id, bucket
+        """,
+        "fold_assign": """
+            WITH tr AS (
+                SELECT CAST(user_id AS VARCHAR) AS conv_id,
+                       CASE WHEN event_type = 'error' THEN event_type END AS tool
+                FROM events
+            ),
+            f AS (
+                SELECT conv_id, tool,
+                       ('0x' || substr(md5(conv_id || ':23'), 1, 15))::BIGINT
+                           % 5 AS fold
+                FROM tr
+            )
+            SELECT CAST(fold AS BIGINT) AS fold,
+                   CAST(count(DISTINCT conv_id) AS BIGINT) AS n_groups,
+                   CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(count(tool) AS BIGINT) AS tool_rows
+            FROM f GROUP BY fold
+        """,
+        # milli-unit quantization so the SQUARED moment stays in int64;
+        # the transform multiplies the sums as doubles and sqrt is
+        # IEEE-correctly-rounded on both engines
+        "standard_scale": """
+            WITH t AS (
+                SELECT event_id, user_id,
+                       CAST(floor(value * 1000.0 + 0.5) AS BIGINT) AS vq,
+                       CASE WHEN CAST(('0x' || substr(md5(
+                                    CAST(user_id AS VARCHAR) || ':42'), 1, 15)
+                                  )::BIGINT AS DOUBLE)
+                                 / 1152921504606846976.0 < 0.8
+                            THEN 'train' ELSE 'held' END AS split
+                FROM events
+            ),
+            fit AS (
+                SELECT CAST(count(*) AS BIGINT) AS n_train,
+                       CAST(sum(vq) AS BIGINT) AS sum_q,
+                       CAST(sum(vq * vq) AS BIGINT) AS sum_sq_q
+                FROM t WHERE split = 'train'
+            )
+            SELECT event_id, user_id, split, vq, n_train, sum_q, sum_sq_q,
+                   round((CAST(vq AS DOUBLE)
+                          - CAST(sum_q AS DOUBLE) / CAST(n_train AS DOUBLE))
+                         / sqrt((CAST(sum_sq_q AS DOUBLE)
+                                 - CAST(sum_q AS DOUBLE) * CAST(sum_q AS DOUBLE)
+                                   / CAST(n_train AS DOUBLE))
+                                / (CAST(n_train AS DOUBLE) - 1.0))
+                         + 1e-9, 6) AS z
+            FROM t, fit
         """,
     }

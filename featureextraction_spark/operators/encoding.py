@@ -149,3 +149,121 @@ def cumulative_target_encode_simple(
         "prior_sum_q", F.coalesce(F.sum("__vq").over(w), F.lit(0)).cast("long")
     )
     return _with_prior_cols(out).drop("__us", "__vq")
+
+
+def hashed_features(
+    df: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 64,
+    seed: int = 17,
+) -> DataFrame:
+    """The hashing trick (Weinberger et al., ICML'09): tokens → fixed
+    ``n_buckets``-dim signed-count vector, the unbounded-vocabulary
+    vectorizer a 100-TB corpus needs (no vocabulary fit, no dictionary
+    broadcast, new tokens never resize anything).
+
+    Token → 60-bit md5 (the cross-engine ``_seed_hash`` primitive);
+    bucket = ``h % n_buckets``; sign from the NEXT hash bit
+    (``h div n_buckets % 2``) so sign and bucket are independent bits of
+    the same digest.  Output one row per (doc, non-empty bucket):
+    ``val = Σ sign`` plus the unsigned token count — all exact integers,
+    fully engine-portable.
+
+    Plan: explode tokens → one groupBy((doc, bucket)) — map-side
+    combinable, output bounded by ``rows × n_buckets``.  Zero Python,
+    zero fitted state.
+
+    Tokenization is the repo-standard portable whitespace class
+    ``[^ \\t\\n\\r\\f\\x0B]+`` on the lowercased text (Java ``\\s`` ≠
+    RE2 ``\\s``).
+    """
+    from .sampling import _seed_hash
+
+    toks = df.select(
+        F.col(id_col),
+        F.explode(
+            F.regexp_extract_all(
+                F.lower(F.col(text)), F.lit("[^ \\t\\n\\r\\f\\x0B]+"), 0
+            )
+        ).alias("tok"),
+    )
+    h = _seed_hash("tok", seed)
+    # sign = bit log2(n_buckets) of h, extracted with pure long modulo
+    # (h % 2n < n) — no float division anywhere (h/64 as double would
+    # round above 2^53), and DuckDB replays % on non-negative longs
+    # identically
+    per = toks.select(
+        F.col(id_col),
+        (h % n_buckets).cast("long").alias("bucket"),
+        F.when(h % (2 * n_buckets) < n_buckets, F.lit(1))
+        .otherwise(F.lit(-1))
+        .cast("long")
+        .alias("sign"),
+    )
+    return per.groupBy(id_col, "bucket").agg(
+        F.sum("sign").alias("val"),
+        F.count(F.lit(1)).alias("n_tokens"),
+    )
+
+
+def standard_scale(
+    df: DataFrame,
+    value: str = "value",
+    id_col: str = "event_id",
+    group_id: str = "user_id",
+    train_frac: float = 0.8,
+    seed: int = 42,
+) -> DataFrame:
+    """Leakage-free z-scaling: fit mean/std on the TRAIN split only
+    (split assigned per GROUP — all rows of a conversation share a
+    split, the group-leakage guard — via the deterministic md5 hash),
+    then transform every row with the train statistics.
+
+    Integer-exact fit: the value is quantized to MILLI-units (1e-3 —
+    coarser than the repo-standard 1e-6 deliberately: the SQUARED moment
+    must also fit int64, and z is scale-invariant so the z column is
+    unchanged); the train aggregate keeps (n, Σvq, Σvq²) — associative
+    integer moments.  The transform is
+    ``z = (vq − Σvq/n) / sqrt((Σvq² − (Σvq)²/n)/(n−1))`` with the sums
+    multiplied as doubles (the shared exact product while |Σ| < 2^53)
+    and IEEE-correctly-rounded sqrt — every op identical on both engines
+    given identical integers.  Overflow budget: |v| ≤ V ⇒ Σvq² ≤
+    n·V²·1e6; int64 holds to n·V² ≤ 9.2e12 (n = 3e7 at V ≈ 560); past
+    that, promote the second moment to decimal(38,0) — one cast, still
+    exact (kept int64 here because the cross-engine gate compares raw
+    column values and HUGEINT/decimal unify poorly).
+
+    Plan: one ≤1-row aggregate (broadcast as a literal-free cross join
+    of a 1-row DF — Spark turns it into a BroadcastNestedLoopJoin), the
+    fact table never shuffles.
+    """
+    from .sampling import _seed_hash
+
+    u = _seed_hash(group_id, seed).cast("double") / F.lit(float(1 << 60))
+    vq3 = F.floor(F.col(value) * F.lit(1e3) + F.lit(0.5)).cast("long")
+    t = df.withColumn("__vq", vq3).withColumn(
+        "split", F.when(u < train_frac, F.lit("train")).otherwise(F.lit("held"))
+    )
+    fit = t.filter(F.col("split") == "train").agg(
+        F.count(F.lit(1)).alias("n_train"),
+        F.sum("__vq").alias("sum_q"),
+        F.sum(F.col("__vq") * F.col("__vq")).alias("sum_sq_q"),
+    )
+    j = t.join(F.broadcast(fit))
+    nd = F.col("n_train").cast("double")
+    mu = F.col("sum_q").cast("double") / nd
+    var = (
+        F.col("sum_sq_q").cast("double")
+        - F.col("sum_q").cast("double") * F.col("sum_q").cast("double") / nd
+    ) / (nd - F.lit(1.0))
+    return j.select(
+        F.col(id_col),
+        F.col(group_id),
+        "split",
+        F.col("__vq").alias("vq"),
+        "n_train",
+        "sum_q",
+        "sum_sq_q",
+        ((F.col("__vq").cast("double") - mu) / F.sqrt(var)).alias("z"),
+    )

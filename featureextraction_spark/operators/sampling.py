@@ -145,3 +145,34 @@ def triplet_sample(
         .select("anchor_id", "anchor_label", "pos_id", "neg_id", "neg_label")
     )
     return out
+
+
+def group_kfold(
+    df: DataFrame, group_id: str, k: int = 5, seed: int = 23
+) -> DataFrame:
+    """Group k-fold assignment: every row of a group (conversation)
+    lands in the same fold — ``fold = hash60(group:seed) % k``.
+
+    The grouped variant is the one that matters for transcripts: turn
+    rows of one conversation are maximally correlated, so row-level
+    folds leak (the model sees fold-1 turns of a conversation it is
+    validated on in fold 2).  Content-addressed like ``hash_split``:
+    stable across runs/engines/appends, no RNG state, nothing fitted.
+
+    Scale: a narrow projection — zero shuffle; fold balance follows the
+    binomial concentration of the hash (asserted by test), no
+    greedy/sequential balancing pass that would serialize at 100 TB.
+    """
+    fold = (_seed_hash(group_id, seed) % k).cast("long")
+    return df.withColumn("fold", fold)
+
+
+def fold_stats(df: DataFrame, group_id: str, fold: str = "fold") -> DataFrame:
+    """Per-fold balance sheet: groups, rows, tool rows — one map-side
+    combinable aggregation onto k rows (distinct groups via the exact
+    count-distinct shuffle, bounded by |groups|)."""
+    return df.groupBy(fold).agg(
+        F.countDistinct(group_id).alias("n_groups"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("tool").alias("tool_rows"),
+    )
