@@ -1463,6 +1463,67 @@ def q_standard_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_session_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time session-state features at every event — position in
+    session, elapsed µs, running quantized value total — computed with
+    the single-exchange base-subtraction formulation (no second shuffle
+    on (key, session)); leakage-free by construction."""
+    from featureextraction_spark.operators.sessionize import session_state_features
+
+    ev = _load(spark, sf_dir, "events")
+    out = session_state_features(
+        ev, key="user_id", ts="ts", tie="event_id", value="value",
+        gap_seconds=SESSION_GAP_SECONDS,
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "session_id",
+        "turn_in_session",
+        "elapsed_us",
+        "run_value_sum_q",
+    )
+
+
+def q_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dyadic EWMA (α = 1/2, depth 20) of the value per user —
+    integer fold ``acc·2 + x`` over the trailing frame, weight total
+    ``2^len − 1``; the only float is one division on the nudged
+    rounding."""
+    from featureextraction_spark.operators.rolling import dyadic_ewma
+
+    ev = _load(spark, sf_dir, "events")
+    out = dyadic_ewma(
+        ev, key="user_id", ts="ts", tie="event_id", value="value", depth=20
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "ewma_num",
+        "ewma_len",
+        _hround6(F.col("ewma")).alias("ewma"),
+    )
+
+
+def q_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps-law vocabulary growth per 150-doc corpus bin — new types
+    via min-doc-id per token (one token-keyed agg), cumulative
+    types/tokens over the bounded bin table, type-token ratio as one
+    integer÷integer division on the nudged rounding."""
+    from featureextraction_spark.functions.textstats import vocab_growth
+
+    docs = _load(spark, sf_dir, "documents")
+    out = vocab_growth(docs, text="text", id_col="doc_id", bin_width=150)
+    return out.select(
+        "bin",
+        "n_tokens",
+        "new_types",
+        "cum_types",
+        "cum_tokens",
+        _hround6(F.col("ttr")).alias("ttr"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: point-in-time feature lookup — for every purchase probe,
     the session id, running state and latest click value as of that ts,
@@ -1575,6 +1636,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hashed_features": q_hashed_features,
         "fold_assign": q_fold_assign,
         "standard_scale": q_standard_scale,
+        "session_features": q_session_features,
+        "ewma": q_ewma,
+        "vocab_growth": q_vocab_growth,
     }
 
 
@@ -4309,5 +4373,96 @@ def _curation_oracle_sql() -> dict[str, str]:
                                 / (CAST(n_train AS DOUBLE) - 1.0))
                          + 1e-9, 6) AS z
             FROM t, fit
+        """,
+        # the spec the single-exchange base-subtraction formulation is
+        # row-equal to: plain per-(user, session) windows
+        "session_features": f"""
+            WITH flagged AS (
+                SELECT event_id, user_id, ts, epoch_us(ts) AS us,
+                       CAST(floor(value * 1000000.0 + 0.5) AS BIGINT) AS vq,
+                       CASE WHEN lag(ts) OVER ({{win}}) IS NULL
+                                 OR epoch(ts) - epoch(lag(ts) OVER ({{win}}))
+                                    > {SESSION_GAP_SECONDS}
+                            THEN 1 ELSE 0 END AS new_sess
+                FROM events
+            ), sess AS (
+                SELECT event_id, user_id, us, vq,
+                       CAST(sum(new_sess) OVER ({{cum}}) AS BIGINT)
+                           AS session_id
+                FROM flagged
+            )
+            SELECT event_id, user_id, session_id,
+                   CAST(row_number() OVER sw AS BIGINT) AS turn_in_session,
+                   CAST(us - first_value(us) OVER swf AS BIGINT) AS elapsed_us,
+                   CAST(sum(vq) OVER swf AS BIGINT) AS run_value_sum_q
+            FROM sess
+            WINDOW sw AS (PARTITION BY user_id, session_id
+                          ORDER BY us, event_id),
+                   swf AS (PARTITION BY user_id, session_id
+                           ORDER BY us, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        """.format(
+            win="PARTITION BY user_id ORDER BY ts, event_id",
+            cum="PARTITION BY user_id ORDER BY ts, event_id "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW",
+        ),
+        # list() over the trailing frame is oldest→newest on both
+        # engines under the total (ts, event_id) order; list_reduce's
+        # first-element seeding equals the acc=0 fold for acc·2+x
+        "ewma": """
+            WITH t AS (
+                SELECT event_id, user_id, ts,
+                       CAST(floor(value * 1000.0 + 0.5) AS BIGINT) AS vq
+                FROM events
+            ),
+            l AS (
+                SELECT event_id, user_id,
+                       list(vq) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id
+                                      ROWS BETWEEN 20 PRECEDING
+                                      AND CURRENT ROW) AS lst
+                FROM t
+            )
+            SELECT event_id, user_id,
+                   CAST(list_reduce(list_reverse(lst), (a, b) -> a * 2 + b)
+                        AS BIGINT) AS ewma_num,
+                   CAST(len(lst) AS BIGINT) AS ewma_len,
+                   round(CAST(list_reduce(list_reverse(lst),
+                                          (a, b) -> a * 2 + b) AS BIGINT)
+                         / (CAST((CAST(1 AS BIGINT) << len(lst)) - 1 AS DOUBLE)
+                            * 1000.0) + 1e-9, 6) AS ewma
+            FROM l
+        """,
+        "vocab_growth": f"""
+            WITH toks AS (
+                SELECT doc_id,
+                       unnest(regexp_extract_all(lower(text),
+                                                 {_TOKENS_RE}, 0)) AS tok
+                FROM documents
+            ),
+            first AS (
+                SELECT tok, min(doc_id) AS first_doc FROM toks GROUP BY tok
+            ),
+            nb AS (
+                SELECT first_doc // 150 AS bin,
+                       CAST(count(*) AS BIGINT) AS new_types
+                FROM first GROUP BY bin
+            ),
+            tb AS (
+                SELECT doc_id // 150 AS bin,
+                       CAST(count(*) AS BIGINT) AS n_tokens
+                FROM toks GROUP BY bin
+            )
+            SELECT tb.bin, tb.n_tokens,
+                   CAST(coalesce(nb.new_types, 0) AS BIGINT) AS new_types,
+                   CAST(sum(coalesce(nb.new_types, 0))
+                        OVER cw AS BIGINT) AS cum_types,
+                   CAST(sum(tb.n_tokens) OVER cw AS BIGINT) AS cum_tokens,
+                   round(CAST(sum(coalesce(nb.new_types, 0)) OVER cw AS DOUBLE)
+                         / CAST(sum(tb.n_tokens) OVER cw AS DOUBLE)
+                         + 1e-9, 6) AS ttr
+            FROM tb LEFT JOIN nb USING (bin)
+            WINDOW cw AS (ORDER BY tb.bin
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
         """,
     }

@@ -585,3 +585,56 @@ def bpe_pair_counts(
         .limit(top)
         .select("pair", "n_words", "pair_count")
     )
+
+
+def vocab_growth(
+    df: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+    bin_width: int = 150,
+) -> DataFrame:
+    """Heaps-law vocabulary-growth profile: per corpus-position bin, how
+    many token TYPES appear for the first time, plus cumulative types /
+    tokens and the running type-token ratio — the curve that tells a
+    curation pipeline whether a corpus keeps contributing new vocabulary
+    or has gone stale (duplicated/templated corpora flatten early).
+
+    Corpus position is the stable ``id_col`` order (``bin = doc_id div
+    bin_width`` — integer arithmetic, no rank window over the corpus).
+    First sight of a type is ``min(doc_id)`` per token — one map-side-
+    combinable token-keyed aggregation (the same shuffle family as
+    ``tfidf_top_terms``); everything after runs on the ≤ n_docs/bin_width
+    bin table, where the cumulative window's single partition is bounded
+    by construction (documented exception to the no-partitionless-window
+    rule, like packing's per-partition offsets).
+
+    All counts exact integers; ``ttr`` is one integer/integer division
+    on the nudged rounding.
+    """
+    toks = df.select(
+        F.col(id_col),
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col(text)), F.lit(TOKEN_REGEX), 0)
+        ).alias("tok"),
+    )
+    binc = F.expr(f"`{id_col}` div {bin_width}L")
+    first = toks.groupBy("tok").agg(F.min(id_col).alias("first_doc"))
+    new_by_bin = first.groupBy(
+        F.expr(f"first_doc div {bin_width}L").alias("bin")
+    ).agg(F.count(F.lit(1)).alias("new_types"))
+    tok_by_bin = toks.groupBy(binc.alias("bin")).agg(
+        F.count(F.lit(1)).alias("n_tokens")
+    )
+    bins = tok_by_bin.join(new_by_bin, "bin", "left").na.fill({"new_types": 0})
+    cum = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    return bins.select(
+        "bin",
+        "n_tokens",
+        "new_types",
+        F.sum("new_types").over(cum).alias("cum_types"),
+        F.sum("n_tokens").over(cum).alias("cum_tokens"),
+        (
+            F.sum("new_types").over(cum).cast("double")
+            / F.sum("n_tokens").over(cum).cast("double")
+        ).alias("ttr"),
+    )

@@ -83,3 +83,70 @@ def rolling_time_features(
         )
     )
     return out.drop("__us", "__vq")
+
+
+def dyadic_ewma(
+    df: DataFrame,
+    key: str = "conv_id",
+    ts: str = "ts",
+    tie: str = "turn_idx",
+    value: str = "value",
+    depth: int = 20,
+) -> DataFrame:
+    """Exponentially-weighted moving average with α = 1/2 over the last
+    ``depth``+1 turns — EXACT, via dyadic integer arithmetic.
+
+    Float EWMAs are recursively accumulated and therefore neither
+    order-free nor engine-portable.  With α = 1/2 the weights are powers
+    of two, so the numerator is a pure integer fold over the REVERSED
+    trailing frame (newest first): ``num = fold(acc, x → acc·2 + x)
+    = Σ x_i·2^i`` with i counted from the oldest, and the weight total
+    is ``2^len − 1`` — the newest turn carries weight 2^(len−1), each
+    step back halves it.  The value is quantized to
+    milli-units; the only float is the final ``num / (denom·1000)`` —
+    one division of exact integers, nudge-rounded by the caller.
+
+    Overflow budget: |num| ≤ |vq3|·2^(depth+1); with |v| ≤ 5.6e2 (vq3 ≤
+    5.6e5) and depth 20 that is ~1.2e12 — int64 to spare (depth ≤ 40
+    before it matters).
+
+    Plan: one trailing ROWS frame under the (ts, tie) total order — the
+    same single key-exchange as every window in this family; the fold is
+    a JVM higher-order ``aggregate``, zero Python.  The frame list is
+    ``depth+1`` longs per row — bounded, not conversation-length.
+
+    North-rule family: windowed trailing-state operator (the smoothed
+    twin of ``rolling_time_features``).
+    """
+    vq3 = F.floor(F.col(value) * F.lit(1e3) + F.lit(0.5)).cast("long")
+    t = df.withColumn("__vq", vq3)
+    w = (
+        Window.partitionBy(key)
+        .orderBy(ts, tie)
+        .rowsBetween(-depth, 0)
+    )
+    lst = F.collect_list("__vq").over(w)  # frame order: oldest → newest
+    t = t.withColumn("__lst", lst)
+    # fold NEWEST-first (reversed frame): acc·2 + x doubles everything
+    # already accumulated at each step, so the element folded FIRST ends
+    # with the largest weight — the newest turn must go first
+    num = F.aggregate(
+        F.reverse(F.col("__lst")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc * F.lit(2).cast("long") + x,
+    )
+    ln = F.size("__lst")
+    # shiftleft wants a literal bit count in the Python API — the SQL
+    # form takes a column; 2^len − 1 stays integer-exact (len ≤ 41)
+    denom = F.expr(
+        "shiftleft(CAST(1 AS BIGINT), size(__lst)) - CAST(1 AS BIGINT)"
+    )
+    return (
+        t.withColumn("ewma_num", num)
+        .withColumn("ewma_len", ln.cast("long"))
+        .withColumn(
+            "ewma",
+            F.col("ewma_num") / (denom.cast("double") * F.lit(1000.0)),
+        )
+        .drop("__vq", "__lst")
+    )

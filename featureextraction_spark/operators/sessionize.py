@@ -141,3 +141,69 @@ def session_stats(
         F.max(ts).alias("session_end"),
         (F.max(sec) - F.min(sec)).alias("duration_sec"),
     )
+
+
+def session_state_features(
+    df: DataFrame,
+    key: str = "conv_id",
+    ts: str = "ts",
+    tie: str = "turn_idx",
+    value: str = "value",
+    gap_seconds: int = DEFAULT_GAP_SECONDS,
+) -> DataFrame:
+    """Point-in-time session-state features at every turn: position
+    within the session, time elapsed since the session opened, and the
+    running value total — the "what does this session look like SO FAR"
+    row a model reads at inference time.  Leakage-free by construction:
+    every output is a function of the current and earlier rows only.
+
+    Single-exchange formulation.  The naive plan re-partitions by
+    ``(key, session_id)`` for the within-session windows — a second
+    full shuffle of the fact table.  Instead, every within-session
+    cumulative is (global cumulative at the row) − (global cumulative
+    at the session start), and the session-start snapshot rides a
+    ``last(..., ignorenulls)`` carry-forward over the SAME key-window —
+    the ``backfill.forward_fill`` trick.  One
+    ``HashPartitioning(key)`` exchange serves sessionize, the
+    cumulatives, and the carries (plan-audited).
+
+    Integer-exact: epoch-µs arithmetic, 1e-6-quantized value sums; no
+    floats anywhere (callers derive rates as single divisions if they
+    want them).
+
+    Reference analog: the memoized derived state + running accumulators
+    of ``src/preparation/models.py:17-24`` re-expressed as windows; the
+    session id itself is W6 (gap-based sessionization).
+    """
+    from ..functions.time import epoch_us
+    from .rolling import quantize_q6
+
+    d = sessionize(df, key=key, ts=ts, tie=tie, gap_seconds=gap_seconds)
+    d = d.withColumn("__us", epoch_us(d, ts)).withColumn(
+        "__vq", quantize_q6(F.col(value))
+    )
+    w = Window.partitionBy(key).orderBy(ts, tie)
+    cumw = w.rowsBetween(Window.unboundedPreceding, 0)
+    d = (
+        d.withColumn("__gcum", F.sum("__vq").over(cumw))
+        .withColumn("__grow", F.row_number().over(w).cast("long"))
+        .withColumn(
+            "__start",
+            F.col("session_id")
+            != F.coalesce(F.lag("session_id").over(w), F.lit(0)),
+        )
+    )
+    snap = lambda c: F.when(F.col("__start"), c)  # noqa: E731
+    d = (
+        d.withColumn("__b_cum", snap(F.col("__gcum") - F.col("__vq")))
+        .withColumn("__b_row", snap(F.col("__grow") - 1))
+        .withColumn("__s_us", snap(F.col("__us")))
+    )
+    carry = lambda c: F.last(c, ignorenulls=True).over(cumw)  # noqa: E731
+    return d.select(
+        *df.columns,
+        "session_id",
+        (F.col("__grow") - carry("__b_row")).alias("turn_in_session"),
+        (F.col("__us") - carry("__s_us")).alias("elapsed_us"),
+        (F.col("__gcum") - carry("__b_cum")).alias("run_value_sum_q"),
+    )
