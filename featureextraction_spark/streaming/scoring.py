@@ -147,3 +147,119 @@ def streaming_unigram_lm(
         .otherwise(F.exp(-avg_logprob))
         .alias("ppl"),
     )
+
+
+def hashed_features_exprs(
+    text: str = "text", n_buckets: int = 64, seed: int = 17
+) -> list[Column]:
+    """The hashing-trick vectorizer as a pure row projection — the
+    streaming twin of ``operators/encoding.hashed_features``.
+
+    The batch operator explodes tokens and groupBys (doc, bucket) for
+    map-side combining; per-document the semantics are row-local, so a
+    stream computes the DENSE ``n_buckets``-vector with two higher-order
+    folds and zero state / zero shuffle: tokens → (bucket, sign) structs
+    (one md5 per token), then fold into an integer vector.  Same md5
+    bits, same pure-modulo sign as batch — row-equality pytest-gated.
+
+    Returns ``hash_vec`` (signed sums), ``hash_cnt`` (unsigned counts),
+    ``n_tokens``.
+    """
+    toks = F.regexp_extract_all(
+        F.lower(F.coalesce(F.col(text), F.lit(""))),
+        F.lit("[^ \\t\\n\\r\\f\\x0B]+"),
+        0,
+    )
+    def h60(t: Column) -> Column:
+        s = F.concat_ws(":", t, F.lit(str(seed)))
+        return F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")
+
+    bs = F.transform(
+        toks,
+        lambda t: F.struct(
+            (h60(t) % n_buckets).cast("int").alias("b"),
+            F.when(h60(t) % (2 * n_buckets) < n_buckets, F.lit(1))
+            .otherwise(F.lit(-1))
+            .cast("long")
+            .alias("s"),
+        ),
+    )
+    zeros = F.array_repeat(F.lit(0).cast("long"), n_buckets)
+    vec = F.aggregate(
+        bs,
+        zeros,
+        lambda acc, e: F.transform(
+            acc, lambda v, i: v + F.when(e["b"] == i, e["s"]).otherwise(F.lit(0))
+        ),
+    )
+    cnt = F.aggregate(
+        bs,
+        zeros,
+        lambda acc, e: F.transform(
+            acc,
+            lambda v, i: v + F.when(e["b"] == i, F.lit(1)).otherwise(F.lit(0)),
+        ),
+    )
+    return [
+        vec.alias("hash_vec"),
+        cnt.alias("hash_cnt"),
+        F.size(toks).cast("long").alias("n_tokens"),
+    ]
+
+
+def streaming_hashed_features(
+    stream: DataFrame,
+    id_col: str = "doc_id",
+    text: str = "text",
+    n_buckets: int = 64,
+    seed: int = 17,
+) -> DataFrame:
+    """Append-mode, stateless: one dense hash vector per arriving doc."""
+    return stream.select(
+        F.col(id_col), *hashed_features_exprs(text, n_buckets, seed)
+    )
+
+
+def scale_snapshot(
+    train: DataFrame, value: str = "value"
+) -> DataFrame:
+    """One-row (n_train, sum_q, sum_sq_q) integer-moment snapshot fitted
+    in BATCH on the train slice — the fitted state
+    ``operators/encoding.standard_scale`` derives internally, exported
+    so a stream can transform against it (refit periodically in batch,
+    score live rows against the latest snapshot — the same
+    snapshot-shipping shape as ``unigram_lm_snapshot``)."""
+    vq3 = F.floor(F.col(value) * F.lit(1e3) + F.lit(0.5)).cast("long")
+    return train.select(vq3.alias("__vq")).agg(
+        F.count(F.lit(1)).alias("n_train"),
+        F.sum("__vq").alias("sum_q"),
+        F.sum(F.col("__vq") * F.col("__vq")).alias("sum_sq_q"),
+    )
+
+
+def streaming_standard_scale(
+    stream: DataFrame,
+    snapshot: DataFrame,
+    value: str = "value",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Stateless stream-side z-transform against the broadcast one-row
+    snapshot — identical arithmetic to the batch operator's transform
+    half (double-spelled sums product, IEEE sqrt), so batch/stream rows
+    are bit-equal (pytest-gated)."""
+    vq3 = F.floor(F.col(value) * F.lit(1e3) + F.lit(0.5)).cast("long")
+    j = stream.withColumn("__vq", vq3).join(F.broadcast(snapshot))
+    nd = F.col("n_train").cast("double")
+    mu = F.col("sum_q").cast("double") / nd
+    var = (
+        F.col("sum_sq_q").cast("double")
+        - F.col("sum_q").cast("double") * F.col("sum_q").cast("double") / nd
+    ) / (nd - F.lit(1.0))
+    return j.select(
+        F.col(id_col),
+        F.col("__vq").alias("vq"),
+        "n_train",
+        "sum_q",
+        "sum_sq_q",
+        ((F.col("__vq").cast("double") - mu) / F.sqrt(var)).alias("z"),
+    )
