@@ -1524,6 +1524,17 @@ def q_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 adjacent-token collocations by lift (monotone with PMI,
+    rational in exact integer counts — no libm log on the hash path);
+    min-count 5 floor, nudge-rounded lift ranked with pair tiebreak so
+    the k-set is engine-stable."""
+    from featureextraction_spark.functions.textstats import pmi_collocations
+
+    docs = _load(spark, sf_dir, "documents")
+    return pmi_collocations(docs, text="text", min_count=5, top=50)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: point-in-time feature lookup — for every purchase probe,
     the session id, running state and latest click value as of that ts,
@@ -1639,6 +1650,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_features": q_session_features,
         "ewma": q_ewma,
         "vocab_growth": q_vocab_growth,
+        "pmi_pairs": q_pmi_pairs,
     }
 
 
@@ -4464,5 +4476,49 @@ def _curation_oracle_sql() -> dict[str, str]:
             FROM tb LEFT JOIN nb USING (bin)
             WINDOW cw AS (ORDER BY tb.bin
                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        """,
+        # lift (monotone with PMI) as one rational expression of exact
+        # integer counts; rank on the nudge-rounded lift + pair tiebreak
+        "pmi_pairs": f"""
+            WITH t AS (
+                SELECT regexp_extract_all(lower(coalesce(text, '')),
+                                          {_TOKENS_RE}, 0) AS ts
+                FROM documents
+            ),
+            pairs AS (
+                SELECT unnest(list_transform(range(1, len(ts)),
+                                             i -> ts[i] || ' ' || ts[i+1]))
+                       AS pair
+                FROM t
+            ),
+            uni AS (SELECT unnest(ts) AS tok FROM t),
+            pc AS (SELECT pair, count(*) AS n_ab FROM pairs GROUP BY pair),
+            uc AS (SELECT tok, count(*) AS n_tok FROM uni GROUP BY tok),
+            tot AS (
+                SELECT (SELECT sum(n_tok) FROM uc) AS n_toks_total,
+                       (SELECT sum(n_ab) FROM pc) AS n_pairs_total
+            ),
+            s AS (
+                SELECT pair, n_ab,
+                       split_part(pair, ' ', 1) AS a,
+                       split_part(pair, ' ', 2) AS b
+                FROM pc WHERE n_ab >= 5
+            )
+            SELECT s.pair,
+                   CAST(s.n_ab AS BIGINT) AS n_ab,
+                   CAST(ua.n_tok AS BIGINT) AS n_a,
+                   CAST(ub.n_tok AS BIGINT) AS n_b,
+                   round(CAST(s.n_ab AS DOUBLE)
+                         * CAST(tot.n_toks_total AS DOUBLE)
+                         * CAST(tot.n_toks_total AS DOUBLE)
+                         / (CAST(tot.n_pairs_total AS DOUBLE)
+                            * CAST(ua.n_tok AS DOUBLE)
+                            * CAST(ub.n_tok AS DOUBLE))
+                         + 1e-9, 6) AS lift
+            FROM s
+            JOIN uc ua ON s.a = ua.tok
+            JOIN uc ub ON s.b = ub.tok
+            CROSS JOIN tot
+            ORDER BY lift DESC, pair ASC LIMIT 50
         """,
     }

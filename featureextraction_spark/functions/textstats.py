@@ -638,3 +638,82 @@ def vocab_growth(
             / F.sum("n_tokens").over(cum).cast("double")
         ).alias("ttr"),
     )
+
+
+def pmi_collocations(
+    df: DataFrame,
+    text: str = "text",
+    min_count: int = 5,
+    top: int = 50,
+) -> DataFrame:
+    """Top-``top`` adjacent-token collocations ranked by LIFT —
+    ``P(a,b) / (P(a)·P(b))`` — the association statistic behind PMI
+    (PMI = log lift; the log is omitted deliberately: lift is a RATIONAL
+    function of exact integer counts, monotone with PMI, so the ranking
+    is identical and no libm log touches the hash path).
+
+    Counts: adjacent pairs via ``zip_with`` of two array slices (map-only
+    — no self-join, no position explode), then one pair-keyed groupBy;
+    unigram counts via one token-keyed groupBy; the two corpus totals via
+    one bounded aggregate.  Pair scores join the unigram table twice on
+    the token key — vocabulary-sized equi-joins, never broadcast-mandated
+    (AQE may choose to broadcast at small scale; at 100 TB they stay
+    shuffle joins on the token key, each side pre-aggregated).
+
+    lift = (n_ab / N_pairs) / ((n_a / N_toks) · (n_b / N_toks))
+         = n_ab · N_toks² / (N_pairs · n_a · n_b)
+
+    — all products exact in double while n_ab·N_toks² < 2^53 (N_toks ≤
+    ~3e7 at min_count-filtered gate scales; at true corpus scale compute
+    the ratio in log-space OFF the hash path or quantize, documented).
+    ``min_count`` keeps rare-pair noise out (the standard collocation
+    floor); the rank orders by the NUDGE-ROUNDED lift with the pair
+    string as tiebreak, so the k-set is engine-stable (the
+    ``bm25_topk`` pattern).
+    """
+    toks = F.regexp_extract_all(
+        F.lower(F.coalesce(F.col(text), F.lit(""))), F.lit(TOKEN_REGEX), 0
+    )
+    t = df.select(toks.alias("__t"))
+    n = F.size("__t")
+    pairs = t.select(
+        F.explode(
+            F.zip_with(
+                F.slice("__t", 1, F.greatest(n - 1, F.lit(0))),
+                F.slice("__t", 2, F.greatest(n - 1, F.lit(0))),
+                lambda a, b: F.concat_ws(" ", a, b),
+            )
+        ).alias("pair")
+    )
+    uni = t.select(F.explode("__t").alias("tok"))
+    pair_counts = pairs.groupBy("pair").agg(F.count(F.lit(1)).alias("n_ab"))
+    uni_counts = uni.groupBy("tok").agg(F.count(F.lit(1)).alias("n_tok"))
+    totals = uni_counts.agg(
+        F.sum("n_tok").alias("n_toks_total"),
+    ).crossJoin(pair_counts.agg(F.sum("n_ab").alias("n_pairs_total")))
+    scored = (
+        pair_counts.filter(F.col("n_ab") >= min_count)
+        .withColumn("a", F.split_part("pair", F.lit(" "), F.lit(1)))
+        .withColumn("b", F.split_part("pair", F.lit(" "), F.lit(2)))
+        .join(uni_counts.withColumnRenamed("tok", "a").withColumnRenamed("n_tok", "n_a"), "a")
+        .join(uni_counts.withColumnRenamed("tok", "b").withColumnRenamed("n_tok", "n_b"), "b")
+        .crossJoin(F.broadcast(totals))
+    )
+    lift = (
+        F.col("n_ab").cast("double")
+        * F.col("n_toks_total").cast("double")
+        * F.col("n_toks_total").cast("double")
+        / (
+            F.col("n_pairs_total").cast("double")
+            * F.col("n_a").cast("double")
+            * F.col("n_b").cast("double")
+        )
+    )
+    out = scored.select(
+        "pair",
+        "n_ab",
+        "n_a",
+        "n_b",
+        F.round(lift + F.lit(1e-9), 6).alias("lift"),
+    )
+    return out.orderBy(F.col("lift").desc(), F.col("pair").asc()).limit(top)

@@ -188,3 +188,50 @@ def test_vocab_growth_flattens_on_duplicated_corpus(spark):
     assert all(r.new_types > 0 for r in g_f)  # keeps contributing
     assert [r.new_types for r in g_d][1:] == [0, 0, 0]  # stale after bin 0
     assert g_d[-1].ttr < g_f[-1].ttr
+
+
+def test_pmi_collocations_vs_naive(spark):
+    from featureextraction_spark.functions.textstats import pmi_collocations
+
+    rng = random.Random(8)
+    # "new york" is a strong collocation: york only ever follows new
+    rows = []
+    for i in range(60):
+        words = rng.choices(["the", "cat", "sat", "on", "mat"], k=10)
+        if i % 2 == 0:
+            words[3:3] = ["new", "york"]
+        rows.append(Row(doc_id=i, text=" ".join(words)))
+    df = spark.createDataFrame(rows)
+    got = pmi_collocations(df, min_count=5, top=10).collect()
+
+    pc, uc = defaultdict(int), defaultdict(int)
+    for r in rows:
+        ts = r.text.lower().split()
+        for t in ts:
+            uc[t] += 1
+        for a, b in zip(ts, ts[1:]):
+            pc[f"{a} {b}"] += 1
+    n_tok, n_pair = sum(uc.values()), sum(pc.values())
+    want = []
+    for p, nab in pc.items():
+        if nab < 5:
+            continue
+        a, b = p.split(" ")
+        lift = round(nab * n_tok * n_tok / (n_pair * uc[a] * uc[b]) + 1e-9, 6)
+        want.append((p, nab, uc[a], uc[b], lift))
+    want.sort(key=lambda x: (-x[4], x[0]))
+    assert [tuple(r) for r in got] == want[:10]
+    assert got[0].pair == "new york"  # the planted collocation wins
+
+
+def test_pmi_collocations_empty_and_single_token_docs(spark):
+    from featureextraction_spark.functions.textstats import pmi_collocations
+
+    df = spark.createDataFrame(
+        [Row(doc_id=0, text=""), Row(doc_id=1, text="solo"),
+         Row(doc_id=2, text=None)] +
+        [Row(doc_id=3 + i, text="a b") for i in range(5)],
+        schema="doc_id long, text string",
+    )
+    out = pmi_collocations(df, min_count=5, top=10).collect()
+    assert len(out) == 1 and out[0].pair == "a b" and out[0].n_ab == 5
