@@ -1571,6 +1571,261 @@ def entry(spark: SparkSession) -> DataFrame:
     )
 
 
+def q_recency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strictly-prior recency state per turn (µs since conversation
+    start / since last tool turn, turns since last 'view', prior tool
+    count) — all-integer outputs, one exchange + one sort for the whole
+    family, zero leakage by frame construction (upper bound −1)."""
+    from featureextraction_spark.operators.recency import recency_features
+
+    tr = _events_as_transcripts(spark, sf_dir)
+    out = recency_features(tr, anchor_role="view")
+    return out.select(
+        "conv_id",
+        F.col("turn_idx").cast("long").alias("turn_idx"),
+        "us_since_conv_start",
+        "us_since_tool",
+        "turns_since_anchor",
+        "prior_tool_turns",
+    )
+
+
+def q_expanding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-free expanding value stats over strictly-earlier events of
+    the same user — exact quantized integer sum/min/max plus ONE
+    integer÷integer mean through the nudged rounding."""
+    from pyspark.sql import Window
+
+    from featureextraction_spark.operators.recency import expanding_features
+
+    ev = _load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ev = ev.withColumn("turn_ord", F.row_number().over(w))
+    out = expanding_features(ev, value="value", by="user_id", order="turn_ord")
+    return out.select(
+        "event_id",
+        "prior_n",
+        "prior_sum_q",
+        "prior_min_q",
+        "prior_max_q",
+        _hround6(F.col("expanding_mean")).alias("expanding_mean"),
+    )
+
+
+def q_label_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lookahead LABEL construction (deliberate forward windows, kept in
+    a separate operator from every feature family): next role, tool
+    within the next 5 turns, µs to the next tool turn."""
+    from featureextraction_spark.operators.recency import lookahead_labels
+
+    tr = _events_as_transcripts(spark, sf_dir)
+    out = lookahead_labels(tr, horizon=5)
+    return out.select(
+        "conv_id",
+        F.col("turn_idx").cast("long").alias("turn_idx"),
+        "next_role",
+        "tool_within_h",
+        "us_to_next_tool",
+    )
+
+
+ASOF_TOLERANCE_US = 3_600 * 1_000_000  # 1 h feature-store TTL
+
+
+def q_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6 as-of join under a staleness bound (feature-store TTL): the
+    q_asof_join match expires when older than 1 h — expired probes keep
+    their row with NULLed features and fresh=0. Pure projection on top
+    of the sorted-merge as-of; zero added shuffles."""
+    from featureextraction_spark.operators.asof import apply_staleness
+
+    ev = _load(spark, sf_dir, "events")
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(
+            F.max_by("value", "event_id").alias("click_value"),
+            F.max("event_id").alias("click_event_id"),
+        )
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts"
+    )
+    res = asof_join(
+        purchases,
+        clicks,
+        on="ts",
+        by="user_id",
+        tie="click_event_id",
+        value_cols=["click_value"],
+        matched_cols=True,
+    )
+    res = apply_staleness(
+        res, on="ts", value_cols=["click_value"], tolerance_us=ASOF_TOLERANCE_US
+    )
+    return res.select(
+        "user_id",
+        "event_id",
+        epoch_us(res, "ts").alias("ts_us"),
+        epoch_us(res, "matched_ts").alias("matched_ts_us"),
+        F.round("click_value", 4).alias("click_value"),
+        "fresh",
+    )
+
+
+def q_quantile_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language normalized rank (quantile transform, deterministic
+    tie-break by doc_id) of document length — the two-phase
+    range-partition + offset rank: no per-group single-task sort."""
+    from featureextraction_spark.operators.ranking import group_normalized_rank
+
+    docs = _load(spark, sf_dir, "documents")
+    out = group_normalized_rank(docs, value="n_chars", by="lang", tie="doc_id")
+    return out.select(
+        "doc_id",
+        "lang",
+        "rank",
+        "n",
+        _hround6(F.col("norm_rank")).alias("norm_rank"),
+    )
+
+
+def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorize document length at exact per-language p05/p95 (the
+    group_quantiles interpolation, bounds rounded identically on both
+    engines) — clip flags are strict comparisons, so boundary values are
+    untouched everywhere."""
+    from featureextraction_spark.operators.ranking import winsorize
+
+    docs = _load(spark, sf_dir, "documents")
+    out = winsorize(docs, value="n_chars", by="lang", lo_q=0.05, hi_q=0.95)
+    return out.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        _hround6(F.col("w_lo")).alias("w_lo"),
+        _hround6(F.col("w_hi")).alias("w_hi"),
+        _hround6(F.col("winsorized")).alias("winsorized"),
+        "clipped_lo",
+        "clipped_hi",
+    )
+
+
+def q_drift_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square drift screen between the two md5-hash halves of the
+    corpus over 50-char length bins — ONE map-combinable |bins|-row
+    aggregate over the whole scan; chi2 is rational in the exact counts
+    (no log), through the nudged rounding."""
+    from featureextraction_spark.operators.drift import histogram_drift
+
+    docs = _load(spark, sf_dir, "documents")
+    out = histogram_drift(docs, value="n_chars", id_col="doc_id", bin_width=50)
+    return out.select(
+        "bin", "n_a", "n_b", _hround6(F.col("chi2")).alias("chi2")
+    )
+
+
+def q_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document OOV rate against the corpus's own top-500 vocabulary
+    (total-frequency ranked, term-ascending ties — a stable k-boundary):
+    TakeOrdered top-k + broadcast membership, exact integer counts."""
+    from featureextraction_spark.operators.curation import vocab_coverage
+
+    docs = _load(spark, sf_dir, "documents")
+    out = vocab_coverage(docs, top_k=500)
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        "oov_tokens",
+        _hround6(F.col("oov_rate")).alias("oov_rate"),
+    )
+
+
+def _doc_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → one row per token occurrence (the shared lowercased
+    whitespace contract)."""
+    docs = _load(spark, sf_dir, "documents")
+    return docs.select(
+        F.explode(
+            F.regexp_extract_all(
+                F.lower(F.coalesce(F.col("text"), F.lit(""))),
+                F.lit("[^ \\t\\n\\r\\f\\u000B]+"),
+                F.lit(0),
+            )
+        ).alias("term")
+    )
+
+
+CMS_PROBE_TERMS = BM25_QUERY_TERMS + ("qzx_never_seen",)
+
+
+def q_cms_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch (4×256, Carter–Wegman row hashes over the 60-bit
+    md5 contract) of token frequencies — ONE constant fan-out explode +
+    one map-combinable groupBy onto ≤1024 cells; the mergeable 100-TB
+    frequency-profiling primitive, replayed cell-exact by the oracle."""
+    from featureextraction_spark.operators.sketches import count_min_sketch
+
+    toks = _doc_tokens(spark, sf_dir)
+    out = count_min_sketch(toks, "term", depth=4, width=256)
+    return out.select(
+        F.col("d").cast("long").alias("d"), "bucket", "cell_count"
+    )
+
+
+def q_cms_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min point reads for a fixed probe set (incl. a never-seen
+    term → 0) next to the exact counts — the over-estimate-only CMS
+    guarantee is visible in the columns; all integers."""
+    from featureextraction_spark.operators.sketches import (
+        count_min_estimate,
+        count_min_sketch,
+    )
+
+    toks = _doc_tokens(spark, sf_dir)
+    cms = count_min_sketch(toks, "term", depth=4, width=256)
+    probes = spark.createDataFrame(
+        [(t,) for t in CMS_PROBE_TERMS], schema="term string"
+    )
+    est = count_min_estimate(cms, probes, "term", depth=4, width=256)
+    true = toks.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("true_count"))
+    return (
+        est.join(true, "term", "left")
+        .select(
+            "term",
+            "cm_estimate",
+            F.coalesce(F.col("true_count"), F.lit(0)).cast("long").alias("true_count"),
+        )
+    )
+
+
+def q_hll_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog register table (p=8, 256 registers) over token
+    occurrences — rho from `bin()` length (identical no-leading-zeros
+    semantics on both engines), so the sketch STATE is exact, not
+    approximately equal; one groupBy onto 256 rows."""
+    from featureextraction_spark.operators.sketches import hll_registers
+
+    toks = _doc_tokens(spark, sf_dir)
+    return hll_registers(toks, "term")
+
+
+def q_hll_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL distinct-token estimate: integer harmonic denominator
+    Z = Σ 2^(53−M[j]) (exact, order-free) and ONE double division by the
+    folded ALPHA·m²·2^53 literal through the nudged rounding."""
+    from featureextraction_spark.operators.sketches import (
+        hll_estimate,
+        hll_registers,
+    )
+
+    toks = _doc_tokens(spark, sf_dir)
+    out = hll_estimate(hll_registers(toks, "term"))
+    return out.select(
+        "z_sum", "n_zero_regs", _hround6(F.col("hll_estimate")).alias("hll_estimate")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "lag_lead": q_lag_lead,
@@ -1651,6 +1906,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ewma": q_ewma,
         "vocab_growth": q_vocab_growth,
         "pmi_pairs": q_pmi_pairs,
+        "recency": q_recency,
+        "expanding_stats": q_expanding_stats,
+        "label_windows": q_label_windows,
+        "asof_tolerance": q_asof_tolerance,
+        "quantile_rank": q_quantile_rank,
+        "winsorize": q_winsorize,
+        "drift_bins": q_drift_bins,
+        "oov_rate": q_oov_rate,
+        "cms_counts": q_cms_counts,
+        "cms_estimate": q_cms_estimate,
+        "hll_registers": q_hll_registers,
+        "hll_card": q_hll_card,
     }
 
 
@@ -1901,6 +2168,8 @@ def oracle_sql() -> dict[str, str]:
     """
     base.update(_training_ops_oracle_sql())
     base.update(_curation_oracle_sql())
+    base.update(_pit_feature_oracle_sql())
+    base.update(_sketch_oracle_sql())
     # full-probe IVF is exhaustive by construction — the exact replay gates it
     base["ivf_topk_full"] = base["cosine_topk"]
     # full-probe IVF-PQ scans every list exactly once == the flat ADC scan
@@ -4520,5 +4789,344 @@ def _curation_oracle_sql() -> dict[str, str]:
             JOIN uc ub ON s.b = ub.tok
             CROSS JOIN tot
             ORDER BY lift DESC, pair ASC LIMIT 50
+        """,
+    }
+
+
+def _pit_feature_oracle_sql() -> dict[str, str]:
+    """Oracles for the recency/expanding/lookahead point-in-time family,
+    the rank/winsorize/drift transforms, vocabulary coverage, and the
+    staleness-bounded as-of join. Every float output is either an exact
+    integer vehicle or ONE division through the nudged rounding; window
+    orders are total (turn_idx derives from (ts, event_id))."""
+    tr = """
+            SELECT CAST(user_id AS VARCHAR) AS conv_id,
+                   CAST(row_number() OVER (PARTITION BY user_id
+                                           ORDER BY ts, event_id) - 1
+                        AS BIGINT) AS turn_idx,
+                   event_type AS role,
+                   CASE WHEN event_type = 'error' THEN event_type END AS tool,
+                   epoch_us(ts) AS us
+            FROM events
+    """
+    return {
+        "recency": f"""
+            WITH tr AS ({tr})
+            SELECT conv_id, turn_idx,
+                   CAST(us - min(us) OVER wall AS BIGINT) AS us_since_conv_start,
+                   CAST(us - max(CASE WHEN tool IS NOT NULL THEN us END)
+                             OVER wprev AS BIGINT) AS us_since_tool,
+                   CAST(turn_idx - max(CASE WHEN role = 'view' THEN turn_idx END)
+                                   OVER wprev AS BIGINT) AS turns_since_anchor,
+                   CAST(coalesce(count(tool) OVER wprev, 0) AS BIGINT)
+                       AS prior_tool_turns
+            FROM tr
+            WINDOW wall AS (PARTITION BY conv_id ORDER BY turn_idx
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                   wprev AS (PARTITION BY conv_id ORDER BY turn_idx
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        """,
+        "expanding_stats": """
+            WITH t AS (
+                SELECT event_id, user_id, ts,
+                       CAST(floor(value * 1000000.0 + 0.5) AS BIGINT) AS vq
+                FROM events
+            )
+            SELECT event_id,
+                   CAST(count(vq) OVER wprev AS BIGINT) AS prior_n,
+                   CAST(coalesce(sum(vq) OVER wprev, 0) AS BIGINT) AS prior_sum_q,
+                   CAST(min(vq) OVER wprev AS BIGINT) AS prior_min_q,
+                   CAST(max(vq) OVER wprev AS BIGINT) AS prior_max_q,
+                   round(CASE WHEN count(vq) OVER wprev > 0
+                              THEN CAST(coalesce(sum(vq) OVER wprev, 0) AS DOUBLE)
+                                   / (1e6 * CAST(count(vq) OVER wprev AS DOUBLE))
+                         END + 1e-9, 6) AS expanding_mean
+            FROM t
+            WINDOW wprev AS (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        """,
+        "label_windows": f"""
+            WITH tr AS ({tr})
+            SELECT conv_id, turn_idx,
+                   lead(role) OVER w AS next_role,
+                   CAST(coalesce(max(CASE WHEN tool IS NOT NULL THEN 1 ELSE 0 END)
+                                 OVER wh, 0) AS BIGINT) AS tool_within_h,
+                   CAST(min(CASE WHEN tool IS NOT NULL THEN us END) OVER wf - us
+                        AS BIGINT) AS us_to_next_tool
+            FROM tr
+            WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx),
+                   wh AS (PARTITION BY conv_id ORDER BY turn_idx
+                          ROWS BETWEEN 1 FOLLOWING AND 5 FOLLOWING),
+                   wf AS (PARTITION BY conv_id ORDER BY turn_idx
+                          ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+        """,
+        # the q_asof_join oracle wrapped in the 1 h TTL: FALSE AND NULL
+        # is FALSE on both engines, so never-matched probes get fresh=0
+        "asof_tolerance": """
+            WITH clicks AS (
+                SELECT user_id, ts, max_by(value, event_id) AS click_value
+                FROM events WHERE event_type = 'click' GROUP BY user_id, ts
+            ), purch AS (
+                SELECT user_id, event_id, ts FROM events
+                WHERE event_type = 'purchase'
+            ), m AS (
+                SELECT p.user_id, p.event_id,
+                       epoch_us(p.ts) AS ts_us,
+                       epoch_us(c.ts) AS matched_ts_us,
+                       c.click_value AS cv
+                FROM purch p ASOF LEFT JOIN clicks c
+                  ON p.user_id = c.user_id AND c.ts <= p.ts
+            ), fm AS (
+                SELECT *, matched_ts_us IS NOT NULL
+                          AND ts_us - matched_ts_us <= 3600000000 AS fresh
+                FROM m
+            )
+            SELECT user_id, event_id, ts_us,
+                   CASE WHEN fresh THEN matched_ts_us END AS matched_ts_us,
+                   CASE WHEN fresh THEN round(cv, 4) END AS click_value,
+                   CAST(fresh AS BIGINT) AS fresh
+            FROM fm
+        """,
+        "quantile_rank": """
+            WITH r AS (
+                SELECT doc_id, lang,
+                       row_number() OVER (PARTITION BY lang
+                                          ORDER BY CAST(n_chars AS DOUBLE),
+                                                   doc_id) - 1 AS rank,
+                       count(*) OVER (PARTITION BY lang) AS n
+                FROM documents
+            )
+            SELECT doc_id, lang, CAST(rank AS BIGINT) AS rank,
+                   CAST(n AS BIGINT) AS n,
+                   round(CASE WHEN n > 1
+                              THEN CAST(rank AS DOUBLE) / CAST(n - 1 AS DOUBLE)
+                              ELSE 0.0 END + 1e-9, 6) AS norm_rank
+            FROM r
+        """,
+        # identical interpolation shape as group_quantiles (its green
+        # contract); bounds rounded to 6 on BOTH engines before the clip
+        "winsorize": """
+            WITH ranked AS (
+                SELECT lang, CAST(n_chars AS DOUBLE) AS v,
+                       row_number() OVER (
+                           PARTITION BY lang ORDER BY CAST(n_chars AS DOUBLE)
+                       ) AS rn
+                FROM documents
+            ),
+            counts AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+            probes AS (
+                SELECT lang, n, q,
+                       CAST(n - 1 AS DOUBLE) * q AS pos,
+                       CAST(floor(CAST(n - 1 AS DOUBLE) * q) AS BIGINT) AS k
+                FROM counts,
+                     (SELECT unnest([0.05::DOUBLE, 0.95::DOUBLE]) AS q)
+            ),
+            p2 AS (
+                SELECT *, pos - CAST(k AS DOUBLE) AS frac,
+                       least(k + 1, n - 1) AS khi
+                FROM probes
+            ),
+            qv AS (
+                SELECT p.lang, p.q,
+                       round(lo.v + (hi.v - lo.v) * p.frac, 6) AS qval
+                FROM p2 p
+                JOIN ranked lo ON lo.lang = p.lang AND lo.rn = p.k + 1
+                JOIN ranked hi ON hi.lang = p.lang AND hi.rn = p.khi + 1
+            ),
+            b AS (
+                SELECT lang,
+                       max(CASE WHEN q = 0.05 THEN qval END) AS w_lo,
+                       max(CASE WHEN q = 0.95 THEN qval END) AS w_hi
+                FROM qv GROUP BY lang
+            )
+            SELECT d.doc_id, d.lang, d.n_chars,
+                   round(w_lo + 1e-9, 6) AS w_lo,
+                   round(w_hi + 1e-9, 6) AS w_hi,
+                   round(greatest(w_lo, least(w_hi, CAST(n_chars AS DOUBLE)))
+                         + 1e-9, 6) AS winsorized,
+                   CAST(CAST(n_chars AS DOUBLE) < w_lo AS BIGINT) AS clipped_lo,
+                   CAST(CAST(n_chars AS DOUBLE) > w_hi AS BIGINT) AS clipped_hi
+            FROM documents d JOIN b USING (lang)
+        """,
+        # same md5-60-bit split contract as hash_split; chi2 replayed with
+        # the operator's exact double expression order
+        "drift_bins": """
+            WITH h AS (
+                SELECT CAST(floor(CAST(n_chars AS DOUBLE) / 50.0) AS BIGINT)
+                           AS bin,
+                       CASE WHEN ('0x' || substr(md5(doc_id::VARCHAR || ':42'),
+                                                 1, 15))::BIGINT % 2 = 0
+                            THEN 1 ELSE 0 END AS is_a
+                FROM documents
+            ),
+            bins AS (
+                SELECT bin, CAST(sum(is_a) AS BIGINT) AS n_a,
+                       CAST(sum(1 - is_a) AS BIGINT) AS n_b
+                FROM h GROUP BY bin
+            ),
+            t AS (
+                SELECT CAST(sum(n_a) AS DOUBLE) AS na_t,
+                       CAST(sum(n_b) AS DOUBLE) AS nb_t
+                FROM bins
+            ),
+            x AS (
+                SELECT bin, n_a, n_b,
+                       CAST(n_a AS DOUBLE) AS na, CAST(n_b AS DOUBLE) AS nb,
+                       (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)) * na_t
+                           / (na_t + nb_t) AS ea,
+                       (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)) * nb_t
+                           / (na_t + nb_t) AS eb
+                FROM bins, t
+            )
+            SELECT bin, n_a, n_b,
+                   round((CASE WHEN ea > 0 THEN (na - ea) * (na - ea) / ea
+                               ELSE 0.0 END
+                        + CASE WHEN eb > 0 THEN (nb - eb) * (nb - eb) / eb
+                               ELSE 0.0 END) + 1e-9, 6) AS chi2
+            FROM x
+        """,
+        "oov_rate": f"""
+            WITH toks AS (
+                SELECT doc_id,
+                       unnest(regexp_extract_all(lower(coalesce(text, '')),
+                                                 {_TOKENS_RE})) AS term
+                FROM documents
+            ),
+            counts AS (SELECT term, count(*) AS cnt FROM toks GROUP BY term),
+            vocab AS (
+                SELECT term FROM (
+                    SELECT term, row_number() OVER (ORDER BY cnt DESC, term)
+                               AS rk
+                    FROM counts
+                ) WHERE rk <= 500
+            ),
+            per AS (
+                SELECT t.doc_id,
+                       CAST(count(*) AS BIGINT) AS n_tokens,
+                       CAST(sum(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END)
+                            AS BIGINT) AS oov_tokens
+                FROM toks t LEFT JOIN vocab v ON t.term = v.term
+                GROUP BY t.doc_id
+            )
+            SELECT d.doc_id,
+                   coalesce(n_tokens, 0) AS n_tokens,
+                   coalesce(oov_tokens, 0) AS oov_tokens,
+                   round(CASE WHEN coalesce(n_tokens, 0) > 0
+                              THEN CAST(oov_tokens AS DOUBLE)
+                                   / CAST(n_tokens AS DOUBLE)
+                         END + 1e-9, 6) AS oov_rate
+            FROM documents d LEFT JOIN per USING (doc_id)
+        """,
+    }
+
+
+def _sketch_oracle_sql() -> dict[str, str]:
+    """Count-Min / HyperLogLog oracles — the sketch STATE is replayed
+    cell-exact (pure integer md5/bit arithmetic; `bin()` has identical
+    no-leading-zeros semantics on both engines), and the HLL estimate is
+    one double division by a folded constant that DuckDB receives as
+    CAST('<repr>' AS DOUBLE) (long float literals would parse as DECIMAL
+    and lose bits)."""
+    from featureextraction_spark.operators.sketches import HLL_EST_NUM
+
+    toks = f"""
+            SELECT unnest(regexp_extract_all(lower(coalesce(text, '')),
+                                             {_TOKENS_RE})) AS term
+            FROM documents
+    """
+    cms_cells = """
+            x AS (
+                SELECT term,
+                       ('0x' || substr(md5(term || ':0'), 1, 15))::BIGINT AS h0,
+                       ('0x' || substr(md5(term || ':1'), 1, 15))::BIGINT AS h1
+                FROM toks
+            ),
+            e AS (
+                SELECT d, (h0 + d * h1) % 256 AS bucket
+                FROM x, (SELECT unnest([0, 1, 2, 3]) AS d)
+            ),
+            cms AS (
+                SELECT d, bucket, count(*) AS cell_count
+                FROM e GROUP BY d, bucket
+            )
+    """
+    probe_list = ", ".join(f"'{t}'" for t in CMS_PROBE_TERMS)
+    hll_regs = """
+            x AS (
+                SELECT ('0x' || substr(md5(term || ':0'), 1, 15))::BIGINT AS h
+                FROM toks
+            ),
+            r AS (
+                SELECT h // 4503599627370496 AS register,
+                       h % 4503599627370496 AS tail
+                FROM x
+            ),
+            rr AS (
+                SELECT register,
+                       CASE WHEN tail > 0 THEN 53 - length(bin(tail))
+                            ELSE 53 END AS rho
+                FROM r
+            ),
+            m AS (SELECT register, max(rho) AS m_rho FROM rr GROUP BY register),
+            gs AS (SELECT unnest(generate_series(0, 255)) AS register),
+            f AS (
+                SELECT gs.register, coalesce(m_rho, 0) AS m_rho
+                FROM gs LEFT JOIN m USING (register)
+            )
+    """
+    return {
+        "cms_counts": f"""
+            WITH toks AS ({toks}),
+            {cms_cells}
+            SELECT CAST(d AS BIGINT) AS d, CAST(bucket AS BIGINT) AS bucket,
+                   CAST(cell_count AS BIGINT) AS cell_count
+            FROM cms
+        """,
+        "cms_estimate": f"""
+            WITH toks AS ({toks}),
+            {cms_cells},
+            probes AS (SELECT unnest([{probe_list}]) AS term),
+            px AS (
+                SELECT term,
+                       ('0x' || substr(md5(term || ':0'), 1, 15))::BIGINT AS h0,
+                       ('0x' || substr(md5(term || ':1'), 1, 15))::BIGINT AS h1
+                FROM probes
+            ),
+            pe AS (
+                SELECT term, d, (h0 + d * h1) % 256 AS bucket
+                FROM px, (SELECT unnest([0, 1, 2, 3]) AS d)
+            ),
+            est AS (
+                SELECT term, min(coalesce(cell_count, 0)) AS cm_estimate
+                FROM pe LEFT JOIN cms USING (d, bucket)
+                GROUP BY term
+            ),
+            tc AS (SELECT term, count(*) AS true_count FROM toks GROUP BY term)
+            SELECT e.term, CAST(cm_estimate AS BIGINT) AS cm_estimate,
+                   CAST(coalesce(true_count, 0) AS BIGINT) AS true_count
+            FROM est e LEFT JOIN tc USING (term)
+        """,
+        "hll_registers": f"""
+            WITH toks AS ({toks}),
+            {hll_regs}
+            SELECT CAST(register AS BIGINT) AS register,
+                   CAST(m_rho AS BIGINT) AS m_rho,
+                   CAST(1::BIGINT << CAST(53 - m_rho AS INT) AS BIGINT) AS z
+            FROM f
+        """,
+        "hll_card": f"""
+            WITH toks AS ({toks}),
+            {hll_regs},
+            a AS (
+                SELECT CAST(sum(1::BIGINT << CAST(53 - m_rho AS INT))
+                            AS BIGINT) AS z_sum,
+                       CAST(sum(CASE WHEN m_rho = 0 THEN 1 ELSE 0 END)
+                            AS BIGINT) AS n_zero_regs
+                FROM f
+            )
+            SELECT z_sum, n_zero_regs,
+                   round(CAST('{HLL_EST_NUM!r}' AS DOUBLE)
+                         / CAST(z_sum AS DOUBLE) + 1e-9, 6) AS hll_estimate
+            FROM a
         """,
     }

@@ -212,3 +212,41 @@ def asof_join_broadcast(
         F.max_by("__state", F.struct(F.col("__d_on"), F.col("__d_tie"))).alias("__state")
     )
     return _unpack(best, probes.columns, value_cols, prefix, matched_cols)
+
+
+def apply_staleness(
+    out: DataFrame,
+    on: str = "ts",
+    prefix: str = "",
+    value_cols: Sequence[str] = (),
+    tolerance_us: int = 0,
+) -> DataFrame:
+    """Staleness bound (feature-store TTL) on an as-of join's output.
+
+    Feast/Tecton-style point-in-time semantics: a match older than
+    ``tolerance_us`` microseconds before the probe is EXPIRED — its value
+    columns (and matched-ts/turn bookkeeping) become NULL, exactly as if
+    no data row existed, plus a ``{prefix}fresh`` 0/1 flag (0 covers both
+    "expired" and "never matched"). A pure projection over any of the
+    three as-of strategies' output — the tolerance adds zero shuffles.
+
+    The comparison is on epoch µs (NTZ-safe) and INCLUSIVE at the bound:
+    a match exactly ``tolerance_us`` old is still fresh, mirroring the
+    inclusive backward match at distance 0.
+    """
+    from ..functions.time import epoch_us
+
+    m_ts = f"{prefix}matched_ts"
+    age = epoch_us(out, on) - epoch_us(out, m_ts)
+    fresh = F.col(m_ts).isNotNull() & (age <= F.lit(int(tolerance_us)))
+    sel = []
+    nullable = {m_ts, f"{prefix}matched_turn_idx"} | {
+        f"{prefix}{c}" for c in value_cols
+    }
+    for c in out.columns:
+        if c in nullable:
+            sel.append(F.when(fresh, F.col(c)).alias(c))
+        else:
+            sel.append(F.col(c))
+    sel.append(fresh.cast("long").alias(f"{prefix}fresh"))
+    return out.select(*sel)

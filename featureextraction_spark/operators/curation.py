@@ -499,3 +499,77 @@ def quota_sample(
     return d.filter(
         (F.col("cum_tokens") - F.col("n_tokens")) < F.lit(budget_tokens)
     )
+
+
+def vocab_coverage(
+    df: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+    top_k: int = 1000,
+) -> DataFrame:
+    """Per-document OOV rate against the corpus's own top-``top_k`` vocab.
+
+    The tokenizer-coverage screen a training pipeline runs before
+    committing to a vocabulary size: build the top-k vocabulary by total
+    corpus frequency (ties broken by term, ascending — a total order, so
+    the k-boundary is engine-stable), then score every document by the
+    fraction of its token OCCURRENCES that fall outside it.
+
+    Returns (id, n_tokens, oov_tokens, oov_rate): exact longs plus one
+    integer÷integer division the caller nudge-rounds.
+
+    Scale design: tokenization is the corpus-wide explode every lexical
+    operator here pays (same lowercased whitespace contract as
+    ``tfidf_top_terms`` / ``unigram_lm``); term counting is one
+    map-side-combinable groupBy; top-k selection is
+    ``TakeOrderedAndProject`` (distributed heap per partition, k rows to
+    the driver — never a full sort); membership is a BROADCAST join of a
+    k-row vocabulary. The big side shuffles once (the per-doc count-back),
+    on the document id.
+
+    Public-practice analog: SentencePiece/BPE vocabulary-coverage reports;
+    no reference counterpart.
+    """
+    toks = df.select(
+        F.col(id_col),
+        F.explode(
+            F.regexp_extract_all(
+                F.lower(F.coalesce(F.col(text), F.lit(""))),
+                F.lit("[^ \\t\\n\\r\\f\\u000B]+"),
+                F.lit(0),
+            )
+        ).alias("term"),
+    )
+    vocab = (
+        toks.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("__cnt"))
+        .orderBy(F.desc("__cnt"), F.asc("term"))
+        .limit(int(top_k))
+        .select("term", F.lit(1).alias("__in_vocab"))
+    )
+    per_doc = (
+        toks.join(F.broadcast(vocab), "term", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.sum(
+                F.when(F.col("__in_vocab").isNull(), F.lit(1)).otherwise(F.lit(0))
+            )
+            .cast("long")
+            .alias("oov_tokens"),
+        )
+    )
+    # documents with zero tokens never appear in toks — restore them
+    return (
+        df.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("n_tokens"), F.lit(0)).cast("long").alias("n_tokens"),
+            F.coalesce(F.col("oov_tokens"), F.lit(0)).cast("long").alias("oov_tokens"),
+            F.when(
+                F.col("n_tokens") > 0,
+                F.col("oov_tokens").cast("double") / F.col("n_tokens").cast("double"),
+            ).alias("oov_rate"),
+        )
+    )

@@ -1,0 +1,82 @@
+"""Distribution-drift screening between corpus slices (chi-square bins).
+
+The monitoring half of a training-data pipeline: given two slices of a
+corpus (e.g. yesterday's crawl vs today's, or split A vs B of the same
+snapshot), bin a numeric feature into fixed-width integer bins and score
+per-bin divergence with the chi-square statistic
+
+    chi2_bin = (nA − eA)²/eA + (nB − eB)²/eB,
+    eA = (nA + nB) · NA / (NA + NB),   eB = (nA + nB) · NB / (NA + NB)
+
+chosen over PSI/KL because it is RATIONAL in the integer counts — no
+log/libm dependence, so the value is bit-portable across engines (the
+same reason ``pmi_pairs`` ships lift and ``conv_summary`` ships Gini).
+
+Splitting is the repo's content-addressed 60-bit md5 contract
+(``hash_split``): deterministic, seed-keyed, engine-portable, no RNG.
+
+Scale design: the entire operator is ONE map-side-combinable groupBy on
+the bin id (bins are `div`-integer, computed in the scan projection) —
+output is |bins| rows regardless of input size; totals are a whole-frame
+window over that bins-sized aggregate (one bounded single-partition
+exchange of |bins| rows, never a second input scan). This is the
+cheapest shape a 100-TB scan can take.
+
+No reference counterpart; standard data-validation practice (e.g. TFDV's
+drift comparators — public knowledge).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .sampling import _seed_hash
+
+
+def histogram_drift(
+    df: DataFrame,
+    value: str,
+    id_col: str,
+    bin_width: int = 50,
+    seed: int = 42,
+    split_mod: int = 2,
+) -> DataFrame:
+    """Chi-square drift screen between the two md5-hash halves of ``df``.
+
+    Returns one row per occupied bin: ``bin`` (long, floor(value/width)),
+    ``n_a`` / ``n_b`` (exact longs), and ``chi2`` (double — rational in
+    the counts; caller nudge-rounds). A bin empty on one side still
+    contributes (the expected count is positive whenever the bin is
+    occupied at all).
+    """
+    halves = df.select(
+        (F.floor(F.col(value).cast("double") / F.lit(float(bin_width))))
+        .cast("long")
+        .alias("bin"),
+        (F.pmod(_seed_hash(id_col, seed), F.lit(split_mod)) == 0)
+        .cast("int")
+        .alias("__is_a"),
+    )
+    bins = halves.groupBy("bin").agg(
+        F.sum("__is_a").cast("long").alias("n_a"),
+        F.sum(F.lit(1) - F.col("__is_a")).cast("long").alias("n_b"),
+    )
+    # totals as a whole-frame window over the |bins|-row aggregate: ONE
+    # bounded single-partition exchange of a bins-sized frame (the
+    # unigram-LM/DSIR precedent), never a second scan of the input
+    w_all = Window.partitionBy()
+    j = bins.withColumn("__na", F.sum("n_a").over(w_all).cast("double")).withColumn(
+        "__nb", F.sum("n_b").over(w_all).cast("double")
+    )
+    tot = F.col("n_a").cast("double") + F.col("n_b").cast("double")
+    e_a = tot * F.col("__na") / (F.col("__na") + F.col("__nb"))
+    e_b = tot * F.col("__nb") / (F.col("__na") + F.col("__nb"))
+    na = F.col("n_a").cast("double")
+    nb = F.col("n_b").cast("double")
+    # a side with zero GLOBAL mass has e=0 for every bin — its terms are
+    # defined as 0 (degenerate one-sided input), not NaN
+    chi2 = F.when(e_a > 0, (na - e_a) * (na - e_a) / e_a).otherwise(
+        F.lit(0.0)
+    ) + F.when(e_b > 0, (nb - e_b) * (nb - e_b) / e_b).otherwise(F.lit(0.0))
+    return j.select("bin", "n_a", "n_b", chi2.alias("chi2"))

@@ -1,0 +1,179 @@
+"""Mergeable frequency/cardinality sketches with EXACT cross-engine replay.
+
+Count-Min (Cormode & Muthukrishnan '05) and HyperLogLog (Flajolet '07)
+are the two workhorse sketches of a 100-TB profiling pass: both are one
+map-side-combinable aggregate whose state is a tiny fixed-size table,
+mergeable across partitions, files, days, and clusters — the shape that
+makes "frequency of everything" and "distinct count" affordable at scale
+(Spark's own ``approx_count_distinct`` is an HLL, but its binary state is
+implementation-private; this one is built from relational primitives so
+ANY engine can replay it bit-for-bit).
+
+Portability contract (the repo's md5-60-bit uniform, ``_seed_hash``):
+
+- CMS row d hashes ``h_d(x) = hash60(x:d) mod width`` — pure integer ops.
+- HLL splits ``hash60`` into an 8-bit register index (top bits, integer
+  division) and a 52-bit tail; ``rho`` = position of the tail's highest
+  set bit = ``53 − length(bin(tail))`` — ``bin()`` renders without
+  leading zeros identically in Spark and DuckDB, so the register table
+  is EXACT, not approximately equal.
+- The HLL estimate avoids float summation-order entirely: the harmonic
+  denominator is the INTEGER ``Z = Σ 2^(53−M[j])`` (≤ 2^61, no
+  overflow), and the estimate is one double expression
+  ``ALPHA · m² · 2^53 / Z`` evaluated in the same literal/op order on
+  both engines. No small-range (linear-counting) correction: it needs
+  ``log``, whose libm bits are not portable — documented, not hidden.
+
+No reference counterpart; standard public practice (Cormode's and
+Flajolet's published constructions).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .sampling import _seed_hash
+
+HLL_P = 8  # 2^8 = 256 registers
+HLL_M = 1 << HLL_P
+HLL_TAIL_BITS = 60 - HLL_P  # 52
+# Flajolet's bias constant for m ≥ 128: 0.7213 / (1 + 1.079 / m)
+HLL_ALPHA = 0.7213 / (1.0 + 1.079 / HLL_M)
+# the whole estimate numerator ALPHA·m²·2^53 folded into ONE python double
+# so both engines evaluate est = LIT / Z — a single division, no literal-
+# parsing drift (DuckDB reads long float literals as DECIMAL; it gets this
+# constant as CAST('<repr>' AS DOUBLE) instead, which round-trips exactly)
+HLL_EST_NUM = HLL_ALPHA * HLL_M * HLL_M * float(1 << 53)
+
+
+def count_min_sketch(
+    items: DataFrame,
+    col: str,
+    weight: str | None = None,
+    depth: int = 4,
+    width: int = 256,
+) -> DataFrame:
+    """Build a depth×width Count-Min table over ``items[col]``.
+
+    Returns one row per OCCUPIED cell: (depth d, bucket, cell_count).
+    ``weight`` (optional long column) adds that many occurrences per row;
+    default 1 each. One explode to ``depth`` rows per item (a constant
+    fan-out) + one map-combinable groupBy onto ≤ depth·width rows.
+
+    Row hashes are ``(h0 + d·h1) mod width`` over two independent 60-bit
+    hashes (Carter–Wegman pairwise independence); ``depth ≤ 8`` keeps
+    ``h0 + d·h1 < 2^63`` — no int64 overflow.
+    """
+    if depth > 8:
+        raise ValueError("depth > 8 would overflow the int64 hash combine")
+    w = F.col(weight).cast("long") if weight else F.lit(1).cast("long")
+    d = items.select(
+        F.col(col).cast("string").alias("__x"),
+        w.alias("__w"),
+        F.explode(F.array(*[F.lit(i) for i in range(depth)])).alias("d"),
+    )
+    d = d.withColumn("bucket", F.pmod(_seed_hash("__x", 0) + F.col("d") * _seed_hash("__x", 1), F.lit(width)).cast("long"))
+    return (
+        d.groupBy("d", "bucket")
+        .agg(F.sum("__w").cast("long").alias("cell_count"))
+    )
+
+
+def count_min_estimate(
+    cms: DataFrame,
+    probes: DataFrame,
+    col: str,
+    depth: int = 4,
+    width: int = 256,
+) -> DataFrame:
+    """Point-estimate each probe's frequency: min over the sketch rows.
+
+    ``cms`` is :func:`count_min_sketch` output; ``probes[col]`` the query
+    keys. A probe whose cell was never occupied reads 0. Broadcast-sized
+    work: probes explode ``depth`` ways and equi-join the sketch."""
+    p = probes.select(F.col(col).cast("string").alias("__x")).distinct()
+    p = p.select(
+        "__x",
+        F.explode(F.array(*[F.lit(i) for i in range(depth)])).alias("d"),
+    ).withColumn("bucket", F.pmod(_seed_hash("__x", 0) + F.col("d") * _seed_hash("__x", 1), F.lit(width)).cast("long"))
+    j = p.join(F.broadcast(cms), ["d", "bucket"], "left")
+    return (
+        j.groupBy("__x")
+        .agg(
+            F.min(F.coalesce(F.col("cell_count"), F.lit(0)))
+            .cast("long")
+            .alias("cm_estimate")
+        )
+        .withColumnRenamed("__x", col)
+    )
+
+
+def _rho(tail: F.Column) -> F.Column:
+    """1-based position of the highest set bit in a 52-bit tail; 53 for 0.
+    ``bin()`` has identical no-leading-zeros semantics on both engines."""
+    return F.when(tail > 0, F.lit(HLL_TAIL_BITS + 1) - F.length(F.bin(tail))).otherwise(
+        F.lit(HLL_TAIL_BITS + 1)
+    )
+
+
+def hll_occupied_registers(items: DataFrame, col: str) -> DataFrame:
+    """The mergeable core: (register, m_rho) for OCCUPIED registers only —
+    one map-combinable groupBy, legal on a stream in complete mode (the
+    streaming twin runs exactly this)."""
+    h = items.select(_seed_hash(col, 0).alias("__h"))
+    return (
+        h.select(
+            # integer division — h reaches 2^60, beyond double's exact
+            # integer range, so float floor(h / 2^52) could misround
+            F.expr(f"CAST(__h div {1 << HLL_TAIL_BITS} AS BIGINT)").alias(
+                "register"
+            ),
+            _rho(F.pmod(F.col("__h"), F.lit(1 << HLL_TAIL_BITS))).alias("__rho"),
+        )
+        .groupBy("register")
+        .agg(F.max("__rho").cast("long").alias("m_rho"))
+    )
+
+
+def hll_registers(items: DataFrame, col: str) -> DataFrame:
+    """HyperLogLog register table over DISTINCT ``items[col]``.
+
+    Returns exactly 256 rows (register, m_rho, z) — ``m_rho`` the max rho
+    observed (0 for untouched registers), ``z = 2^(53 − m_rho)`` the
+    register's exact integer contribution to the harmonic denominator.
+    One groupBy onto 256 rows; untouched registers restored via a
+    range(256) left join (sketches must be fixed-shape to merge).
+    """
+    spark = items.sparkSession
+    regs = hll_occupied_registers(items, col)
+    full = spark.range(HLL_M).select(F.col("id").cast("long").alias("register"))
+    out = full.join(regs, "register", "left").select(
+        "register",
+        F.coalesce(F.col("m_rho"), F.lit(0)).cast("long").alias("m_rho"),
+    )
+    return out.withColumn(
+        "z",
+        F.expr(
+            f"shiftleft(CAST(1 AS BIGINT), CAST({HLL_TAIL_BITS + 1} - m_rho AS INT))"
+        ),
+    )
+
+
+def hll_estimate(registers: DataFrame) -> DataFrame:
+    """One-row cardinality estimate from a register table.
+
+    ``est = ALPHA · m² · 2^53 / Z`` with integer ``Z = Σ z`` — a single
+    double division from exact integers, identical literal and op order
+    on every engine (caller nudge-rounds). No linear-counting small-range
+    correction (needs libm log; documented trade-off — profiling corpora
+    here are far above the 2.5·m threshold where it matters).
+    """
+    return registers.agg(
+        F.sum("z").cast("long").alias("z_sum"),
+        F.sum((F.col("m_rho") == 0).cast("long")).cast("long").alias("n_zero_regs"),
+    ).select(
+        "z_sum",
+        "n_zero_regs",
+        (F.lit(HLL_EST_NUM) / F.col("z_sum").cast("double")).alias("hll_estimate"),
+    )

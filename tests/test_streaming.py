@@ -671,3 +671,55 @@ def test_streaming_standard_scale_matches_batch(spark, stream_dir, batch_df):
         w = want[r["row_id"]]
         assert (r["vq"], r["n_train"], r["sum_q"], r["sum_sq_q"]) == w[:4]
         assert r["z"] == w[4]  # bit-equal, same IEEE ops
+
+
+def test_streaming_sketches_match_batch(spark, doc_stream_dir):
+    """CMS cells and HLL occupied registers computed over a token stream
+    in complete mode equal the batch sketches exactly — sketches are the
+    canonical streaming-friendly aggregate (mergeable, fixed-size state,
+    no watermark needed for the monotone max/sum)."""
+    from featureextraction_spark.operators.sketches import (
+        count_min_sketch,
+        hll_occupied_registers,
+    )
+    from featureextraction_spark.plans.feature_pipeline import TOKEN_REGEX
+
+    batch = spark.read.parquet(doc_stream_dir)
+
+    def toks(df):
+        return df.select(
+            F.explode(
+                F.regexp_extract_all(
+                    F.lower(F.coalesce(F.col("text"), F.lit(""))),
+                    F.lit(TOKEN_REGEX),
+                    F.lit(0),
+                )
+            ).alias("term")
+        )
+
+    got_cms = _run_stream(
+        spark,
+        doc_stream_dir,
+        batch,
+        lambda src: count_min_sketch(toks(src), "term"),
+        "complete",
+        "cms_stream",
+    )
+    want_cms = count_min_sketch(toks(batch), "term").toPandas()
+    key = lambda p: {  # noqa: E731
+        (r.d, r.bucket): r.cell_count for r in p.itertuples()
+    }
+    assert key(got_cms) == key(want_cms)
+
+    got_hll = _run_stream(
+        spark,
+        doc_stream_dir,
+        batch,
+        lambda src: hll_occupied_registers(toks(src), "term"),
+        "complete",
+        "hll_stream",
+    )
+    want_hll = hll_occupied_registers(toks(batch), "term").toPandas()
+    assert {
+        r.register: r.m_rho for r in got_hll.itertuples()
+    } == {r.register: r.m_rho for r in want_hll.itertuples()}
