@@ -1826,6 +1826,83 @@ def q_hll_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+FUNNEL_STEPS = ("view", "click", "purchase")
+
+
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered view→click→purchase funnel per user in one pass (running
+    conditional-min windows + one same-key groupBy; strict-µs chaining,
+    no self-joins) — all-integer outputs."""
+    from featureextraction_spark.operators.funnel import funnel_steps
+
+    ev = _load(spark, sf_dir, "events")
+    return funnel_steps(ev, steps=FUNNEL_STEPS)
+
+
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort-retention triangle: users cohorted by integer week
+    (µs div — no calendar functions) of first event; distinct-actives
+    per (cohort, offset) reduced to triples BEFORE counting; fraction is
+    one integer÷integer division."""
+    from featureextraction_spark.operators.cohorts import cohort_retention
+
+    ev = _load(spark, sf_dir, "events")
+    out = cohort_retention(ev)
+    return out.select(
+        "cohort_week",
+        "week_offset",
+        "active_users",
+        "cohort_users",
+        _hround6(F.col("retained_frac")).alias("retained_frac"),
+    )
+
+
+RANGE_JOIN_WINDOW_US = 1_800 * 1_000_000  # 30 min post-purchase window
+
+
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-containment join (clicks inside each purchase's 30-min
+    window, same user) via the bucketized equi-join rewrite — never a
+    BroadcastNestedLoop/cartesian; exact µs containment as the residual
+    filter; DuckDB replays the plain theta join it must equal."""
+    from featureextraction_spark.operators.intervals import bucketed_range_join
+
+    ev = _load(spark, sf_dir, "events")
+    us = epoch_us(ev, "ts")
+    purch = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        us.alias("start_us"),
+        (us + F.lit(RANGE_JOIN_WINDOW_US)).alias("end_us"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("click_id"), us.alias("us")
+    )
+    out = bucketed_range_join(
+        clicks, purch, by="user_id", bucket_us=RANGE_JOIN_WINDOW_US
+    )
+    return out.select("user_id", "purchase_id", "click_id", "us", "start_us")
+
+
+def q_seasonal_z(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-day seasonal baseline per event type (integer µs `div`
+    hours, exact milli-moment fit — the standard_scale arithmetic) and a
+    per-event residual z through the nudged rounding; degenerate groups
+    (n≤1 or zero variance) yield NULL."""
+    from featureextraction_spark.operators.cohorts import seasonal_baseline
+
+    ev = _load(spark, sf_dir, "events")
+    out = seasonal_baseline(ev)
+    return out.select(
+        "event_id",
+        "event_type",
+        "hour",
+        "vq",
+        "n",
+        _hround6(F.col("seasonal_z")).alias("seasonal_z"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "lag_lead": q_lag_lead,
@@ -1918,6 +1995,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_estimate": q_cms_estimate,
         "hll_registers": q_hll_registers,
         "hll_card": q_hll_card,
+        "funnel": q_funnel,
+        "cohort_retention": q_cohort_retention,
+        "range_join": q_range_join,
+        "seasonal_z": q_seasonal_z,
     }
 
 
@@ -2170,6 +2251,7 @@ def oracle_sql() -> dict[str, str]:
     base.update(_curation_oracle_sql())
     base.update(_pit_feature_oracle_sql())
     base.update(_sketch_oracle_sql())
+    base.update(_analytics_oracle_sql())
     # full-probe IVF is exhaustive by construction — the exact replay gates it
     base["ivf_topk_full"] = base["cosine_topk"]
     # full-probe IVF-PQ scans every list exactly once == the flat ADC scan
@@ -5128,5 +5210,128 @@ def _sketch_oracle_sql() -> dict[str, str]:
                    round(CAST('{HLL_EST_NUM!r}' AS DOUBLE)
                          / CAST(z_sum AS DOUBLE) + 1e-9, 6) AS hll_estimate
             FROM a
+        """,
+    }
+
+
+def _analytics_oracle_sql() -> dict[str, str]:
+    """Funnel / cohort / range-join / seasonal-baseline oracles. The
+    funnel replays the exact running-conditional-min construction; the
+    range join replays the PLAIN THETA JOIN the bucketized rewrite must
+    row-equal; weeks/hours are integer `//` of epoch µs."""
+    wrun = ("PARTITION BY user_id ORDER BY us, event_id "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW")
+    return {
+        "funnel": f"""
+            WITH t AS (
+                SELECT user_id, event_id, event_type, epoch_us(ts) AS us
+                FROM events
+            ),
+            c0 AS (
+                SELECT *, CASE WHEN event_type = '{FUNNEL_STEPS[0]}'
+                               THEN us END AS cand0
+                FROM t
+            ),
+            r0 AS (SELECT *, min(cand0) OVER ({wrun}) AS run0 FROM c0),
+            c1 AS (
+                SELECT *, CASE WHEN event_type = '{FUNNEL_STEPS[1]}'
+                                    AND run0 IS NOT NULL AND run0 < us
+                               THEN us END AS cand1
+                FROM r0
+            ),
+            r1 AS (SELECT *, min(cand1) OVER ({wrun}) AS run1 FROM c1),
+            c2 AS (
+                SELECT *, CASE WHEN event_type = '{FUNNEL_STEPS[2]}'
+                                    AND run1 IS NOT NULL AND run1 < us
+                               THEN us END AS cand2
+                FROM r1
+            )
+            SELECT user_id,
+                   CAST(min(cand0) AS BIGINT) AS step0_us,
+                   CAST(min(cand1) AS BIGINT) AS step1_us,
+                   CAST(min(cand2) AS BIGINT) AS step2_us,
+                   CAST(CASE WHEN min(cand0) IS NULL THEN 0 ELSE 1 END
+                        + CASE WHEN min(cand1) IS NULL THEN 0 ELSE 1 END
+                        + CASE WHEN min(cand2) IS NULL THEN 0 ELSE 1 END
+                        AS BIGINT) AS steps_completed,
+                   CAST(min(cand1) - min(cand0) AS BIGINT) AS gap1_us,
+                   CAST(min(cand2) - min(cand1) AS BIGINT) AS gap2_us
+            FROM c2
+            GROUP BY user_id
+        """,
+        "cohort_retention": """
+            WITH t AS (
+                SELECT user_id, epoch_us(ts) // 604800000000 AS week
+                FROM events
+            ),
+            f AS (
+                SELECT user_id, min(week) AS cohort_week FROM t GROUP BY user_id
+            ),
+            tr AS (
+                SELECT DISTINCT f.cohort_week,
+                       t.week - f.cohort_week AS week_offset,
+                       t.user_id
+                FROM t JOIN f USING (user_id)
+            ),
+            cells AS (
+                SELECT cohort_week, week_offset, count(*) AS active_users
+                FROM tr GROUP BY 1, 2
+            ),
+            sz AS (
+                SELECT cohort_week, count(*) AS cohort_users FROM f GROUP BY 1
+            )
+            SELECT CAST(cohort_week AS BIGINT) AS cohort_week,
+                   CAST(week_offset AS BIGINT) AS week_offset,
+                   CAST(active_users AS BIGINT) AS active_users,
+                   CAST(cohort_users AS BIGINT) AS cohort_users,
+                   round(CAST(active_users AS DOUBLE)
+                         / CAST(cohort_users AS DOUBLE) + 1e-9, 6)
+                       AS retained_frac
+            FROM cells JOIN sz USING (cohort_week)
+        """,
+        # the spec the bucketized equi-join rewrite must row-equal
+        "range_join": f"""
+            WITH p AS (
+                SELECT user_id, event_id AS purchase_id,
+                       epoch_us(ts) AS start_us,
+                       epoch_us(ts) + {RANGE_JOIN_WINDOW_US} AS end_us
+                FROM events WHERE event_type = 'purchase'
+            ),
+            c AS (
+                SELECT user_id, event_id AS click_id, epoch_us(ts) AS us
+                FROM events WHERE event_type = 'click'
+            )
+            SELECT p.user_id, purchase_id, click_id, us, start_us
+            FROM p JOIN c ON p.user_id = c.user_id
+                         AND c.us >= p.start_us AND c.us <= p.end_us
+        """,
+        "seasonal_z": """
+            WITH t AS (
+                SELECT event_id, event_type,
+                       (epoch_us(ts) % 86400000000) // 3600000000 AS hour,
+                       CAST(floor(value * 1000.0 + 0.5) AS BIGINT) AS vq
+                FROM events
+            ),
+            prof AS (
+                SELECT event_type, hour,
+                       CAST(count(*) AS BIGINT) AS n,
+                       CAST(sum(vq) AS BIGINT) AS sum_q,
+                       CAST(sum(vq * vq) AS BIGINT) AS sum_sq_q
+                FROM t GROUP BY 1, 2
+            ),
+            v AS (
+                SELECT t.event_id, t.event_type, t.hour, t.vq, p.n,
+                       CAST(p.sum_q AS DOUBLE) / CAST(p.n AS DOUBLE) AS mu,
+                       (CAST(p.sum_sq_q AS DOUBLE)
+                        - CAST(p.sum_q AS DOUBLE) * CAST(p.sum_q AS DOUBLE)
+                          / CAST(p.n AS DOUBLE))
+                       / (CAST(p.n AS DOUBLE) - 1.0) AS var
+                FROM t JOIN prof p USING (event_type, hour)
+            )
+            SELECT event_id, event_type, CAST(hour AS BIGINT) AS hour, vq, n,
+                   round(CASE WHEN n > 1 AND var > 0
+                              THEN (CAST(vq AS DOUBLE) - mu) / sqrt(var)
+                         END + 1e-9, 6) AS seasonal_z
+            FROM v
         """,
     }

@@ -175,9 +175,12 @@ def main() -> None:
         out["scaling_metric"] = sc.get("metric")
         if "engine_value" in sc:
             out["scaling_engine_efficiency"] = sc.get("engine_value")
-        out["scaling_pairs"] = sc.get("pairs")
+        # levels/pairs live at top level (raw scaling_bench.py output) or
+        # under run_m in the hand-merged multi-run record
+        run = sc if "pairs" in sc else sc.get("run_m", {})
+        out["scaling_pairs"] = run.get("pairs")
         out["scaling_peak_turns_per_sec"] = sc.get("peak_turns_per_sec") or max(
-            (lv["turns_per_sec"] for lv in sc.get("levels", [])), default=None
+            (lv["turns_per_sec"] for lv in run.get("levels", [])), default=None
         )
     # the JSON record also goes to a file so the result never depends on
     # how much log tail a harness captures (BENCH_r02.json got truncated)
