@@ -1903,6 +1903,91 @@ def q_seasonal_z(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6 dual — FORWARD as-of: each purchase ← NEAREST click at
+    ts' >= ts (inclusive, lowest-tie on equal ts). Implemented by time
+    reversal through the one backward sorted-merge code path; DuckDB
+    replays it with a native forward ASOF JOIN."""
+    from featureextraction_spark.operators.asof import asof_join_forward
+
+    ev = _load(spark, sf_dir, "events")
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(
+            F.min_by("value", "event_id").alias("click_value"),
+            F.min("event_id").alias("click_event_id"),
+        )
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts"
+    )
+    res = asof_join_forward(
+        purchases,
+        clicks,
+        on="ts",
+        by="user_id",
+        tie="click_event_id",
+        value_cols=["click_value"],
+    )
+    return res.select(
+        "user_id",
+        "event_id",
+        epoch_us(res, "ts").alias("ts_us"),
+        F.col("matched_us").alias("matched_ts_us"),
+        F.round("click_value", 4).alias("click_value"),
+    )
+
+
+def q_scd2_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 dimension builder — the feature store's WRITE side: the
+    event log becomes half-open validity intervals [from, to) per user
+    state change (open row: NULL), one window family / one exchange."""
+    from featureextraction_spark.operators.scd import scd2_intervals
+
+    ev = _load(spark, sf_dir, "events")
+    return scd2_intervals(ev)
+
+
+def q_rollup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-granularity ROLLUP report over (event_type, hour-of-day):
+    ONE Expand + one map-combinable aggregate for all three levels;
+    grouping() flags disambiguate subtotal rows; exact quantized sums."""
+    from featureextraction_spark.operators.cohorts import DAY_US, HOUR_US
+    from featureextraction_spark.operators.olap import rollup_counts
+    from featureextraction_spark.operators.rolling import quantize_q6
+
+    ev = _load(spark, sf_dir, "events")
+    t = ev.select(
+        "event_type",
+        F.pmod(epoch_us(ev, "ts"), F.lit(DAY_US)).alias("__day_us"),
+        quantize_q6(F.col("value")).alias("vq"),
+    ).withColumn("hour", F.expr(f"CAST(__day_us div {HOUR_US} AS BIGINT)"))
+    return rollup_counts(t.select("event_type", "hour", "vq"), "event_type", "hour", "vq")
+
+
+PIVOT_TYPES = ("click", "view", "purchase", "error", "signup")
+
+
+def q_pivot_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity × category pivot (explicit category list — single pass, no
+    hidden distinct scan): per-user event-type count matrix, zero-filled."""
+    from featureextraction_spark.operators.olap import pivot_counts
+
+    ev = _load(spark, sf_dir, "events")
+    return pivot_counts(ev, by="user_id", category="event_type", values=PIVOT_TYPES)
+
+
+def q_token_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer apply: every token occurrence mapped to its top-500
+    vocabulary id (rank order, OOV = −1), fully relational output
+    (doc, 0-based position, term, id) — TakeOrdered vocab + broadcast."""
+    from featureextraction_spark.operators.curation import tokenize_to_ids
+
+    docs = _load(spark, sf_dir, "documents")
+    return tokenize_to_ids(docs, top_k=500)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "lag_lead": q_lag_lead,
@@ -1999,6 +2084,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cohort_retention": q_cohort_retention,
         "range_join": q_range_join,
         "seasonal_z": q_seasonal_z,
+        "asof_forward": q_asof_forward,
+        "scd2_build": q_scd2_build,
+        "rollup_counts": q_rollup_counts,
+        "pivot_counts": q_pivot_counts,
+        "token_ids": q_token_ids,
     }
 
 
@@ -2252,6 +2342,7 @@ def oracle_sql() -> dict[str, str]:
     base.update(_pit_feature_oracle_sql())
     base.update(_sketch_oracle_sql())
     base.update(_analytics_oracle_sql())
+    base.update(_warehouse_oracle_sql())
     # full-probe IVF is exhaustive by construction — the exact replay gates it
     base["ivf_topk_full"] = base["cosine_topk"]
     # full-probe IVF-PQ scans every list exactly once == the flat ADC scan
@@ -5333,5 +5424,88 @@ def _analytics_oracle_sql() -> dict[str, str]:
                               THEN (CAST(vq AS DOUBLE) - mu) / sqrt(var)
                          END + 1e-9, 6) AS seasonal_z
             FROM v
+        """,
+    }
+
+
+def _warehouse_oracle_sql() -> dict[str, str]:
+    """Forward as-of / SCD2 / ROLLUP / pivot / tokenizer-apply oracles.
+    DuckDB's native forward ASOF JOIN replays the time-reversed sorted
+    merge; generate_subscripts+unnest zip replays posexplode."""
+    pivots = ", ".join(
+        f"CAST(count(*) FILTER (event_type = '{t}') AS BIGINT) AS n_{t}"
+        for t in PIVOT_TYPES
+    )
+    return {
+        "asof_forward": """
+            WITH clicks AS (
+                SELECT user_id, ts, min_by(value, event_id) AS click_value
+                FROM events WHERE event_type = 'click' GROUP BY user_id, ts
+            ), purch AS (
+                SELECT user_id, event_id, ts FROM events
+                WHERE event_type = 'purchase'
+            )
+            SELECT p.user_id, p.event_id,
+                   epoch_us(p.ts) AS ts_us,
+                   epoch_us(c.ts) AS matched_ts_us,
+                   round(c.click_value, 4) AS click_value
+            FROM purch p ASOF LEFT JOIN clicks c
+              ON p.user_id = c.user_id AND c.ts >= p.ts
+        """,
+        "scd2_build": """
+            WITH t AS (
+                SELECT user_id, event_id, event_type AS state,
+                       epoch_us(ts) AS us
+                FROM events
+            )
+            SELECT user_id, event_id, state,
+                   CAST(us AS BIGINT) AS valid_from_us,
+                   CAST(lead(us) OVER w AS BIGINT) AS valid_to_us,
+                   CAST(row_number() OVER w AS BIGINT) AS version
+            FROM t
+            WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+        """,
+        "rollup_counts": """
+            WITH t AS (
+                SELECT event_type,
+                       (epoch_us(ts) % 86400000000) // 3600000000 AS hour,
+                       CAST(floor(value * 1000000.0 + 0.5) AS BIGINT) AS vq
+                FROM events
+            )
+            SELECT event_type, CAST(hour AS BIGINT) AS hour,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(vq) AS BIGINT) AS sum_q,
+                   CAST(grouping(event_type) AS BIGINT) AS g1_total,
+                   CAST(grouping(hour) AS BIGINT) AS g2_total
+            FROM t GROUP BY ROLLUP(event_type, hour)
+        """,
+        "pivot_counts": f"""
+            SELECT user_id, {pivots}
+            FROM events GROUP BY user_id
+        """,
+        "token_ids": f"""
+            WITH lists AS (
+                SELECT doc_id,
+                       regexp_extract_all(lower(coalesce(text, '')),
+                                          {_TOKENS_RE}) AS l
+                FROM documents
+            ),
+            toks AS (
+                SELECT doc_id,
+                       CAST(generate_subscripts(l, 1) - 1 AS BIGINT) AS pos,
+                       unnest(l) AS term
+                FROM lists
+            ),
+            counts AS (SELECT term, count(*) AS cnt FROM toks GROUP BY term),
+            v AS (
+                SELECT term, rk - 1 AS vid FROM (
+                    SELECT term, row_number() OVER (ORDER BY cnt DESC, term)
+                               AS rk
+                    FROM counts
+                ) WHERE rk <= 500
+            )
+            SELECT t.doc_id, t.pos, t.term,
+                   CAST(coalesce(v.vid, -1) AS BIGINT) AS token_id
+            FROM toks t LEFT JOIN v USING (term)
         """,
     }

@@ -250,3 +250,59 @@ def apply_staleness(
             sel.append(F.col(c))
     sel.append(fresh.cast("long").alias(f"{prefix}fresh"))
     return out.select(*sel)
+
+
+def asof_join_forward(
+    probes: DataFrame,
+    data: DataFrame,
+    on: str = "ts",
+    by: str = "conv_id",
+    tie: str = "turn_idx",
+    value_cols: Sequence[str] | None = None,
+    prefix: str = "",
+    allow_exact_matches: bool = True,
+) -> DataFrame:
+    """FORWARD as-of join: nearest data row with ``ts >= probe ts``
+    (inclusive; ties on ts broken by the LOWEST tie — the mirror of the
+    backward join's highest-tie rule).
+
+    Implemented by time reversal: negate the µs order AND the tie on both
+    sides and delegate to the backward sorted-merge — one code path, one
+    set of physical strategies, provably mirrored semantics. Output
+    bookkeeping columns are ``{prefix}matched_us`` / ``{prefix}matched_tie``
+    (µs longs, de-negated).
+
+    Needed wherever the label or the next observation is the target
+    ("time TO next event" serving reads, forward-fill duals); the
+    backward join alone cannot express it without re-sorting.
+    """
+    from ..functions.time import epoch_us
+
+    value_cols = list(value_cols) if value_cols is not None else [
+        c for c in data.columns if c not in (by, on, tie)
+    ]
+    p = probes.withColumn("__neg_us", -epoch_us(probes, on))
+    d = data.select(
+        F.col(by),
+        (-epoch_us(data, on)).alias("__neg_us"),
+        (-F.col(tie).cast("long")).alias("__neg_tie"),
+        *[F.col(c) for c in value_cols],
+    )
+    out = asof_join(
+        p,
+        d,
+        on="__neg_us",
+        by=by,
+        tie="__neg_tie",
+        value_cols=value_cols,
+        prefix=prefix,
+        allow_exact_matches=allow_exact_matches,
+        matched_cols=True,
+    )
+    sel = [F.col(c) for c in probes.columns]
+    sel.append((-F.col(f"{prefix}matched_ts")).cast("long").alias(f"{prefix}matched_us"))
+    sel.append(
+        (-F.col(f"{prefix}matched_turn_idx")).cast("long").alias(f"{prefix}matched_tie")
+    )
+    sel += [F.col(f"{prefix}{c}") for c in value_cols]
+    return out.select(*sel)

@@ -573,3 +573,62 @@ def vocab_coverage(
             ).alias("oov_rate"),
         )
     )
+
+
+def tokenize_to_ids(
+    df: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+    top_k: int = 500,
+    oov_id: int = -1,
+) -> DataFrame:
+    """Tokenizer APPLY: map every token occurrence to its vocabulary id.
+
+    The id-ification step between curation and training: vocabulary =
+    top-``top_k`` terms by total corpus frequency (ties term-ascending —
+    the ``vocab_coverage`` boundary contract), ids 0..k−1 in that rank
+    order, everything else ``oov_id``. Output is fully relational —
+    one row per (doc, position, term, token_id) with 0-based positions
+    from ``posexplode`` — so any SQL engine can replay it (no array
+    columns in the contract).
+
+    Scale design: same as ``vocab_coverage`` — TakeOrdered top-k (never
+    a full sort), k-row BROADCAST join; the corpus-wide explode is the
+    price of any lexical operator and shuffles only for the final
+    (doc-keyed) consumers downstream.
+    """
+    toks = df.select(
+        F.col(id_col),
+        F.posexplode(
+            F.regexp_extract_all(
+                F.lower(F.coalesce(F.col(text), F.lit(""))),
+                F.lit("[^ \\t\\n\\r\\f\\u000B]+"),
+                F.lit(0),
+            )
+        ).alias("pos", "term"),
+    )
+    vocab = (
+        df.select(
+            F.explode(
+                F.regexp_extract_all(
+                    F.lower(F.coalesce(F.col(text), F.lit(""))),
+                    F.lit("[^ \\t\\n\\r\\f\\u000B]+"),
+                    F.lit(0),
+                )
+            ).alias("term")
+        )
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("__cnt"))
+        .orderBy(F.desc("__cnt"), F.asc("term"))
+        .limit(int(top_k))
+    )
+    w = Window.orderBy(F.desc("__cnt"), F.asc("term"))
+    vocab_ids = vocab.select(
+        "term", (F.row_number().over(w) - 1).cast("long").alias("__vid")
+    )
+    return toks.join(F.broadcast(vocab_ids), "term", "left").select(
+        id_col,
+        F.col("pos").cast("long").alias("pos"),
+        "term",
+        F.coalesce(F.col("__vid"), F.lit(int(oov_id))).cast("long").alias("token_id"),
+    )
