@@ -391,3 +391,69 @@ def test_length_histogram_partials_only(spark):
     # pruning: the text column never reaches the scan
     schemas = [l for l in plan.splitlines() if "ReadSchema" in l]
     assert schemas and all("text" not in l for l in schemas), plan
+
+
+def test_recency_family_single_exchange_single_sort(tr_parquet):
+    """All four recency windows + both expanding frames share ONE key
+    exchange and one sort — the north-rule shape for per-conversation
+    state."""
+    from featureextraction_spark.operators.recency import recency_features
+
+    out = recency_features(tr_parquet)
+    plan = plan_of(out)
+    assert count_exchanges(plan) == 1, plan
+    assert plan.count("Sort ") <= 1 or plan.count("[Sort") <= 1, plan
+
+
+def test_funnel_single_exchange(spark, tr_parquet):
+    """Running conditional-min windows + the closing same-key groupBy
+    reuse one HashPartitioning(key) — no second shuffle, no self-joins."""
+    from featureextraction_spark.operators.funnel import funnel_steps
+
+    out = funnel_steps(
+        tr_parquet, steps=("user", "assistant", "tool"),
+        by="conv_id", role="role", tie="turn_idx",
+    )
+    plan = plan_of(out)
+    assert count_exchanges(plan) == 1, plan
+    assert "BroadcastNestedLoop" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_range_join_is_equi_join(spark):
+    """The bucketized rewrite must plan as a hash equi-join — never
+    BroadcastNestedLoop/cartesian (what a raw BETWEEN theta join does)."""
+    from pyspark.sql import Row
+
+    from featureextraction_spark.operators.intervals import bucketed_range_join
+
+    iv = spark.createDataFrame(
+        [Row(k="a", start_us=0, end_us=10_000_000)] * 3
+    )
+    pr = spark.createDataFrame([Row(k="a", us=5_000_000)] * 5)
+    out = bucketed_range_join(pr, iv, by="k", bucket_us=1_000_000)
+    plan = plan_of(out)
+    assert "BroadcastNestedLoop" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan) or (
+        "BroadcastHashJoin" in plan
+    ), plan
+
+
+def test_sketches_no_unbounded_single_partition(spark):
+    """CMS has NO single-partition exchange at all (pure map-combinable
+    groupBy); HLL's estimate is allowed exactly the one bounded 256-row
+    final aggregate."""
+    from pyspark.sql import Row
+
+    from featureextraction_spark.operators.sketches import (
+        count_min_sketch,
+        hll_estimate,
+        hll_registers,
+    )
+
+    words = spark.createDataFrame([Row(term=f"w{i}") for i in range(100)])
+    cms_plan = plan_of(count_min_sketch(words, "term"))
+    assert "Exchange SinglePartition" not in cms_plan, cms_plan
+    est_plan = plan_of(hll_estimate(hll_registers(words, "term")))
+    assert est_plan.count("Exchange SinglePartition") <= 1, est_plan
