@@ -1988,6 +1988,48 @@ def q_token_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tokenize_to_ids(docs, top_k=500)
 
 
+EMBARGO_US = 86_400 * 1_000_000  # 1-day purge gap
+
+
+def q_temporal_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Purged temporal holdout: train strictly before the exact 0.8 time
+    quantile (floored to integer µs — every membership test is
+    BIGINT-vs-BIGINT), a 1-day embargo band PURGED, test after it."""
+    from featureextraction_spark.operators.sampling import temporal_split
+
+    ev = _load(spark, sf_dir, "events")
+    ev = ev.withColumn("us", epoch_us(ev, "ts"))
+    out = temporal_split(ev, ts_us="us", train_frac=0.8, embargo_us=EMBARGO_US)
+    return out.select("event_id", "split", "cutoff_us")
+
+
+def q_cusum_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-exact CUSUM changepoint score per user: max interior
+    |n·prefix − i·total| over the quantized value series (monotone with
+    the float CUSUM, zero libm), earliest argmax; one key exchange."""
+    from featureextraction_spark.operators.changepoint import cusum_scores
+
+    ev = _load(spark, sf_dir, "events")
+    return cusum_scores(ev)
+
+
+def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-class embedding centroids, relational (label, dim) rows:
+    exact quantized component sums (float32 → double widened identically
+    on both engines) + one division through the nudged rounding."""
+    from featureextraction_spark.operators.decomposition import label_centroids
+
+    emb = _load(spark, sf_dir, "embeddings")
+    out = label_centroids(emb)
+    return out.select(
+        F.col("label").cast("long").alias("label"),
+        "dim",
+        "n",
+        "sum_cq",
+        _hround6(F.col("centroid")).alias("centroid"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "lag_lead": q_lag_lead,
@@ -2089,6 +2131,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_counts": q_rollup_counts,
         "pivot_counts": q_pivot_counts,
         "token_ids": q_token_ids,
+        "temporal_split": q_temporal_split,
+        "cusum_scores": q_cusum_scores,
+        "label_centroids": q_label_centroids,
     }
 
 
@@ -2343,6 +2388,7 @@ def oracle_sql() -> dict[str, str]:
     base.update(_sketch_oracle_sql())
     base.update(_analytics_oracle_sql())
     base.update(_warehouse_oracle_sql())
+    base.update(_sequential_oracle_sql())
     # full-probe IVF is exhaustive by construction — the exact replay gates it
     base["ivf_topk_full"] = base["cosine_topk"]
     # full-probe IVF-PQ scans every list exactly once == the flat ADC scan
@@ -5507,5 +5553,113 @@ def _warehouse_oracle_sql() -> dict[str, str]:
             SELECT t.doc_id, t.pos, t.term,
                    CAST(coalesce(v.vid, -1) AS BIGINT) AS token_id
             FROM toks t LEFT JOIN v USING (term)
+        """,
+    }
+
+
+def _sequential_oracle_sql() -> dict[str, str]:
+    """Temporal purged split / CUSUM / label-centroid oracles. Window
+    sums promote to HUGEINT in DuckDB — exact, compared after the final
+    BIGINT cast; the split cutoff replays the group_quantiles round-6
+    interpolation before the floor."""
+    return {
+        "temporal_split": f"""
+            WITH t AS (SELECT event_id, epoch_us(ts) AS us FROM events),
+            ranked AS (
+                SELECT CAST(us AS DOUBLE) AS v,
+                       row_number() OVER (ORDER BY CAST(us AS DOUBLE)) AS rn
+                FROM t
+            ),
+            c AS (SELECT count(*) AS n FROM t),
+            p AS (
+                SELECT n, CAST(n - 1 AS DOUBLE) * 0.8 AS pos,
+                       CAST(floor(CAST(n - 1 AS DOUBLE) * 0.8) AS BIGINT) AS k
+                FROM c
+            ),
+            p2 AS (
+                SELECT *, pos - CAST(k AS DOUBLE) AS frac,
+                       least(k + 1, n - 1) AS khi
+                FROM p
+            ),
+            cut AS (
+                SELECT CAST(floor(round(lo.v + (hi.v - lo.v) * p2.frac, 6))
+                            AS BIGINT) AS cutoff
+                FROM p2
+                JOIN ranked lo ON lo.rn = p2.k + 1
+                JOIN ranked hi ON hi.rn = p2.khi + 1
+            )
+            SELECT event_id,
+                   CASE WHEN us < cutoff THEN 'train'
+                        WHEN us >= cutoff + {EMBARGO_US} THEN 'test'
+                        ELSE 'purged' END AS split,
+                   CAST(cutoff AS BIGINT) AS cutoff_us
+            FROM t, cut
+        """,
+        "cusum_scores": """
+            WITH t AS (
+                SELECT user_id, event_id, epoch_us(ts) AS us,
+                       CAST(floor(value * 1000.0 + 0.5) AS BIGINT) AS q
+                FROM events
+            ),
+            r AS (
+                SELECT user_id, q,
+                       CAST(row_number() OVER wo AS BIGINT) AS i,
+                       sum(q) OVER wrun AS p,
+                       count(*) OVER wall AS n,
+                       sum(q) OVER wall AS s
+                FROM t
+                WINDOW wo AS (PARTITION BY user_id ORDER BY us, event_id),
+                       wrun AS (PARTITION BY user_id ORDER BY us, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND CURRENT ROW),
+                       wall AS (PARTITION BY user_id)
+            ),
+            interior AS (
+                SELECT user_id, i, abs(n * p - i * s) AS t_abs
+                FROM r WHERE i < n
+            ),
+            m AS (
+                SELECT user_id, max(t_abs) AS cusum_max
+                FROM interior GROUP BY user_id
+            ),
+            arg AS (
+                SELECT i2.user_id, min(i2.i) AS cusum_argmax
+                FROM interior i2 JOIN m USING (user_id)
+                WHERE i2.t_abs = m.cusum_max
+                GROUP BY i2.user_id
+            ),
+            base AS (
+                SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+                       CAST(sum(q) AS BIGINT) AS sum_q
+                FROM t GROUP BY user_id
+            )
+            SELECT b.user_id, n, sum_q,
+                   CAST(coalesce(cusum_max, 0) AS BIGINT) AS cusum_max,
+                   CAST(cusum_argmax AS BIGINT) AS cusum_argmax
+            FROM base b
+            LEFT JOIN m USING (user_id)
+            LEFT JOIN arg USING (user_id)
+        """,
+        "label_centroids": """
+            WITH x AS (
+                SELECT label,
+                       CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT)
+                           AS dim,
+                       unnest(embedding) AS comp
+                FROM embeddings
+            ),
+            q AS (
+                SELECT label, dim,
+                       CAST(floor(CAST(comp AS DOUBLE) * 1000000.0 + 0.5)
+                            AS BIGINT) AS cq
+                FROM x
+            )
+            SELECT CAST(label AS BIGINT) AS label, dim,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(cq) AS BIGINT) AS sum_cq,
+                   round(CAST(CAST(sum(cq) AS BIGINT) AS DOUBLE)
+                         / (1e6 * CAST(count(*) AS DOUBLE)) + 1e-9, 6)
+                       AS centroid
+            FROM q GROUP BY label, dim
         """,
     }

@@ -215,3 +215,43 @@ def pca_project(
         )
         out = out.withColumn(f"pc{ki}", dot)
     return out.drop(vec_col)
+
+
+def label_centroids(
+    emb: DataFrame,
+    vec_col: str = "embedding",
+    label: str = "label",
+) -> DataFrame:
+    """Per-class centroid of an embedding column, fully relational:
+    one row per (label, dim) with n, the exact 1e-6-quantized component
+    sum, and the mean as ONE integer÷integer division (caller
+    nudge-rounds). The nearest-centroid / prototype side of the
+    similarity stack (SemDeDup's cluster step reads the same shape).
+
+    Components quantize through CAST(float → double) FIRST — float32
+    bits widen identically on both engines, then the same IEEE
+    multiply/floor. One posexplode (d rows per vector) + one
+    map-combinable groupBy onto |labels|·d rows; no vector ever
+    collects to the driver.
+    """
+    t = emb.select(
+        F.col(label),
+        F.posexplode(F.col(vec_col)).alias("dim", "__x"),
+    ).withColumn(
+        "__cq",
+        F.floor(F.col("__x").cast("double") * F.lit(1e6) + F.lit(0.5)).cast("long"),
+    )
+    out = t.groupBy(label, "dim").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("__cq").cast("long").alias("sum_cq"),
+    )
+    return out.select(
+        label,
+        F.col("dim").cast("long").alias("dim"),
+        "n",
+        "sum_cq",
+        (
+            F.col("sum_cq").cast("double")
+            / (F.lit(1e6) * F.col("n").cast("double"))
+        ).alias("centroid"),
+    )

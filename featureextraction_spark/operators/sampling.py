@@ -176,3 +176,75 @@ def fold_stats(df: DataFrame, group_id: str, fold: str = "fold") -> DataFrame:
         F.count(F.lit(1)).alias("n_rows"),
         F.count("tool").alias("tool_rows"),
     )
+
+
+def temporal_split(
+    df: DataFrame,
+    ts_us: str,
+    train_frac: float = 0.8,
+    embargo_us: int = 0,
+) -> DataFrame:
+    """Leakage-safe TEMPORAL holdout with a purge gap (the time-series
+    dual of ``hash_split``): train = strictly before the global
+    ``train_frac`` time quantile, test = at/after cutoff + ``embargo_us``,
+    and the embargo band between them is PURGED — rows a horizon-h label
+    could leak across are in neither side (de Prado's purged split,
+    public knowledge).
+
+    The cutoff is the exact interpolated quantile of epoch µs (the
+    ``group_quantiles`` expression shape, replayed verbatim) FLOORED to
+    an integer, so every membership comparison is BIGINT vs BIGINT — no
+    float boundary in the gate. Adding rows later only moves the cutoff
+    forward; it never reshuffles past train rows into test.
+
+    Scale: the global rank uses ``blockpair.with_global_rank`` (one
+    ``repartitionByRange`` over an 8-byte projection + per-partition
+    offsets), NOT a single-group window — a global-ORDER-BY WindowExec
+    would funnel the whole table through one task at 100×. The two
+    probe rows (positions k, k+1) come back via one broadcast join of a
+    1-row probe; the cutoff then broadcast-joins onto a pure projection
+    of the input.
+    """
+    from .blockpair import with_global_rank
+
+    ranked = with_global_rank(
+        df.select(F.col(ts_us).cast("double").alias("__v")), "__v", out_col="__rk"
+    )
+    probe = (
+        ranked.agg(F.count(F.lit(1)).alias("__n"))
+        .withColumn(
+            "__pos",
+            (F.col("__n") - F.lit(1)).cast("double") * F.lit(float(train_frac)),
+        )
+        .withColumn("__k", F.floor("__pos").cast("long"))
+        .withColumn("__frac", F.col("__pos") - F.col("__k").cast("double"))
+        .withColumn(
+            "__khi", F.least(F.col("__k") + F.lit(1), F.col("__n") - F.lit(1))
+        )
+    )
+    picked = ranked.join(
+        F.broadcast(probe),
+        (F.col("__rk") == F.col("__k")) | (F.col("__rk") == F.col("__khi")),
+    )
+    cutoff = picked.groupBy("__k", "__khi", "__frac").agg(
+        F.max(F.when(F.col("__rk") == F.col("__k"), F.col("__v"))).alias("__lo"),
+        F.max(F.when(F.col("__rk") == F.col("__khi"), F.col("__v"))).alias("__hi"),
+    ).select(
+        F.floor(
+            F.round(
+                F.col("__lo") + (F.col("__hi") - F.col("__lo")) * F.col("__frac"),
+                6,
+            )
+        )
+        .cast("long")
+        .alias("__cut")
+    )
+    j = df.join(F.broadcast(cutoff))
+    split = (
+        F.when(F.col(ts_us) < F.col("__cut"), F.lit("train"))
+        .when(F.col(ts_us) >= F.col("__cut") + F.lit(int(embargo_us)), F.lit("test"))
+        .otherwise(F.lit("purged"))
+    )
+    return j.withColumn("split", split).withColumn(
+        "cutoff_us", F.col("__cut").cast("long")
+    ).drop("__cut")
