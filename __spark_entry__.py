@@ -2030,6 +2030,105 @@ def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+BLOOM_K, BLOOM_M = 5, 16384
+
+
+def q_bloom_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom filter of the order-side join keys as a relational word
+    table (one row per occupied 62-bit word) — the mergeable semi-join-
+    reduction sketch you broadcast to pre-filter the 100-TB side before
+    a shuffle; every op integer over the md5-60-bit contract, so the
+    oracle replays the words bit-for-bit."""
+    from featureextraction_spark.operators.sketches import bloom_build
+
+    orders = _load(spark, sf_dir, "orders")
+    return bloom_build(orders, "o_custkey", k=BLOOM_K, m_bits=BLOOM_M)
+
+
+def q_bloom_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Membership-probe every customer key against the orders Bloom
+    filter: broadcast ≤265-word filter, k-way explode, one groupBy —
+    the big probe side never shuffles. `maybe_member` is exact-integer
+    (no false negatives by construction; FPs are deterministic given
+    the hash contract, so the oracle agrees on every row)."""
+    from featureextraction_spark.operators.sketches import bloom_build, bloom_probe
+
+    orders = _load(spark, sf_dir, "orders")
+    cust = _load(spark, sf_dir, "customer")
+    bloom = bloom_build(orders, "o_custkey", k=BLOOM_K, m_bits=BLOOM_M)
+    out = bloom_probe(cust, bloom, "c_custkey", k=BLOOM_K, m_bits=BLOOM_M)
+    return out.select(
+        "c_custkey",
+        "n_hits",
+        F.col("maybe_member").cast("long").alias("maybe_member"),
+    )
+
+
+def q_skew_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-hitter profile of the events join key: top-20 hottest
+    user_ids with exact counts, key-universe size, and integer ppm
+    share — the report read before choosing a salting factor for a
+    100-TB shuffle. Deterministic cut: (count desc, key asc)."""
+    from featureextraction_spark.operators.profiling import skew_topk
+
+    ev = _load(spark, sf_dir, "events")
+    return skew_topk(ev, "user_id", top_n=20)
+
+
+def q_skew_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log2 histogram of per-key group sizes (bucket = length(bin(cnt)),
+    identical no-leading-zeros semantics on both engines): the one-page
+    skew answer; two map-combinable groupBys, ≤63 output rows."""
+    from featureextraction_spark.operators.profiling import skew_histogram
+
+    ev = _load(spark, sf_dir, "events")
+    return skew_histogram(ev, "user_id")
+
+
+def _near_dup_corpus(docs: DataFrame) -> DataFrame:
+    """documents ∪ deterministic distance-1 clones (text‖'~' for
+    doc_id %3==0, id +1e6) — the raw synthetic corpus has no lev≤2
+    pairs, so the fixture plants them identically on both engines."""
+    clones = docs.where(F.col("doc_id") % 3 == 0).select(
+        (F.col("doc_id") + F.lit(1_000_000)).cast("long").alias("doc_id"),
+        F.concat(F.col("text"), F.lit("~")).alias("text"),
+    )
+    return docs.select("doc_id", "text").unionByName(clones)
+
+
+def q_edit_dist_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All document pairs within Levenshtein distance 2 WITHOUT the
+    cross join: positional q-gram count filter + rarest-gram prefix
+    filter (Gravano VLDB'01 / Xiao WWW'08 — complete by theorem), then
+    one exact integer `levenshtein` verify per candidate. The oracle is
+    the naive theta join, so completeness is externally gated."""
+    from featureextraction_spark.operators.stringjoin import edit_distance_pairs
+
+    docs = _load(spark, sf_dir, "documents")
+    return edit_distance_pairs(_near_dup_corpus(docs), max_dist=2, q=3)
+
+
+def q_cooc_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adjacent-token co-occurrence graph (both directions, corpus-wide
+    integer weights ≥2): one zip_with explode + one map-combinable
+    groupBy onto the distinct-pair vocabulary."""
+    from featureextraction_spark.operators.textrank import cooccurrence_edges
+
+    docs = _load(spark, sf_dir, "documents")
+    return cooccurrence_edges(docs, min_weight=2)
+
+
+def q_textrank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TextRank keyword scores — 3 integer PageRank rounds over the
+    co-occurrence graph, unrolled as join+agg (the DataFrame Pregel
+    shape); 10^6 fixed-point ranks make every intermediate BIGINT, so
+    DuckDB's unrolled CTEs replay identical bits."""
+    from featureextraction_spark.operators.textrank import textrank_terms
+
+    docs = _load(spark, sf_dir, "documents")
+    return textrank_terms(docs, iterations=3)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "lag_lead": q_lag_lead,
@@ -2134,6 +2233,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temporal_split": q_temporal_split,
         "cusum_scores": q_cusum_scores,
         "label_centroids": q_label_centroids,
+        "bloom_words": q_bloom_words,
+        "bloom_probe": q_bloom_probe,
+        "skew_topk": q_skew_topk,
+        "skew_histogram": q_skew_histogram,
+        "edit_dist_pairs": q_edit_dist_pairs,
+        "cooc_edges": q_cooc_edges,
+        "textrank": q_textrank,
     }
 
 
@@ -2389,6 +2495,7 @@ def oracle_sql() -> dict[str, str]:
     base.update(_analytics_oracle_sql())
     base.update(_warehouse_oracle_sql())
     base.update(_sequential_oracle_sql())
+    base.update(_round4m_oracle_sql())
     # full-probe IVF is exhaustive by construction — the exact replay gates it
     base["ivf_topk_full"] = base["cosine_topk"]
     # full-probe IVF-PQ scans every list exactly once == the flat ADC scan
@@ -5661,5 +5768,180 @@ def _sequential_oracle_sql() -> dict[str, str]:
                          / (1e6 * CAST(count(*) AS DOUBLE)) + 1e-9, 6)
                        AS centroid
             FROM q GROUP BY label, dim
+        """,
+    }
+
+
+def _round4m_oracle_sql() -> dict[str, str]:
+    """Bloom / skew-profile / edit-distance-join / TextRank oracles.
+    Every output column is an exact integer or a string — no float
+    rounding boundary anywhere — except skew_topk.share_ppm, which is
+    ONE shared-shape IEEE division (exact small-integer doubles) under
+    floor. Bloom words replay the md5-60-bit double-hash positions;
+    TextRank unrolls the 3 fixed-point PageRank rounds as CTEs with
+    `//` (positive operands ≡ Spark `div`)."""
+    bloom_words = f"""
+        keyed AS (
+            SELECT CAST(o_custkey AS VARCHAR) AS s
+            FROM orders WHERE o_custkey IS NOT NULL
+        ),
+        hh AS (
+            SELECT s,
+                   ('0x' || substr(md5(s || ':0'), 1, 15))::BIGINT AS h0,
+                   ('0x' || substr(md5(s || ':1'), 1, 15))::BIGINT AS h1
+            FROM keyed
+        ),
+        pos AS (
+            SELECT ((h0 % {BLOOM_M}) + j * ((h1 % {BLOOM_M}) * 2 + 1))
+                       % {BLOOM_M} AS p
+            FROM hh, (SELECT unnest([0, 1, 2, 3, 4]) AS j) js
+        ),
+        bloom AS (
+            SELECT CAST(p // 62 AS BIGINT) AS word,
+                   CAST(bit_or(1::BIGINT << CAST(p % 62 AS INT)) AS BIGINT)
+                       AS bits
+            FROM pos GROUP BY word
+        )
+    """
+    graph = f"""
+        toks AS (
+            SELECT regexp_extract_all(lower(text), {_TOKENS_RE}) AS t
+            FROM documents
+        ),
+        adj AS (
+            SELECT t[gs.g] AS a, t[gs.g + 1] AS b
+            FROM toks,
+                 LATERAL (SELECT unnest(generate_series(1, len(t) - 1)) AS g) gs
+            WHERE len(t) >= 2
+        ),
+        und AS (SELECT a, b FROM adj WHERE a <> b),
+        bo AS (
+            SELECT a AS src, b AS dst FROM und
+            UNION ALL
+            SELECT b AS src, a AS dst FROM und
+        ),
+        e AS (
+            SELECT src, dst, CAST(count(*) AS BIGINT) AS weight
+            FROM bo GROUP BY src, dst
+        ),
+        ow AS (
+            SELECT src, CAST(sum(weight) AS BIGINT) AS W FROM e GROUP BY src
+        )
+    """
+    pr = ["r0 AS (SELECT src AS term, CAST(1000000 AS BIGINT) AS q FROM ow)"]
+    for it in range(1, 4):
+        pr.append(f"""
+            i{it} AS (
+                SELECT e.dst AS term,
+                       CAST(sum((r.q * e.weight) // o.W) AS BIGINT) AS f
+                FROM e
+                JOIN r{it - 1} r ON r.term = e.src
+                JOIN ow o ON o.src = e.src
+                GROUP BY e.dst
+            ),
+            r{it} AS (
+                SELECT o.src AS term,
+                       CAST(150000 + (85 * coalesce(i.f, 0)) // 100
+                            AS BIGINT) AS q
+                FROM ow o LEFT JOIN i{it} i ON i.term = o.src
+            )
+        """)
+    pr_sql = ",\n".join(pr)
+    return {
+        "bloom_words": f"""
+            WITH {bloom_words}
+            SELECT word, bits FROM bloom
+        """,
+        "bloom_probe": f"""
+            WITH {bloom_words},
+            probes AS (
+                SELECT DISTINCT CAST(c_custkey AS VARCHAR) AS x
+                FROM customer WHERE c_custkey IS NOT NULL
+            ),
+            ph AS (
+                SELECT x,
+                       ('0x' || substr(md5(x || ':0'), 1, 15))::BIGINT AS h0,
+                       ('0x' || substr(md5(x || ':1'), 1, 15))::BIGINT AS h1
+                FROM probes
+            ),
+            pp AS (
+                SELECT x,
+                       ((h0 % {BLOOM_M}) + j * ((h1 % {BLOOM_M}) * 2 + 1))
+                           % {BLOOM_M} AS p
+                FROM ph, (SELECT unnest([0, 1, 2, 3, 4]) AS j) js
+            ),
+            pj AS (
+                SELECT x, CAST(p // 62 AS BIGINT) AS word,
+                       CAST(p % 62 AS INT) AS bit
+                FROM pp
+            ),
+            hit AS (
+                SELECT x,
+                       CASE WHEN ((coalesce(bits, 0::BIGINT) >> bit) % 2) = 1
+                            THEN 1 ELSE 0 END AS h
+                FROM pj LEFT JOIN bloom USING (word)
+            )
+            SELECT x AS c_custkey,
+                   CAST(sum(h) AS BIGINT) AS n_hits,
+                   CAST(CASE WHEN sum(h) = {BLOOM_K} THEN 1 ELSE 0 END
+                        AS BIGINT) AS maybe_member
+            FROM hit GROUP BY x
+        """,
+        "skew_topk": """
+            WITH c AS (
+                SELECT CAST(user_id AS VARCHAR) AS key,
+                       CAST(count(*) AS BIGINT) AS cnt
+                FROM events GROUP BY key
+            ),
+            s AS (
+                SELECT CAST(sum(cnt) AS BIGINT) AS total_rows,
+                       CAST(count(*) AS BIGINT) AS n_keys
+                FROM c
+            ),
+            top AS (SELECT key, cnt FROM c ORDER BY cnt DESC, key ASC LIMIT 20)
+            SELECT key, cnt, total_rows, n_keys,
+                   CAST(floor(CAST(cnt * 1000000 AS DOUBLE)
+                              / CAST(total_rows AS DOUBLE)) AS BIGINT)
+                       AS share_ppm
+            FROM top, s
+        """,
+        "skew_histogram": """
+            WITH c AS (
+                SELECT CAST(user_id AS VARCHAR) AS k,
+                       CAST(count(*) AS BIGINT) AS cnt
+                FROM events GROUP BY k
+            )
+            SELECT CAST(length(bin(cnt)) AS BIGINT) AS bucket,
+                   CAST(count(*) AS BIGINT) AS n_keys,
+                   CAST(sum(cnt) AS BIGINT) AS rows_in_bucket
+            FROM c GROUP BY bucket
+        """,
+        "edit_dist_pairs": """
+            WITH d0 AS (
+                SELECT doc_id, text FROM documents
+                UNION ALL
+                SELECT doc_id + 1000000 AS doc_id, text || '~' AS text
+                FROM documents WHERE doc_id % 3 = 0
+            ),
+            d AS (
+                SELECT doc_id, text, CAST(length(text) AS BIGINT) AS len
+                FROM d0 WHERE length(text) >= 3
+            )
+            SELECT a.doc_id AS id1, b.doc_id AS id2,
+                   CAST(levenshtein(a.text, b.text) AS BIGINT) AS dist,
+                   a.len AS len1, b.len AS len2
+            FROM d a JOIN d b
+              ON a.doc_id < b.doc_id AND abs(a.len - b.len) <= 2
+            WHERE levenshtein(a.text, b.text) <= 2
+        """,
+        "cooc_edges": f"""
+            WITH {graph}
+            SELECT src, dst, weight FROM e WHERE weight >= 2
+        """,
+        "textrank": f"""
+            WITH {graph},
+            {pr_sql}
+            SELECT r3.term, r3.q AS rank_q, o.W AS out_weight
+            FROM r3 JOIN ow o ON o.src = r3.term
         """,
     }

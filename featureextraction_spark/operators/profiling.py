@@ -124,3 +124,60 @@ def robust_outliers(
         ),
         rz.alias("robust_z"),
     )
+
+
+def skew_topk(df: DataFrame, key: str, top_n: int = 20) -> DataFrame:
+    """Heavy-hitter profile of a join/aggregation key: the ``top_n``
+    hottest keys with exact counts, the key universe size, and each
+    key's integer share in ppm — the report you read BEFORE choosing a
+    salting factor / AQE skew threshold for a 100-TB shuffle on ``key``.
+
+    share_ppm = floor(cnt·10⁶ / total) — one BIGINT division, exact on
+    both engines. Tie-break is (count desc, key asc), so the cut at
+    ``top_n`` is deterministic.
+
+    Scale: one map-side-combinable groupBy onto |keys| rows; the top-n
+    is a TakeOrderedAndProject (per-partition heads, merged) and the
+    two scalars ride in via a 1-row broadcast — the raw table is
+    shuffled once, as aggregation partials.
+    """
+    counts = df.groupBy(F.col(key).cast("string").alias("key")).agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    scalars = counts.agg(
+        F.sum("cnt").cast("long").alias("total_rows"),
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+    )
+    top = counts.orderBy(F.col("cnt").desc(), F.col("key").asc()).limit(top_n)
+    return top.join(F.broadcast(scalars)).select(
+        "key",
+        "cnt",
+        "total_rows",
+        "n_keys",
+        F.floor(F.col("cnt") * F.lit(1_000_000) / F.col("total_rows"))
+        .cast("long")
+        .alias("share_ppm"),
+    )
+
+
+def skew_histogram(df: DataFrame, key: str) -> DataFrame:
+    """Log₂ histogram of per-key group sizes: one row per occupied
+    bucket ``b = length(bin(cnt))`` (i.e. ⌊log₂ cnt⌋ + 1 — ``bin()``
+    renders without leading zeros identically on both engines), with the
+    number of keys and total rows in the bucket.
+
+    The one-page answer to "how skewed is this key, everywhere" — a
+    straggler shows up as an occupied high bucket with tiny key count.
+    Two map-side-combinable groupBys (|keys| rows, then ≤ 63 rows).
+    """
+    counts = df.groupBy(F.col(key).cast("string").alias("__k")).agg(
+        F.count(F.lit(1)).cast("long").alias("__cnt")
+    )
+    return (
+        counts.withColumn("bucket", F.length(F.bin(F.col("__cnt"))).cast("long"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_keys"),
+            F.sum("__cnt").cast("long").alias("rows_in_bucket"),
+        )
+    )

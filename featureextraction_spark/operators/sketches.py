@@ -177,3 +177,106 @@ def hll_estimate(registers: DataFrame) -> DataFrame:
         "n_zero_regs",
         (F.lit(HLL_EST_NUM) / F.col("z_sum").cast("double")).alias("hll_estimate"),
     )
+
+
+# ---------------------------------------------------------------- Bloom
+
+BLOOM_WORD_BITS = 62  # stay clear of the BIGINT sign bit on both engines
+
+
+def bloom_build(
+    items: DataFrame,
+    col: str,
+    k: int = 5,
+    m_bits: int = 8192,
+) -> DataFrame:
+    """Build an ``m_bits``-bit Bloom filter over ``items[col]`` as a
+    relational word table: one row per OCCUPIED 62-bit word,
+    ``(word, bits)`` with ``bits = OR of (1 << bit_in_word)``.
+
+    The third mergeable sketch next to CMS/HLL (Bloom 1970, public
+    knowledge), and the one that matters most to a 100-TB JOIN: a
+    broadcast Bloom of the small side's keys pre-filters the big side
+    before the shuffle (semi-join reduction — what Spark's own runtime
+    bloom filter join does; this one is engine-portable). Hash family is
+    the repo's portable md5-60-bit uniform, ``pos_j = hash60(x:j) mod
+    m_bits`` — every op integer, so Spark and DuckDB build bit-identical
+    word tables.
+
+    Scale: explode k ways, one map-side-combinable ``bit_or`` groupBy
+    onto ≤ m_bits/62 rows. Mergeable across shards/days by the same
+    ``bit_or``.
+    """
+    x = items.select(F.col(col).cast("string").alias("__x")).where(
+        F.col("__x").isNotNull()
+    )
+    pos = x.select(
+        F.explode(F.array(*[F.lit(j) for j in range(k)])).alias("__j"), "__x"
+    ).select(
+        F.pmod(
+            F.pmod(_seed_hash("__x", 0), F.lit(m_bits))
+            + F.col("__j") * (F.pmod(_seed_hash("__x", 1), F.lit(m_bits)) * 2 + 1),
+            F.lit(m_bits),
+        ).alias("__pos")
+    )
+    return (
+        pos.select(
+            F.expr(f"CAST(__pos div {BLOOM_WORD_BITS} AS BIGINT)").alias("word"),
+            F.expr(
+                f"shiftleft(CAST(1 AS BIGINT), CAST(__pos % {BLOOM_WORD_BITS} AS INT))"
+            ).alias("__m"),
+        )
+        .groupBy("word")
+        .agg(F.bit_or("__m").cast("long").alias("bits"))
+    )
+
+
+def bloom_probe(
+    probes: DataFrame,
+    bloom: DataFrame,
+    col: str,
+    k: int = 5,
+    m_bits: int = 8192,
+) -> DataFrame:
+    """Membership-test each DISTINCT probe value against a
+    :func:`bloom_build` word table: ``maybe_member`` = all k probed bits
+    set (no false negatives by construction; false-positive rate set by
+    k, m_bits vs build cardinality).
+
+    Scale: the filter is ≤ m_bits/62 rows — broadcast; probes explode k
+    ways, one broadcast left join, one all-bits-set groupBy. The big
+    side is never shuffled — exactly the semi-join-reduction deployment.
+    """
+    p = probes.select(F.col(col).cast("string").alias("__x")).where(
+        F.col("__x").isNotNull()
+    ).distinct()
+    pos = p.select(
+        "__x",
+        F.explode(F.array(*[F.lit(j) for j in range(k)])).alias("__j"),
+    ).select(
+        "__x",
+        F.pmod(
+            F.pmod(_seed_hash("__x", 0), F.lit(m_bits))
+            + F.col("__j") * (F.pmod(_seed_hash("__x", 1), F.lit(m_bits)) * 2 + 1),
+            F.lit(m_bits),
+        ).alias("__pos"),
+    ).select(
+        "__x",
+        F.expr(f"CAST(__pos div {BLOOM_WORD_BITS} AS BIGINT)").alias("word"),
+        F.expr(f"CAST(__pos % {BLOOM_WORD_BITS} AS INT)").alias("__bit"),
+    )
+    j = pos.join(F.broadcast(bloom), "word", "left").withColumn(
+        "__hit",
+        F.when(
+            F.expr("(shiftright(coalesce(bits, CAST(0 AS BIGINT)), __bit) % 2) = 1"),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    return (
+        j.groupBy("__x")
+        .agg(
+            F.sum("__hit").cast("long").alias("n_hits"),
+            (F.sum("__hit") == F.lit(k)).alias("maybe_member"),
+        )
+        .withColumnRenamed("__x", col)
+    )
