@@ -2129,6 +2129,39 @@ def q_textrank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textrank_terms(docs, iterations=3)
 
 
+HQ_BIN_WIDTH = 16
+
+
+def q_hist_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median/p90/p99 of document length read off a fixed-width histogram
+    sketch: ONE map-side-combinable groupBy onto ≤ max(n_chars)/16 bins,
+    mergeable across shards by adding counts (the CMS/HLL/Bloom contract),
+    then a rank walk over the bounded bin table. All-integer until one
+    IEEE division, through the shared nudged rounding."""
+    from featureextraction_spark.operators.sketches import (
+        hist_bins,
+        hist_quantile_estimate,
+    )
+
+    docs = _load(spark, sf_dir, "documents")
+    bins = hist_bins(docs, "n_chars", bin_width=HQ_BIN_WIDTH)
+    return hist_quantile_estimate(bins, bin_width=HQ_BIN_WIDTH)
+
+
+def q_chi2_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """χ² term/label feature selection (Yang & Pedersen ICML'97) with
+    label = (lang = 'en'): presence explode + one groupBy onto the
+    VOCABULARY, class totals broadcast in as a 1-row dim; the score is
+    one IEEE division of two exact BIGINTs, so both engines agree
+    bit-for-bit before the shared rounding."""
+    from featureextraction_spark.operators.selection import chi2_terms
+
+    docs = _load(spark, sf_dir, "documents")
+    return chi2_terms(
+        docs, label=(F.col("lang") == "en").cast("long"), min_df=5
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "lag_lead": q_lag_lead,
@@ -2240,6 +2273,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "edit_dist_pairs": q_edit_dist_pairs,
         "cooc_edges": q_cooc_edges,
         "textrank": q_textrank,
+        "hist_quantiles": q_hist_quantiles,
+        "chi2_terms": q_chi2_terms,
     }
 
 
@@ -2496,6 +2531,7 @@ def oracle_sql() -> dict[str, str]:
     base.update(_warehouse_oracle_sql())
     base.update(_sequential_oracle_sql())
     base.update(_round4m_oracle_sql())
+    base.update(_round4n_oracle_sql())
     # full-probe IVF is exhaustive by construction — the exact replay gates it
     base["ivf_topk_full"] = base["cosine_topk"]
     # full-probe IVF-PQ scans every list exactly once == the flat ADC scan
@@ -5943,5 +5979,93 @@ def _round4m_oracle_sql() -> dict[str, str]:
             {pr_sql}
             SELECT r3.term, r3.q AS rank_q, o.W AS out_weight
             FROM r3 JOIN ow o ON o.src = r3.term
+        """,
+    }
+
+
+def _round4n_oracle_sql() -> dict[str, str]:
+    """DuckDB replays of the histogram-quantile sketch and the chi2
+    term selector. Integer contracts documented at the operators
+    (sketches.hist_quantile_estimate, selection.chi2_terms)."""
+    return {
+        # integer rank = ceil(q*N) via (num*N + den - 1) // den; the
+        # answer bin is cum_before < rank <= cum; interpolation is the
+        # ONE IEEE division, nudged round-6 like the Spark side
+        "hist_quantiles": f"""
+            WITH b AS (
+                SELECT CAST(n_chars // {HQ_BIN_WIDTH} AS BIGINT) AS bin,
+                       CAST(count(*) AS BIGINT) AS cnt
+                FROM documents WHERE n_chars IS NOT NULL GROUP BY 1
+            ),
+            c AS (
+                SELECT bin, cnt,
+                       CAST(sum(cnt) OVER (
+                           ORDER BY bin
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                       ) AS BIGINT) AS cum
+                FROM b
+            ),
+            t AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM b),
+            q(q_num, q_den) AS (
+                VALUES (CAST(1 AS BIGINT), CAST(2 AS BIGINT)),
+                       (CAST(9 AS BIGINT), CAST(10 AS BIGINT)),
+                       (CAST(99 AS BIGINT), CAST(100 AS BIGINT))
+            ),
+            r AS (
+                SELECT q_num, q_den,
+                       greatest(CAST(1 AS BIGINT),
+                                CAST((q_num * n + q_den - 1) // q_den AS BIGINT))
+                           AS rank
+                FROM q, t
+            )
+            SELECT r.q_num, r.q_den, r.rank, c.bin, c.cnt AS bin_cnt,
+                   round(CAST(c.bin * {HQ_BIN_WIDTH} AS DOUBLE)
+                         + CAST((r.rank - (c.cum - c.cnt)) * {HQ_BIN_WIDTH} AS DOUBLE)
+                           / CAST(c.cnt AS DOUBLE)
+                         + 1e-9, 6) AS est_q
+            FROM r JOIN c ON (c.cum - c.cnt) < r.rank AND r.rank <= c.cum
+        """,
+        # 2x2 presence contingency per term, all-BIGINT numerator and
+        # denominator, one division; degenerate marginals score 0
+        "chi2_terms": f"""
+            WITH base AS (
+                SELECT doc_id,
+                       CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+                       text
+                FROM documents
+            ),
+            tot AS (
+                SELECT CAST(sum(y) AS BIGINT) AS n1,
+                       CAST(sum(1 - y) AS BIGINT) AS n0
+                FROM base
+            ),
+            pres AS (
+                SELECT DISTINCT doc_id, y, term FROM (
+                    SELECT doc_id, y,
+                           unnest(regexp_extract_all(
+                               lower(coalesce(text, '')), {_TOKENS_RE})) AS term
+                    FROM base
+                )
+            ),
+            cells AS (
+                SELECT term,
+                       CAST(sum(y) AS BIGINT) AS a,
+                       CAST(sum(1 - y) AS BIGINT) AS b
+                FROM pres GROUP BY term
+            ),
+            s AS (
+                SELECT term, a, b,
+                       CAST(n1 - a AS BIGINT) AS c,
+                       CAST(n0 - b AS BIGINT) AS d,
+                       n1, n0
+                FROM cells, tot WHERE a + b >= 5
+            )
+            SELECT term, a AS df_pos, b AS df_neg,
+                   round(CASE WHEN CAST((a+b)*(c+d)*(a+c)*(b+d) AS BIGINT) = 0
+                              THEN 0.0
+                              ELSE CAST((n1+n0)*(a*d-b*c)*(a*d-b*c) AS DOUBLE)
+                                   / CAST((a+b)*(c+d)*(a+c)*(b+d) AS DOUBLE)
+                         END + 1e-9, 6) AS chi2_q
+            FROM s
         """,
     }

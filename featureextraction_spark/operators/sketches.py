@@ -280,3 +280,80 @@ def bloom_probe(
         )
         .withColumnRenamed("__x", col)
     )
+
+
+# ---------------------------------------------------- histogram quantiles
+
+HQ_DEFAULT_QUANTILES = ((1, 2), (9, 10), (99, 100))
+
+
+def hist_bins(df: DataFrame, value: str, bin_width: int) -> DataFrame:
+    """Fixed-width histogram sketch of a non-negative integer column:
+    one row per occupied bin ``(value div bin_width, cnt)``.
+
+    The mergeable quantile state for 100 TB: one map-side-combinable
+    groupBy onto ≤ max(value)/bin_width rows, merged across shards/days
+    by adding counts — the same contract as CMS/HLL/Bloom. Integer
+    ``div`` (not float floor) so bin boundaries never misround."""
+    return (
+        df.where(F.col(value).isNotNull())
+        .select(F.expr(f"CAST({value} div {bin_width} AS BIGINT)").alias("bin"))
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+
+
+def hist_quantile_estimate(
+    bins: DataFrame,
+    bin_width: int,
+    quantiles: tuple[tuple[int, int], ...] = HQ_DEFAULT_QUANTILES,
+) -> DataFrame:
+    """Quantile reads off a :func:`hist_bins` sketch. Contract (exact on
+    both engines): for rational q = num/den, ``rank = ceil(q·N)`` via
+    integer ``(num·N + den − 1) div den`` clamped to ≥ 1; the answer bin
+    is the unique one with ``cum_before < rank ≤ cum``; the estimate
+    interpolates linearly inside it:
+    ``est = bin·w + w·(rank − cum_before)/cnt`` — all-integer until ONE
+    IEEE division + one addition, through the shared nudged rounding.
+
+    Scale: the cumulative window runs over the BIN table (bounded by
+    value range / width, not corpus size — documented bounded single
+    partition); quantile probes join against it broadcast."""
+    from pyspark.sql import Window
+
+    spark = bins.sparkSession
+    tot = bins.agg(F.sum("cnt").cast("long").alias("n"))
+    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    cum = bins.withColumn("cum", F.sum("cnt").over(w).cast("long")).withColumn(
+        "cum_before", (F.col("cum") - F.col("cnt")).cast("long")
+    )
+    qdf = spark.createDataFrame(
+        [(int(n), int(d)) for n, d in quantiles], "q_num long, q_den long"
+    )
+    ranks = qdf.join(F.broadcast(tot)).select(
+        "q_num",
+        "q_den",
+        F.greatest(
+            F.lit(1).cast("long"),
+            F.expr("CAST((q_num * n + q_den - 1) div q_den AS BIGINT)"),
+        ).alias("rank"),
+    )
+    hit = F.broadcast(ranks).join(
+        cum,
+        (F.col("cum_before") < F.col("rank")) & (F.col("rank") <= F.col("cum")),
+    )
+    est = (
+        (F.col("bin") * F.lit(bin_width)).cast("double")
+        + ((F.col("rank") - F.col("cum_before")) * F.lit(bin_width)).cast(
+            "double"
+        )
+        / F.col("cnt").cast("double")
+    )
+    return hit.select(
+        "q_num",
+        "q_den",
+        "rank",
+        "bin",
+        F.col("cnt").alias("bin_cnt"),
+        F.round(est + F.lit(1e-9), 6).alias("est_q"),
+    )
