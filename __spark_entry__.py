@@ -2162,6 +2162,45 @@ def q_chi2_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_rolling_active(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact DAU + trailing-7-day distinct actives: the event log
+    collapses to DISTINCT (user, day) first — the only state the metric
+    needs, ~10⁴× smaller than a 100-TB log — then a bounded ×7 explode
+    of that small table; three map-combinable user-day shuffles."""
+    from featureextraction_spark.operators.activity import rolling_active
+
+    ev = _load(spark, sf_dir, "events")
+    return rolling_active(ev, window_days=7)
+
+
+def q_rolling_active_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same trailing-window actives as max-merged per-day HLL
+    register tables (union-of-sketches): state is ≤256 rows/day
+    regardless of user count — the variant that survives billions of
+    users. Integer z_sum; the estimate is one double division."""
+    from featureextraction_spark.operators.activity import rolling_active_hll
+
+    ev = _load(spark, sf_dir, "events")
+    out = rolling_active_hll(ev, window_days=7)
+    return out.select(
+        "day", "z_sum", "n_occupied", _hround6(F.col("hll_active")).alias("hll_active")
+    )
+
+
+def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution report: each purchase credits the user's
+    most recent strictly-prior non-purchase event type (else 'direct') —
+    one user-keyed carry-forward window + one tiny channel groupBy;
+    value totals are exact BIGINT thousandths."""
+    from featureextraction_spark.operators.activity import (
+        attribution_report,
+        last_touch_attribution,
+    )
+
+    ev = _load(spark, sf_dir, "events")
+    return attribution_report(last_touch_attribution(ev))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "lag_lead": q_lag_lead,
@@ -2275,6 +2314,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "textrank": q_textrank,
         "hist_quantiles": q_hist_quantiles,
         "chi2_terms": q_chi2_terms,
+        "rolling_active": q_rolling_active,
+        "rolling_active_hll": q_rolling_active_hll,
+        "attribution": q_attribution,
     }
 
 
@@ -2532,6 +2574,7 @@ def oracle_sql() -> dict[str, str]:
     base.update(_sequential_oracle_sql())
     base.update(_round4m_oracle_sql())
     base.update(_round4n_oracle_sql())
+    base.update(_activity_oracle_sql())
     # full-probe IVF is exhaustive by construction — the exact replay gates it
     base["ivf_topk_full"] = base["cosine_topk"]
     # full-probe IVF-PQ scans every list exactly once == the flat ADC scan
@@ -6067,5 +6110,89 @@ def _round4n_oracle_sql() -> dict[str, str]:
                                    / CAST((a+b)*(c+d)*(a+c)*(b+d) AS DOUBLE)
                          END + 1e-9, 6) AS chi2_q
             FROM s
+        """,
+    }
+
+
+def _activity_oracle_sql() -> dict[str, str]:
+    """DuckDB replays of the rolling-active / HLL-rolling / last-touch
+    attribution operators (operators/activity.py). Days are integer
+    `//` of epoch µs (the cohorts rule); the HLL register math is the
+    sketches portability contract (md5-60-bit, bin() rho, integer Z);
+    per-channel value totals sum integer thousandths."""
+    from featureextraction_spark.operators.sketches import HLL_EST_NUM
+
+    ud = """
+            SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day
+            FROM events
+    """
+    return {
+        "rolling_active": f"""
+            WITH ud AS ({ud}),
+            dau AS (SELECT day, count(*) AS dau FROM ud GROUP BY day),
+            cov AS (
+                SELECT day, count(*) AS rolling_active FROM (
+                    SELECT DISTINCT user_id, day + o AS day
+                    FROM ud, (SELECT unnest(generate_series(0, 6)) AS o)
+                ) GROUP BY day
+            )
+            SELECT CAST(day AS BIGINT) AS day, CAST(dau AS BIGINT) AS dau,
+                   CAST(rolling_active AS BIGINT) AS rolling_active
+            FROM dau JOIN cov USING (day)
+        """,
+        "rolling_active_hll": f"""
+            WITH h AS (
+                SELECT epoch_us(ts) // 86400000000 AS day,
+                       ('0x' || substr(md5(user_id::VARCHAR || ':0'), 1, 15))::BIGINT AS h
+                FROM events
+            ),
+            daily AS (
+                SELECT day, h // 4503599627370496 AS register,
+                       max(CASE WHEN h % 4503599627370496 > 0
+                                THEN 53 - length(bin(h % 4503599627370496))
+                                ELSE 53 END) AS m_rho
+                FROM h GROUP BY 1, 2
+            ),
+            merged AS (
+                SELECT day + o AS day, register, max(m_rho) AS m_rho
+                FROM daily, (SELECT unnest(generate_series(0, 6)) AS o)
+                GROUP BY 1, 2
+            ),
+            est AS (
+                SELECT day,
+                       CAST(sum(1::BIGINT << CAST(53 - m_rho AS INT))
+                            AS BIGINT)
+                       + (256 - count(*)) * (1::BIGINT << 53) AS z_sum,
+                       CAST(count(*) AS BIGINT) AS n_occupied
+                FROM merged GROUP BY day
+            ),
+            days AS (SELECT DISTINCT epoch_us(ts) // 86400000000 AS day
+                     FROM events)
+            SELECT CAST(day AS BIGINT) AS day,
+                   CAST(z_sum AS BIGINT) AS z_sum, n_occupied,
+                   round(CAST('{HLL_EST_NUM!r}' AS DOUBLE)
+                         / CAST(z_sum AS DOUBLE) + 1e-9, 6) AS hll_active
+            FROM est JOIN days USING (day)
+        """,
+        "attribution": """
+            WITH t AS (
+                SELECT user_id, event_id, event_type, value, epoch_us(ts) AS us
+                FROM events
+            ),
+            w AS (
+                SELECT *,
+                       last_value(CASE WHEN event_type <> 'purchase'
+                                       THEN event_type END IGNORE NULLS)
+                       OVER (PARTITION BY user_id ORDER BY us, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND 1 PRECEDING) AS touch
+                FROM t
+            )
+            SELECT coalesce(touch, 'direct') AS channel,
+                   CAST(count(*) AS BIGINT) AS conversions,
+                   CAST(sum(CAST(floor(value * 1000.0 + 0.5) AS BIGINT))
+                        AS BIGINT) AS value_q_sum
+            FROM w WHERE event_type = 'purchase'
+            GROUP BY 1
         """,
     }
