@@ -2201,6 +2201,71 @@ def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return attribution_report(last_touch_attribution(ev))
 
 
+def q_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-on-read profile of the integral `$.k` field inside the
+    JSON `props` column, per event type — pure get_json_object
+    expressions riding the scan, one groupBy onto the type vocabulary."""
+    from featureextraction_spark.operators.semistructured import (
+        json_field_profile,
+    )
+
+    ev = _load(spark, sf_dir, "events")
+    return json_field_profile(ev, by="event_type")
+
+
+def q_top_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 documents per (lang, source) by length — forced onto the
+    skew-proof two-phase salted top-k (per-salt top-k, then re-rank the
+    ≤ k·salts survivors) so a mega-domain never lands on one task;
+    row-equal to the plain window by test."""
+    from featureextraction_spark.operators.ranking import top_per_group
+
+    docs = _load(spark, sf_dir, "documents")
+    return top_per_group(
+        docs,
+        by=("lang", "source"),
+        value="n_chars",
+        tie="doc_id",
+        k=3,
+        strategy="two_phase",
+    ).select("doc_id", "lang", "source", "n_chars", "rnk")
+
+
+def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minimal frequency-ranked vocabulary prefix covering ≥90% of the
+    corpus token mass — integer-only cut, two-phase range-partitioned
+    global cumsum (no single-partition window)."""
+    from featureextraction_spark.operators.selection import vocab_coverage
+
+    docs = _load(spark, sf_dir, "documents")
+    return vocab_coverage(docs, coverage_num=90, coverage_den=100)
+
+
+def q_context_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(3-event context → next event) training-example counts per user
+    timeline — one user-keyed window exchange + one groupBy onto the
+    context vocabulary."""
+    from featureextraction_spark.operators.transitions import context_pairs
+
+    ev = _load(spark, sf_dir, "events")
+    return context_pairs(
+        ev, "event_type", key="user_id", order=("ts", "event_id")
+    )
+
+
+def q_negative_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two deterministic hash-bucketed negatives per embedding query
+    from the documents corpus — bucket equi-join (per-query cost
+    corpus/B, never the full corpus) + per-query top-k by pair hash."""
+    from featureextraction_spark.operators.sampling import negative_sample
+
+    emb = _load(spark, sf_dir, "embeddings")
+    docs = _load(spark, sf_dir, "documents")
+    return negative_sample(
+        emb, docs, query_id="vec_id", doc_id="doc_id", k=2, n_buckets=16
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "lag_lead": q_lag_lead,
@@ -2317,6 +2382,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_active": q_rolling_active,
         "rolling_active_hll": q_rolling_active_hll,
         "attribution": q_attribution,
+        "json_props": q_json_props,
+        "top_docs": q_top_docs,
+        "vocab_coverage": q_vocab_coverage,
+        "context_pairs": q_context_pairs,
+        "negative_sample": q_negative_sample,
     }
 
 
@@ -2575,6 +2645,7 @@ def oracle_sql() -> dict[str, str]:
     base.update(_round4m_oracle_sql())
     base.update(_round4n_oracle_sql())
     base.update(_activity_oracle_sql())
+    base.update(_round4p_oracle_sql())
     # full-probe IVF is exhaustive by construction — the exact replay gates it
     base["ivf_topk_full"] = base["cosine_topk"]
     # full-probe IVF-PQ scans every list exactly once == the flat ADC scan
@@ -6194,5 +6265,111 @@ def _activity_oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS value_q_sum
             FROM w WHERE event_type = 'purchase'
             GROUP BY 1
+        """,
+    }
+
+
+def _round4p_oracle_sql() -> dict[str, str]:
+    """DuckDB replays of the round-4p batch: JSON schema-on-read
+    profile, skew-proof per-group top-k, vocabulary-coverage pruning,
+    higher-order context→next transition counts, hash-bucketed negative
+    sampling. All-integer contracts; hashes are the md5-60-bit family."""
+    return {
+        "json_props": """
+            WITH x AS (
+                SELECT event_type,
+                       CASE WHEN json_valid(props)
+                            THEN TRY_CAST(json_extract_string(props, '$.k')
+                                          AS BIGINT)
+                       END AS k
+                FROM events
+            )
+            SELECT event_type,
+                   CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(count(k) AS BIGINT) AS n_present,
+                   CAST(min(k) AS BIGINT) AS k_min,
+                   CAST(max(k) AS BIGINT) AS k_max,
+                   CAST(sum(k) AS BIGINT) AS k_sum
+            FROM x GROUP BY event_type
+        """,
+        "top_docs": """
+            SELECT doc_id, lang, source, n_chars, CAST(rnk AS BIGINT) AS rnk
+            FROM (
+                SELECT doc_id, lang, source, n_chars,
+                       row_number() OVER (
+                           PARTITION BY lang, source
+                           ORDER BY n_chars DESC NULLS LAST, doc_id
+                       ) AS rnk
+                FROM documents
+            ) WHERE rnk <= 3
+        """,
+        "vocab_coverage": f"""
+            WITH toks AS (
+                SELECT unnest(regexp_extract_all(
+                           lower(coalesce(text, '')), {_TOKENS_RE})) AS term
+                FROM documents
+            ),
+            c AS (
+                SELECT term, CAST(count(*) AS BIGINT) AS cnt
+                FROM toks GROUP BY term
+            ),
+            t AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM c),
+            r AS (
+                SELECT term, cnt,
+                       CAST(sum(cnt) OVER (
+                           ORDER BY cnt DESC, term
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                       ) AS BIGINT) AS cum
+                FROM c
+            )
+            SELECT term, cnt, cum
+            FROM r, t WHERE (cum - cnt) * 100 < 90 * total
+        """,
+        "context_pairs": """
+            WITH w AS (
+                SELECT user_id, event_type,
+                       lag(event_type, 3) OVER win AS l3,
+                       lag(event_type, 2) OVER win AS l2,
+                       lag(event_type, 1) OVER win AS l1
+                FROM events
+                WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id)
+            )
+            SELECT l3 || '>' || l2 || '>' || l1 AS context,
+                   event_type AS label,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM w
+            WHERE l3 IS NOT NULL AND l2 IS NOT NULL AND l1 IS NOT NULL
+                  AND event_type IS NOT NULL
+            GROUP BY 1, 2
+        """,
+        "negative_sample": """
+            WITH d AS (
+                SELECT doc_id,
+                       ('0x' || substr(md5(doc_id::VARCHAR || ':7'), 1, 15))
+                           ::BIGINT % 16 AS b
+                FROM documents
+            ),
+            q AS (
+                SELECT vec_id,
+                       ('0x' || substr(md5(vec_id::VARCHAR || ':8'), 1, 15))
+                           ::BIGINT % 16 AS b
+                FROM embeddings
+            ),
+            p AS (
+                SELECT vec_id, doc_id,
+                       ('0x' || substr(md5(vec_id::VARCHAR || '|'
+                                           || doc_id::VARCHAR || ':9'),
+                                       1, 15))::BIGINT AS ph
+                FROM q JOIN d USING (b)
+            ),
+            r AS (
+                SELECT vec_id, doc_id,
+                       row_number() OVER (
+                           PARTITION BY vec_id ORDER BY ph, doc_id
+                       ) AS neg_rank
+                FROM p
+            )
+            SELECT vec_id, doc_id, CAST(neg_rank AS BIGINT) AS neg_rank
+            FROM r WHERE neg_rank <= 2
         """,
     }

@@ -147,3 +147,54 @@ def winsorize(
         .withColumn("clipped_hi", (v > F.col("w_hi")).cast("long"))
         .drop("__b_by")
     )
+
+
+def top_per_group(
+    df: DataFrame,
+    by: tuple[str, ...],
+    value: str,
+    tie: str,
+    k: int = 3,
+    strategy: str = "auto",
+    n_salts: int = 8,
+    two_phase_min_rows: int = 1_000_000,
+) -> DataFrame:
+    """Top-``k`` rows per group by (``value`` DESC, ``tie`` ASC), with a
+    ``rnk`` column (1-based long) — the per-domain "best documents" cut.
+
+    Physical strategies (identical rows by construction AND by test):
+
+    - ``window``: one hash exchange on the group key + row_number. Fine
+      when no single group dominates an executor's memory.
+    - ``two_phase``: the skew-proof plan for 100 TB — phase 1 takes the
+      top-k within (group, salt = pmod(hash60(tie), n_salts)) so every
+      window partition is ~1/n_salts of the group, phase 2 re-ranks the
+      ≤ k·n_salts survivors per group. A mega-group (one domain holding
+      half the corpus) never lands on one task. Correct because the
+      global top-k within a group is a subset of the union of per-salt
+      top-k's (each salt bucket can contribute at most k of them).
+    - ``auto``: ``two_phase`` when the input exceeds
+      ``two_phase_min_rows`` (a count — one cheap scan), else ``window``.
+    """
+    from .sampling import _seed_hash
+
+    if strategy == "auto":
+        strategy = (
+            "two_phase" if df.count() >= two_phase_min_rows else "window"
+        )
+    order = [F.col(value).desc(), F.col(tie).asc()]
+    if strategy == "two_phase":
+        salt = F.pmod(_seed_hash(tie, 0), F.lit(n_salts))
+        w1 = Window.partitionBy(*by, "__salt").orderBy(*order)
+        df = (
+            df.withColumn("__salt", salt)
+            .withColumn("__r1", F.row_number().over(w1))
+            .where(F.col("__r1") <= k)
+            .drop("__salt", "__r1")
+        )
+    elif strategy != "window":
+        raise ValueError(f"unknown top_per_group strategy: {strategy!r}")
+    w = Window.partitionBy(*by).orderBy(*order)
+    return df.withColumn(
+        "rnk", F.row_number().over(w).cast("long")
+    ).where(F.col("rnk") <= k)

@@ -248,3 +248,65 @@ def temporal_split(
     return j.withColumn("split", split).withColumn(
         "cutoff_us", F.col("__cut").cast("long")
     ).drop("__cut")
+
+
+def _pair_hash(a: F.Column, b: F.Column, seed: int) -> F.Column:
+    """60-bit md5 of "<a>|<b>:<seed>" — the pairwise variant of
+    ``_seed_hash``, replayable in DuckDB with the same md5/substr/hex
+    construction."""
+    s = F.concat_ws(
+        ":",
+        F.concat_ws("|", a.cast("string"), b.cast("string")),
+        F.lit(str(seed)),
+    )
+    return F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")
+
+
+def negative_sample(
+    queries: DataFrame,
+    corpus: DataFrame,
+    query_id: str,
+    doc_id: str,
+    k: int = 2,
+    n_buckets: int = 16,
+    seed: int = 7,
+) -> DataFrame:
+    """``k`` deterministic pseudo-random negatives per query for
+    retrieval / contrastive training: (query_id, doc_id, neg_rank).
+
+    Construction: corpus docs land in ``n_buckets`` hash buckets
+    (``hash60(doc:seed) mod B``); each query probes the single bucket
+    ``hash60(query:seed+1) mod B`` and takes the ``k`` docs with the
+    smallest PAIR hash ``hash60(query|doc:seed+2)`` — a fresh
+    pseudo-random draw per query, so two queries probing the same bucket
+    still get different negatives. Queries in an empty bucket (only
+    possible when corpus < buckets) yield no rows, documented.
+
+    Scale design: the probe is an EQUI-join on the bucket id — per-query
+    cost is corpus/B rows, tuned by ``n_buckets``, never the full corpus
+    (the classic in-batch/bucketed negative approximation of uniform
+    sampling; exact uniform would be a cross join). The per-query top-k
+    window partitions on query_id — granular keys, no skew. Everything
+    is md5/integer expressions, bit-replayable cross-engine.
+    """
+    docs = corpus.select(
+        F.col(doc_id).alias("__doc"),
+        F.pmod(_seed_hash(doc_id, seed), F.lit(n_buckets)).alias("__b"),
+    )
+    qs = queries.select(
+        F.col(query_id).alias("__q"),
+        F.pmod(_seed_hash(query_id, seed + 1), F.lit(n_buckets)).alias("__b"),
+    )
+    pairs = qs.join(docs, "__b").withColumn(
+        "__ph", _pair_hash(F.col("__q"), F.col("__doc"), seed + 2)
+    )
+    w = Window.partitionBy("__q").orderBy("__ph", "__doc")
+    return (
+        pairs.withColumn("neg_rank", F.row_number().over(w).cast("long"))
+        .where(F.col("neg_rank") <= k)
+        .select(
+            F.col("__q").alias(query_id),
+            F.col("__doc").alias(doc_id),
+            "neg_rank",
+        )
+    )

@@ -115,3 +115,68 @@ def chi2_terms(
         F.col("b").alias("df_neg"),
         F.round(chi2 + F.lit(1e-9), 6).alias("chi2_q"),
     )
+
+
+def vocab_coverage(
+    docs: DataFrame,
+    text: str = "text",
+    coverage_num: int = 95,
+    coverage_den: int = 100,
+) -> DataFrame:
+    """The minimal frequency-ranked vocabulary prefix covering at least
+    ``coverage_num/coverage_den`` of the corpus token mass — the
+    tokenizer-vocabulary pruning cut (keep the terms; everything else
+    becomes <unk>).
+
+    Terms are ordered by (count DESC, term ASC); a term is kept iff the
+    token mass STRICTLY BEFORE it is below the target, which keeps
+    exactly the minimal covering prefix. Returns (term, cnt, cum) with
+    ``cum`` the inclusive running mass, so the consumer reads the final
+    row's ``cum/total`` as the achieved coverage.
+
+    Bit-portability: counts, cumulative sums, and the threshold
+    comparison ``cum_before · den < num · total`` are all BIGINT — no
+    float enters the cut (int64 budget: token mass ≤ 2⁶³/den).
+
+    Scale design: one explode + term groupBy (map-side combinable) onto
+    the vocabulary; the running mass is
+    :func:`..packing.with_global_cumsum`'s two-phase range-partitioned
+    prefix sum — no single-partition window anywhere, so the rank
+    survives a vocabulary that does not fit one task. The corpus total
+    rides in as a 1-row broadcast.
+    """
+    from .packing import with_global_cumsum
+
+    counts = (
+        docs.select(
+            F.explode(
+                F.regexp_extract_all(
+                    F.lower(F.coalesce(F.col(text), F.lit(""))),
+                    F.lit(TOKEN_RE),
+                    F.lit(0),
+                )
+            ).alias("term")
+        )
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    total = counts.agg(F.sum("cnt").cast("long").alias("__total"))
+    cum = with_global_cumsum(
+        counts,
+        [F.col("cnt").desc(), F.col("term").asc()],
+        "cnt",
+        out_col="__before",
+        n_rows=counts.count(),
+    )
+    return (
+        cum.join(F.broadcast(total))
+        .where(
+            F.col("__before") * F.lit(coverage_den)
+            < F.lit(coverage_num) * F.col("__total")
+        )
+        .select(
+            "term",
+            "cnt",
+            (F.col("__before") + F.col("cnt")).cast("long").alias("cum"),
+        )
+    )

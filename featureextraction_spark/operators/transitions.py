@@ -52,3 +52,38 @@ def running_transitions(
     return df.withColumn("__chg", _change_flag(col, w)).withColumn(
         out, F.sum("__chg").over(cum).cast("long")
     ).drop("__chg")
+
+
+def context_pairs(
+    df: DataFrame,
+    col: str,
+    key: str = "user_id",
+    order: tuple[str, ...] = ("ts", "event_id"),
+    context_len: int = 3,
+    sep: str = ">",
+) -> DataFrame:
+    """Higher-order transition table: (context, label, n) where
+    ``context`` is the ``context_len`` immediately-preceding values of
+    ``col`` joined oldest-first by ``sep`` and ``label`` the current
+    value — the (n-gram context → next event) training-example counts a
+    sequence model is fit on. Rows without a full context are dropped
+    (the first ``context_len`` of each key's timeline).
+
+    One key-partitioned window (a single exchange — the lag/lead shape)
+    feeding one map-side-combinable groupBy onto the context vocabulary;
+    everything is JVM expressions.
+    """
+    w = Window.partitionBy(key).orderBy(*order)
+    lags = [F.lag(col, i).over(w) for i in range(context_len, 0, -1)]
+    ctx = F.concat_ws(sep, *lags)
+    # every lag must be an OBSERVED value: a null event inside the
+    # window would silently vanish from concat_ws and alias contexts
+    full = lags[0].isNotNull()
+    for lg in lags[1:]:
+        full = full & lg.isNotNull()
+    return (
+        df.withColumn("__ctx", F.when(full, ctx))
+        .where(F.col("__ctx").isNotNull() & F.col(col).isNotNull())
+        .groupBy(F.col("__ctx").alias("context"), F.col(col).alias("label"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )

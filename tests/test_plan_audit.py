@@ -457,3 +457,130 @@ def test_sketches_no_unbounded_single_partition(spark):
     assert "Exchange SinglePartition" not in cms_plan, cms_plan
     est_plan = plan_of(hll_estimate(hll_registers(words, "term")))
     assert est_plan.count("Exchange SinglePartition") <= 1, est_plan
+
+
+def test_rolling_active_no_log_self_join(spark):
+    """The trailing-window distinct-actives plan explodes the DISTINCT
+    (user, day) table, never the raw log: exactly one Generate
+    (sequence-explode) sits ABOVE an aggregate, and there is no
+    theta-join (the naive day-range self-join shape)."""
+    import datetime as dt
+
+    from featureextraction_spark.operators.activity import rolling_active
+
+    df = spark.createDataFrame(
+        [(1, "e1", "click", dt.datetime(2024, 1, 1), 1.0)],
+        "user_id long, event_id string, event_type string, "
+        "ts timestamp, value double",
+    )
+    plan = plan_of(rolling_active(df, window_days=7))
+    assert "BroadcastNestedLoop" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("Generate explode") == 1, plan
+
+
+def test_rolling_active_hll_state_is_register_table(spark):
+    """The HLL variant's explode fans out the per-day REGISTER table
+    (≤256 rows/day), and every aggregate is partial→final (map-side
+    combinable) — no theta join, no per-row Python."""
+    import datetime as dt
+
+    from featureextraction_spark.operators.activity import rolling_active_hll
+
+    df = spark.createDataFrame(
+        [(1, "e1", "click", dt.datetime(2024, 1, 1), 1.0)],
+        "user_id long, event_id string, event_type string, "
+        "ts timestamp, value double",
+    )
+    plan = plan_of(rolling_active_hll(df, window_days=7))
+    assert "BroadcastNestedLoop" not in plan
+    assert "BatchEvalPython" not in plan
+    assert plan.count("HashAggregate") >= 4, plan  # partial+final pairs
+
+
+def test_attribution_single_exchange_before_report(spark, tr_parquet):
+    """Carry-forward window + channel groupBy: one user-keyed exchange
+    for the window; the report agg re-shuffles only the tiny channel
+    vocabulary."""
+    import datetime as dt
+
+    from featureextraction_spark.operators.activity import (
+        attribution_report,
+        last_touch_attribution,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "e1", "purchase", dt.datetime(2024, 1, 1), 1.0)],
+        "user_id long, event_id string, event_type string, "
+        "ts timestamp, value double",
+    )
+    plan = plan_of(attribution_report(last_touch_attribution(df)))
+    assert count_exchanges(plan) == 2, plan  # window key + channel agg
+    assert "BatchEvalPython" not in plan
+
+
+def test_json_profile_rides_the_scan(spark):
+    """Schema-on-read extraction is map-side expressions + one
+    partial→final groupBy — no shuffle beyond the group agg, no Python."""
+    from featureextraction_spark.operators.semistructured import (
+        json_field_profile,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a", '{"k": 3}')], "id long, event_type string, props string"
+    )
+    plan = plan_of(json_field_profile(df))
+    assert count_exchanges(plan) == 1, plan
+    assert "BatchEvalPython" not in plan
+    assert "get_json_object" in plan or "GetJsonObject" in plan, plan
+
+
+def test_top_per_group_two_phase_no_global_window(spark):
+    """The salted top-k's windows partition on (group, salt) then
+    (group) — never an empty partition spec (a single-task sort)."""
+    from featureextraction_spark.operators.ranking import top_per_group
+
+    df = spark.createDataFrame(
+        [(1, "g", 5)], "id long, grp string, score long"
+    )
+    out = top_per_group(
+        df, by=("grp",), value="score", tie="id", k=3, strategy="two_phase"
+    )
+    plan = plan_of(out)
+    assert "windowspecdefinition()" not in plan.lower()
+    # two row_number windows, each keyed
+    assert plan.count("RunningWindowFunction") + plan.count("Window ") >= 1
+
+
+def test_context_pairs_single_window_exchange(spark):
+    """lag chain + context groupBy: the window costs one user-keyed
+    exchange; the closing agg shuffles only context-vocabulary rows."""
+    import datetime as dt
+
+    from featureextraction_spark.operators.transitions import context_pairs
+
+    df = spark.createDataFrame(
+        [(1, "e1", "click", dt.datetime(2024, 1, 1))],
+        "user_id long, event_id string, event_type string, ts timestamp",
+    )
+    plan = plan_of(
+        context_pairs(df, "event_type", key="user_id", order=("ts", "event_id"))
+    )
+    assert count_exchanges(plan) == 2, plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_negative_sample_is_bucket_equi_join(spark):
+    """The probe is a hash EQUI-join on the bucket id — the plan must
+    not degenerate to BroadcastNestedLoop/cartesian (what a naive
+    per-query uniform sample over the corpus would be)."""
+    from featureextraction_spark.operators.sampling import negative_sample
+
+    qs = spark.range(10).withColumnRenamed("id", "qid")
+    docs = spark.range(100).withColumnRenamed("id", "did")
+    plan = plan_of(
+        negative_sample(qs, docs, query_id="qid", doc_id="did", k=2)
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
+    assert "Join" in plan, plan
