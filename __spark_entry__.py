@@ -2231,14 +2231,14 @@ def q_top_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "lang", "source", "n_chars", "rnk")
 
 
-def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_vocab_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Minimal frequency-ranked vocabulary prefix covering ≥90% of the
     corpus token mass — integer-only cut, two-phase range-partitioned
     global cumsum (no single-partition window)."""
-    from featureextraction_spark.operators.selection import vocab_coverage
+    from featureextraction_spark.operators.selection import vocab_prefix
 
     docs = _load(spark, sf_dir, "documents")
-    return vocab_coverage(docs, coverage_num=90, coverage_den=100)
+    return vocab_prefix(docs, coverage_num=90, coverage_den=100)
 
 
 def q_context_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2384,7 +2384,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "attribution": q_attribution,
         "json_props": q_json_props,
         "top_docs": q_top_docs,
-        "vocab_coverage": q_vocab_coverage,
+        "vocab_prefix": q_vocab_prefix,
         "context_pairs": q_context_pairs,
         "negative_sample": q_negative_sample,
     }
@@ -6303,7 +6303,7 @@ def _round4p_oracle_sql() -> dict[str, str]:
                 FROM documents
             ) WHERE rnk <= 3
         """,
-        "vocab_coverage": f"""
+        "vocab_prefix": f"""
             WITH toks AS (
                 SELECT unnest(regexp_extract_all(
                            lower(coalesce(text, '')), {_TOKENS_RE})) AS term

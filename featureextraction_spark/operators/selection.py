@@ -117,7 +117,7 @@ def chi2_terms(
     )
 
 
-def vocab_coverage(
+def vocab_prefix(
     docs: DataFrame,
     text: str = "text",
     coverage_num: int = 95,

@@ -15,7 +15,7 @@ import pytest
 
 from featureextraction_spark.operators.ranking import top_per_group
 from featureextraction_spark.operators.sampling import negative_sample
-from featureextraction_spark.operators.selection import vocab_coverage
+from featureextraction_spark.operators.selection import vocab_prefix
 from featureextraction_spark.operators.semistructured import (
     json_field_profile,
     with_json_field,
@@ -162,7 +162,7 @@ def docs_df(spark):
     return spark.createDataFrame(rows, "doc_id long, text string")
 
 
-def test_vocab_coverage_vs_naive(spark, docs_df):
+def test_vocab_prefix_vs_naive(spark, docs_df):
     cnt = Counter()
     for r in docs_df.collect():
         cnt.update(TOKEN_RE.findall(r.text.lower()))
@@ -176,14 +176,14 @@ def test_vocab_coverage_vs_naive(spark, docs_df):
         want.append((term, c, cum))
     got = sorted(
         ((r.term, r.cnt, r.cum) for r in
-         vocab_coverage(docs_df, coverage_num=90).collect()),
+         vocab_prefix(docs_df, coverage_num=90).collect()),
         key=lambda t: (-t[1], t[0]),
     )
     assert got == want
 
 
-def test_vocab_coverage_is_minimal_prefix(spark, docs_df):
-    out = vocab_coverage(docs_df, coverage_num=90).collect()
+def test_vocab_prefix_is_minimal(spark, docs_df):
+    out = vocab_prefix(docs_df, coverage_num=90).collect()
     cnt = Counter()
     for r in docs_df.collect():
         cnt.update(TOKEN_RE.findall(r.text.lower()))
