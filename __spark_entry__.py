@@ -2266,6 +2266,59 @@ def q_negative_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user RFM segmentation: one user-keyed collapse of the log,
+    then three two-phase global-rank passes over the users table (never
+    the log, never a single-partition window); tiles are pure integer
+    rank·5 div n arithmetic."""
+    from featureextraction_spark.operators.activity import rfm_segments
+
+    ev = _load(spark, sf_dir, "events")
+    return rfm_segments(ev)
+
+
+def q_session_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-session bounds + inter-session gap and right-censored churn
+    label — rides sessionize's single key exchange; the lead() runs on
+    the sessions table, orders of magnitude smaller than the log."""
+    from featureextraction_spark.operators.sessionize import session_gaps
+
+    ev = _load(spark, sf_dir, "events")
+    return session_gaps(
+        ev, key="user_id", ts="ts", tie="event_id",
+        gap_seconds=SESSION_GAP_SECONDS,
+    )
+
+
+def q_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D Morton (Z-order) layout key over (user, day) — the
+    file-clustering sort key behind OPTIMIZE ZORDER BY; pure integer
+    shift/mask expressions, bit-identical on every engine."""
+    from featureextraction_spark.operators.layout import zorder_keys
+    from featureextraction_spark.functions.time import epoch_us
+
+    ev = _load(spark, sf_dir, "events")
+    d = ev.select(
+        "event_id", "user_id", epoch_us(ev, "ts").alias("__us")
+    ).select(
+        "event_id",
+        "user_id",
+        F.expr("CAST(__us div 86400000000 AS BIGINT)").alias("day"),
+    )
+    return zorder_keys(d, "user_id", "day", bits=21)
+
+
+def q_systematic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every-10th-row ordered thinning by global event-id rank — the
+    two-phase range-partitioned rank, one mod filter."""
+    from featureextraction_spark.operators.sampling import systematic_sample
+
+    ev = _load(spark, sf_dir, "events")
+    return systematic_sample(ev, "event_id", every_k=10).select(
+        "event_id", "user_id", "event_type"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "lag_lead": q_lag_lead,
@@ -2387,6 +2440,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_prefix": q_vocab_prefix,
         "context_pairs": q_context_pairs,
         "negative_sample": q_negative_sample,
+        "rfm": q_rfm,
+        "session_gaps": q_session_gaps,
+        "zorder": q_zorder,
+        "systematic_sample": q_systematic_sample,
     }
 
 
@@ -2646,6 +2703,7 @@ def oracle_sql() -> dict[str, str]:
     base.update(_round4n_oracle_sql())
     base.update(_activity_oracle_sql())
     base.update(_round4p_oracle_sql())
+    base.update(_round4q_oracle_sql())
     # full-probe IVF is exhaustive by construction — the exact replay gates it
     base["ivf_topk_full"] = base["cosine_topk"]
     # full-probe IVF-PQ scans every list exactly once == the flat ADC scan
@@ -6371,5 +6429,103 @@ def _round4p_oracle_sql() -> dict[str, str]:
             )
             SELECT vec_id, doc_id, CAST(neg_rank AS BIGINT) AS neg_rank
             FROM r WHERE neg_rank <= 2
+        """,
+    }
+
+
+def _round4q_oracle_sql() -> dict[str, str]:
+    """DuckDB replays of the round-4q batch: RFM segmentation,
+    session-gap/churn labels, Z-order layout keys, systematic sampling.
+    Integer-only contracts throughout (tiles = rank·5 // n; Morton =
+    shift/mask sums; gaps = BIGINT µs)."""
+    return {
+        "rfm": """
+            WITH pu AS (
+                SELECT user_id,
+                       max(epoch_us(ts) // 86400000000) AS last_day,
+                       CAST(count(*) AS BIGINT) AS f_cnt,
+                       CAST(sum(CAST(floor(value * 1000.0 + 0.5) AS BIGINT))
+                            AS BIGINT) AS m_q
+                FROM events GROUP BY user_id
+            ),
+            r AS (
+                SELECT *,
+                       (SELECT max(last_day) FROM pu) - last_day AS r_days,
+                       (SELECT count(*) FROM pu) AS n
+                FROM pu
+            ),
+            s AS (
+                SELECT user_id, r_days, f_cnt, m_q,
+                       (row_number() OVER (ORDER BY r_days, user_id) - 1)
+                           * 5 // n + 1 AS r_score,
+                       (row_number() OVER (ORDER BY f_cnt, user_id) - 1)
+                           * 5 // n + 1 AS f_score,
+                       (row_number() OVER (ORDER BY m_q, user_id) - 1)
+                           * 5 // n + 1 AS m_score
+                FROM r
+            )
+            SELECT user_id, CAST(r_days AS BIGINT) AS r_days, f_cnt, m_q,
+                   CAST(r_score AS BIGINT) AS r_score,
+                   CAST(f_score AS BIGINT) AS f_score,
+                   CAST(m_score AS BIGINT) AS m_score,
+                   CAST(r_score * 100 + f_score * 10 + m_score AS BIGINT)
+                       AS rfm_code
+            FROM s
+        """,
+        "session_gaps": f"""
+            WITH flagged AS (
+                SELECT user_id, ts, event_id,
+                       CASE WHEN lag(ts) OVER win IS NULL
+                                 OR epoch(ts) - epoch(lag(ts) OVER win)
+                                    > {SESSION_GAP_SECONDS}
+                            THEN 1 ELSE 0 END AS new_sess
+                FROM events
+                WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ),
+            sess AS (
+                SELECT user_id, epoch_us(ts) AS us,
+                       CAST(sum(new_sess) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                       ) AS BIGINT) AS session_id
+                FROM flagged
+            ),
+            g AS (
+                SELECT user_id, session_id,
+                       CAST(min(us) AS BIGINT) AS start_us,
+                       CAST(max(us) AS BIGINT) AS end_us,
+                       CAST(count(*) AS BIGINT) AS n_events
+                FROM sess GROUP BY 1, 2
+            ),
+            l AS (
+                SELECT *,
+                       lead(start_us) OVER (
+                           PARTITION BY user_id ORDER BY session_id
+                       ) - end_us AS next_gap_us
+                FROM g
+            )
+            SELECT user_id, session_id, start_us, end_us, n_events,
+                   CAST(next_gap_us AS BIGINT) AS next_gap_us,
+                   CAST(CASE WHEN next_gap_us IS NULL
+                                  OR next_gap_us > 604800000000
+                             THEN 1 ELSE 0 END AS BIGINT) AS churned
+            FROM l
+        """,
+        "zorder": """
+            WITH t AS (
+                SELECT event_id, user_id,
+                       epoch_us(ts) // 86400000000 AS day
+                FROM events
+            )
+            SELECT event_id, user_id, CAST(day AS BIGINT) AS day,
+                   CAST((((user_id >> 0) & 1) << 0) + (((day >> 0) & 1) << 1) + (((user_id >> 1) & 1) << 2) + (((day >> 1) & 1) << 3) + (((user_id >> 2) & 1) << 4) + (((day >> 2) & 1) << 5) + (((user_id >> 3) & 1) << 6) + (((day >> 3) & 1) << 7) + (((user_id >> 4) & 1) << 8) + (((day >> 4) & 1) << 9) + (((user_id >> 5) & 1) << 10) + (((day >> 5) & 1) << 11) + (((user_id >> 6) & 1) << 12) + (((day >> 6) & 1) << 13) + (((user_id >> 7) & 1) << 14) + (((day >> 7) & 1) << 15) + (((user_id >> 8) & 1) << 16) + (((day >> 8) & 1) << 17) + (((user_id >> 9) & 1) << 18) + (((day >> 9) & 1) << 19) + (((user_id >> 10) & 1) << 20) + (((day >> 10) & 1) << 21) + (((user_id >> 11) & 1) << 22) + (((day >> 11) & 1) << 23) + (((user_id >> 12) & 1) << 24) + (((day >> 12) & 1) << 25) + (((user_id >> 13) & 1) << 26) + (((day >> 13) & 1) << 27) + (((user_id >> 14) & 1) << 28) + (((day >> 14) & 1) << 29) + (((user_id >> 15) & 1) << 30) + (((day >> 15) & 1) << 31) + (((user_id >> 16) & 1) << 32) + (((day >> 16) & 1) << 33) + (((user_id >> 17) & 1) << 34) + (((day >> 17) & 1) << 35) + (((user_id >> 18) & 1) << 36) + (((day >> 18) & 1) << 37) + (((user_id >> 19) & 1) << 38) + (((day >> 19) & 1) << 39) + (((user_id >> 20) & 1) << 40) + (((day >> 20) & 1) << 41) AS BIGINT) AS zkey
+            FROM t
+        """,
+        "systematic_sample": """
+            SELECT event_id, user_id, event_type FROM (
+                SELECT event_id, user_id, event_type,
+                       row_number() OVER (ORDER BY event_id) - 1 AS rk
+                FROM events
+            ) WHERE rk % 10 = 0
         """,
     }

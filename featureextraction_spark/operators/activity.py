@@ -217,3 +217,98 @@ def attribution_report(touches: DataFrame) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("conversions"),
         F.sum("value_q").cast("long").alias("value_q_sum"),
     )
+
+
+def rfm_segments(
+    df: DataFrame,
+    user: str = "user_id",
+    ts: str = "ts",
+    value: str = "value",
+    n_tiles: int = 5,
+) -> DataFrame:
+    """Classic RFM segmentation: per user, Recency (days since last
+    event, relative to the log's max day — no wall clock, so the result
+    is a pure function of the input), Frequency (event count) and
+    Monetary (exact BIGINT value thousandths), each scored into
+    ``n_tiles`` quantile tiles 1..n (1 = lowest metric value; ties
+    broken by user id so every engine assigns identical tiles).
+
+    Bit-portability: metrics are integers; a tile is
+    ``rank · n_tiles // n_users + 1`` — integer arithmetic only.
+    ``value`` must be non-negative (the rank key is zero-padded decimal,
+    whose lexicographic order is numeric only for non-negatives).
+
+    Scale design: ONE user-keyed aggregate collapses the log to a
+    users-sized table; each tile assignment is
+    :func:`..blockpair.with_global_rank`'s two-phase range-partitioned
+    rank over THAT table (never the log), so nothing here touches a
+    single-partition window. Three rank passes over users×1 rows is the
+    cost — at 10⁹ users still three small shuffles.
+    """
+    from .blockpair import with_global_rank
+
+    per_user = (
+        df.select(
+            F.col(user).alias("__u"),
+            epoch_us(df, ts).alias("__us"),
+            F.floor(F.col(value) * F.lit(1e3) + F.lit(0.5))
+            .cast("long")
+            .alias("__vq"),
+        )
+        .groupBy("__u")
+        .agg(
+            F.max(F.expr(f"CAST(__us div {US_PER_DAY} AS BIGINT)")).alias(
+                "__last_day"
+            ),
+            F.count(F.lit(1)).cast("long").alias("f_cnt"),
+            F.sum("__vq").cast("long").alias("m_q"),
+        )
+    )
+    ref = per_user.agg(
+        F.max("__last_day").alias("__ref_day"),
+        F.count(F.lit(1)).cast("long").alias("__n"),
+    )
+    base = per_user.join(F.broadcast(ref)).withColumn(
+        "r_days", (F.col("__ref_day") - F.col("__last_day")).cast("long")
+    )
+    n = F.col("__n")
+    # rank each metric ascending with the user id as the tiebreak; the
+    # composite sort key is unique so with_global_rank's contract holds
+    for metric, score in (
+        ("r_days", "r_score"),
+        ("f_cnt", "f_score"),
+        ("m_q", "m_score"),
+    ):
+        base = base.withColumn(
+            "__key",
+            F.concat_ws(
+                "|",
+                F.lpad(
+                    # metrics are non-negative (r_days ≥ 0 by the ref-day
+                    # construction; counts/sums of quantized non-negative
+                    # values) so zero-padded decimal order = numeric order
+                    F.col(metric).cast("string"),
+                    20,
+                    "0",
+                ),
+                # the tiebreak pads too: "10" < "9" lexicographically,
+                # and a tie straddling a tile boundary would mis-assign
+                F.lpad(F.col("__u").cast("string"), 20, "0"),
+            ),
+        )
+        base = with_global_rank(base, "__key", "__rk").withColumn(
+            score,
+            F.expr(f"CAST(__rk * {int(n_tiles)} div __n AS BIGINT) + 1"),
+        ).drop("__key", "__rk")
+    return base.select(
+        F.col("__u").alias(user),
+        "r_days",
+        "f_cnt",
+        "m_q",
+        "r_score",
+        "f_score",
+        "m_score",
+        (
+            F.col("r_score") * 100 + F.col("f_score") * 10 + F.col("m_score")
+        ).cast("long").alias("rfm_code"),
+    )

@@ -310,3 +310,28 @@ def negative_sample(
             "neg_rank",
         )
     )
+
+
+def systematic_sample(
+    df: DataFrame,
+    order_col: str,
+    every_k: int,
+    offset: int = 0,
+) -> DataFrame:
+    """Every ``k``-th row in ``order_col`` order (rows whose global rank
+    ≡ offset mod k) — the ordered thinning used for eval slices and
+    debug extracts when a hash sample must not break ordering locality.
+
+    ``order_col`` values must be unique (ids). The global rank is
+    :func:`..blockpair.with_global_rank`'s two-phase range-partitioned
+    rank — no single-partition window — and the mod filter is one
+    integer expression, so the pass is a range shuffle + a map.
+    """
+    from .blockpair import with_global_rank
+
+    if every_k < 1:
+        raise ValueError("every_k must be >= 1")
+    ranked = with_global_rank(df, order_col, "__rk")
+    return ranked.where(
+        F.pmod(F.col("__rk"), F.lit(every_k)) == F.lit(offset % every_k)
+    ).drop("__rk")

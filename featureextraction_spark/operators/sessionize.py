@@ -207,3 +207,49 @@ def session_state_features(
         (F.col("__us") - carry("__s_us")).alias("elapsed_us"),
         (F.col("__gcum") - carry("__b_cum")).alias("run_value_sum_q"),
     )
+
+
+def session_gaps(
+    df: DataFrame,
+    key: str = "conv_id",
+    ts: str = "ts",
+    tie: str = "turn_idx",
+    gap_seconds: int = DEFAULT_GAP_SECONDS,
+    churn_seconds: int = 7 * 86400,
+) -> DataFrame:
+    """One row per (key, session): bounds plus the INTER-session gap —
+    the churn signal sessionization exists to expose.
+
+    Columns: start_us / end_us (exact µs), n_events, next_gap_us (µs
+    from this session's end to the next session's start; NULL for the
+    key's last session) and churned (1 when the gap exceeds
+    ``churn_seconds`` OR the session is the last one — the standard
+    right-censored churn label, documented; 0 otherwise).
+
+    Scale design: rides :func:`sessionize`'s single key exchange — the
+    session collapse is a same-key groupBy (no second shuffle) and the
+    lead() over sessions re-partitions only the sessions table (orders
+    of magnitude smaller than the log). All comparisons are BIGINT µs.
+    """
+    from ..functions.time import epoch_us
+
+    sess = sessionize(
+        df, key=key, ts=ts, tie=tie, gap_seconds=gap_seconds
+    ).select(
+        F.col(key), F.col("session_id"), epoch_us(df, ts).alias("__us")
+    )
+    per_sess = sess.groupBy(key, "session_id").agg(
+        F.min("__us").cast("long").alias("start_us"),
+        F.max("__us").cast("long").alias("end_us"),
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+    )
+    w = Window.partitionBy(key).orderBy("session_id")
+    nxt = F.lead("start_us").over(w)
+    gap = (nxt - F.col("end_us")).cast("long")
+    churn_us = int(churn_seconds) * 1_000_000
+    return per_sess.withColumn("next_gap_us", gap).withColumn(
+        "churned",
+        F.when(gap.isNull() | (gap > F.lit(churn_us)), F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("long"),
+    )

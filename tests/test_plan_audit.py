@@ -584,3 +584,59 @@ def test_negative_sample_is_bucket_equi_join(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoop" not in plan
     assert "Join" in plan, plan
+
+
+def test_rfm_ranks_users_table_not_log(spark):
+    """RFM's three rank passes run over the user-collapsed table: no
+    single-partition window (every windowspecdefinition has keys), no
+    Python, no nested-loop join."""
+    import datetime as dt
+
+    from featureextraction_spark.operators.activity import rfm_segments
+
+    df = spark.createDataFrame(
+        [(1, "e1", "click", dt.datetime(2024, 1, 1), 1.0)],
+        "user_id long, event_id string, event_type string, "
+        "ts timestamp, value double",
+    )
+    plan = plan_of(rfm_segments(df))
+    assert "windowspecdefinition()" not in plan.lower().replace(" ", "")
+    assert "BatchEvalPython" not in plan
+    assert "BroadcastNestedLoop" not in plan or "BuildRight" in plan
+
+
+def test_session_gaps_reuses_session_exchange(spark, tr_parquet):
+    """sessionize window + per-session groupBy share the key partition;
+    the lead() re-shuffles only the (key, session) table."""
+    from featureextraction_spark.operators.sessionize import session_gaps
+
+    plan = plan_of(
+        session_gaps(tr_parquet, key="conv_id", ts="ts", tie="turn_idx")
+    )
+    # one exchange for the window chain + ≤2 for the sessions table
+    assert count_exchanges(plan) <= 3, plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_zorder_key_is_codegen_expressions(spark):
+    """The Morton key is pure whole-stage-codegen integer arithmetic —
+    map-only plan: zero exchanges, zero Python."""
+    from pyspark.sql import functions as F
+
+    from featureextraction_spark.operators.layout import zorder_keys
+
+    df = spark.createDataFrame([(1, 2)], "a long, b long")
+    plan = plan_of(zorder_keys(df, "a", "b"))
+    assert count_exchanges(plan) == 0, plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_systematic_sample_no_global_window(spark):
+    """The every-k filter rides the two-phase global rank — range
+    exchange + keyed window, never an empty-spec (single-task) window."""
+    from featureextraction_spark.operators.sampling import systematic_sample
+
+    df = spark.range(100).withColumnRenamed("id", "eid")
+    plan = plan_of(systematic_sample(df, "eid", every_k=7))
+    assert "windowspecdefinition()" not in plan.lower().replace(" ", "")
+    assert "Exchange rangepartitioning" in plan, plan
