@@ -25,6 +25,7 @@ def stream_dir(spark, tmp_path_factory):
     pdf = make_transcripts(n_conversations=30, mean_turns=15, seed=11)
     pdf["ts"] = pdf["ts"].astype("datetime64[us]")
     pdf = pdf.sort_values("ts", kind="mergesort").reset_index(drop=True)
+    import pandas as pd
     import pyarrow as pa
     import pyarrow.parquet as pq
 
@@ -373,6 +374,7 @@ def test_stateless_curation_ops_run_on_streams(spark, tmp_path):
     )
     src_dir = str(tmp_path / "docs")
     os.makedirs(src_dir)
+    import pandas as pd
     import pyarrow as pa
     import pyarrow.parquet as pq
 
@@ -414,6 +416,7 @@ def test_stateless_curation_ops_run_on_streams(spark, tmp_path):
 def doc_stream_dir(spark, tmp_path_factory):
     """A document stream: 2 parquet chunks with line structure, repeated
     lines, empty lines, an empty doc, and a NULL-text doc."""
+    import pandas as pd
     import pandas as pd
     import pyarrow as pa
     import pyarrow.parquet as pq
@@ -723,3 +726,78 @@ def test_streaming_sketches_match_batch(spark, doc_stream_dir):
     assert {
         r.register: r.m_rho for r in got_hll.itertuples()
     } == {r.register: r.m_rho for r in want_hll.itertuples()}
+
+
+@pytest.fixture(scope="module")
+def event_stream_dir(spark, tmp_path_factory):
+    """Time-ordered event-log chunks (the activity-operator shape)."""
+    import datetime as dt
+    import random
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    base = tmp_path_factory.mktemp("event_stream")
+    rng = random.Random(31)
+    rows = []
+    eid = 0
+    for u in range(25):
+        t = rng.randrange(0, 10**12)
+        for _ in range(rng.randint(2, 25)):
+            t += rng.randrange(1, 3600 * 10**6)
+            rows.append(
+                {
+                    "user_id": u,
+                    "event_id": f"e{eid:06d}",
+                    "event_type": rng.choice(
+                        ["click", "view", "email", "purchase"]
+                    ),
+                    "ts": dt.datetime(1970, 1, 1)
+                    + dt.timedelta(microseconds=t),
+                    "value": round(rng.uniform(0, 80), 3),
+                }
+            )
+            eid += 1
+    pdf = pd.DataFrame(rows).sort_values("ts", kind="mergesort")
+    pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+    pdf = pdf.reset_index(drop=True)
+    third = len(pdf) // 3
+    for i, chunk in enumerate(
+        [pdf.iloc[:third], pdf.iloc[third : 2 * third], pdf.iloc[2 * third :]]
+    ):
+        pq.write_table(
+            pa.Table.from_pandas(chunk, preserve_index=False),
+            os.path.join(str(base), f"chunk_{i}.parquet"),
+        )
+    return str(base)
+
+
+def test_streaming_attribution_matches_batch(spark, event_stream_dir):
+    """Every emitted conversion's (channel, value_q) must equal the
+    batch carry-forward window's row — same credit, zero leakage."""
+    from featureextraction_spark.operators.activity import (
+        last_touch_attribution,
+    )
+    from featureextraction_spark.streaming.attribution import (
+        streaming_attribution,
+    )
+
+    batch_df = spark.read.parquet(event_stream_dir)
+    batch_df.persist().count()
+    got = _run_stream(
+        spark,
+        event_stream_dir,
+        batch_df,
+        lambda s: streaming_attribution(s),
+        "append",
+        "attr_out",
+    )
+    bdf = batch_df.withColumn("ts", F.col("ts").cast("timestamp"))
+    exp = last_touch_attribution(bdf).toPandas()
+    assert len(got) == len(exp) and len(exp) > 0
+    key = ["user_id", "event_id"]
+    g = got.sort_values(key).reset_index(drop=True)
+    e = exp.sort_values(key).reset_index(drop=True)
+    for c in ["user_id", "event_id", "channel", "value_q"]:
+        assert list(g[c]) == list(e[c]), c
