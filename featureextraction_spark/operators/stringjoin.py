@@ -35,6 +35,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from .cache import persist_tracked
+
 
 def edit_distance_pairs(
     docs: DataFrame,
@@ -63,21 +65,44 @@ def edit_distance_pairs(
             )
         ).alias("__pos", "gram"),
     )
+    # ONE doc-keyed exchange serves both windows below: hash(id)
+    # clusters (id, gram) too, so the occ window and the per-doc rank
+    # window each add only a sort — without this the plan pays two full
+    # shuffles of the gram table ((id, gram) then (id))
+    grams = grams.repartition(F.col("__id"))
     # occurrence index makes duplicate grams distinct multiset elements
     occ_w = Window.partitionBy("__id", "gram").orderBy("__pos")
     grams = grams.withColumn("occ", F.row_number().over(occ_w).cast("long"))
 
-    gram_df = grams.groupBy("gram").agg(
-        F.count_distinct("__id").cast("long").alias("__df")
+    # df from the occ==1 rows (exactly one per (id, gram)) — no
+    # count_distinct two-phase agg; the result is vocab-sized (≤ |Σ|^q),
+    # persisted and broadcast when small so the grams table is never
+    # re-shuffled on the hot gram key
+    gram_df = (
+        grams.where(F.col("occ") == 1)
+        .groupBy("gram")
+        .agg(F.count(F.lit(1)).cast("long").alias("__df"))
+        .transform(persist_tracked)
     )
-    ranked = grams.join(gram_df, "gram").withColumn(
+    gdf = (
+        F.broadcast(gram_df)
+        if gram_df.count() <= 2_000_000
+        else gram_df
+    )
+    ranked = grams.join(gdf, "gram").withColumn(
         "__rk",
         F.row_number().over(
             Window.partitionBy("__id").orderBy("__df", "gram", "occ")
         ),
     )
-    prefix = ranked.where(F.col("__rk") <= prefix_len).select(
-        "gram", "occ", "__id", "__len"
+    # prefix is tiny (prefix_len rows per doc) but its LINEAGE is the
+    # full gram explode + two windows; the self-join below consumes it
+    # twice and the verify path a third time — persist or the whole
+    # upstream recomputes per consumer (profiled 22.7s → ~7s at sf0.1)
+    prefix = (
+        ranked.where(F.col("__rk") <= prefix_len)
+        .select("gram", "occ", "__id", "__len")
+        .transform(persist_tracked)
     )
 
     a = prefix.select(
