@@ -1782,7 +1782,11 @@ def q_cms_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         count_min_sketch,
     )
 
-    toks = _doc_tokens(spark, sf_dir)
+    from featureextraction_spark.operators.cache import persist_tracked
+
+    # toks feeds BOTH the sketch build and the exact-count comparison —
+    # persist or the document explode runs twice
+    toks = _doc_tokens(spark, sf_dir).transform(persist_tracked)
     cms = count_min_sketch(toks, "term", depth=4, width=256)
     probes = spark.createDataFrame(
         [(t,) for t in CMS_PROBE_TERMS], schema="term string"
@@ -2319,6 +2323,24 @@ def q_systematic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_rolling_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day mean/extremes/variance partials per event type via
+    the lambda pattern: ONE pass builds exact-integer daily moment
+    partials, the window merges ×W over the tiny daily table — history
+    is never rescanned."""
+    from featureextraction_spark.operators.activity import (
+        daily_moments,
+        merge_moments,
+    )
+
+    ev = _load(spark, sf_dir, "events")
+    out = merge_moments(daily_moments(ev), window_days=7)
+    return out.select(
+        "day", "event_type", "n", "sum_q", "min_q", "max_q", "sum_sq",
+        _hround6(F.col("mean_q")).alias("mean_q"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "lag_lead": q_lag_lead,
@@ -2444,6 +2466,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_gaps": q_session_gaps,
         "zorder": q_zorder,
         "systematic_sample": q_systematic_sample,
+        "rolling_moments": q_rolling_moments,
     }
 
 
@@ -2704,6 +2727,7 @@ def oracle_sql() -> dict[str, str]:
     base.update(_activity_oracle_sql())
     base.update(_round4p_oracle_sql())
     base.update(_round4q_oracle_sql())
+    base.update(_round4r_oracle_sql())
     # full-probe IVF is exhaustive by construction — the exact replay gates it
     base["ivf_topk_full"] = base["cosine_topk"]
     # full-probe IVF-PQ scans every list exactly once == the flat ADC scan
@@ -6527,5 +6551,48 @@ def _round4q_oracle_sql() -> dict[str, str]:
                        row_number() OVER (ORDER BY event_id) - 1 AS rk
                 FROM events
             ) WHERE rk % 10 = 0
+        """,
+    }
+
+
+def _round4r_oracle_sql() -> dict[str, str]:
+    """DuckDB replay of the mergeable daily-moments lambda pattern:
+    build exact-integer per-(day, type) partials once, merge the
+    trailing window over the daily table, one closing division."""
+    return {
+        "rolling_moments": """
+            WITH d AS (
+                SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+                       CAST(floor(value * 1000.0 + 0.5) AS BIGINT) AS vq
+                FROM events
+            ),
+            daily AS (
+                SELECT day, event_type,
+                       CAST(count(*) AS BIGINT) AS n,
+                       CAST(sum(vq) AS BIGINT) AS sum_q,
+                       CAST(min(vq) AS BIGINT) AS min_q,
+                       CAST(max(vq) AS BIGINT) AS max_q,
+                       CAST(sum(vq * vq) AS BIGINT) AS sum_sq
+                FROM d GROUP BY 1, 2
+            ),
+            m AS (
+                SELECT day + o AS day, event_type, n, sum_q, min_q, max_q,
+                       sum_sq
+                FROM daily, (SELECT unnest(generate_series(0, 6)) AS o)
+            ),
+            g AS (
+                SELECT day, event_type,
+                       CAST(sum(n) AS BIGINT) AS n,
+                       CAST(sum(sum_q) AS BIGINT) AS sum_q,
+                       CAST(min(min_q) AS BIGINT) AS min_q,
+                       CAST(max(max_q) AS BIGINT) AS max_q,
+                       CAST(sum(sum_sq) AS BIGINT) AS sum_sq
+                FROM m GROUP BY 1, 2
+            ),
+            days AS (SELECT DISTINCT day FROM d)
+            SELECT day, event_type, n, sum_q, min_q, max_q, sum_sq,
+                   round(CAST(sum_q AS DOUBLE) / CAST(n AS DOUBLE)
+                         + 1e-9, 6) AS mean_q
+            FROM g JOIN days USING (day)
         """,
     }

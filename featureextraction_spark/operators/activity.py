@@ -312,3 +312,75 @@ def rfm_segments(
             F.col("r_score") * 100 + F.col("f_score") * 10 + F.col("m_score")
         ).cast("long").alias("rfm_code"),
     )
+
+
+def daily_moments(
+    df: DataFrame,
+    ts: str = "ts",
+    value: str = "value",
+    by: str | None = "event_type",
+) -> DataFrame:
+    """Per-(day[, group]) mergeable moment partials: (n, sum_q, min_q,
+    max_q, sum_sq) over value thousandths — the persisted daily state an
+    incremental 100-TB pipeline aggregates ONCE, then answers any
+    trailing-window mean/variance/extremes question by merging a handful
+    of partial rows instead of rescanning history.
+
+    All columns are exact BIGINTs (``sum_sq`` of thousandths bounds the
+    int64 budget at ~2·10⁶ rows/day of |value| ≤ 10⁶ — coarsen the
+    quantization when values run hotter, documented at the call site).
+    One map-side-combinable groupBy; nothing else.
+    """
+    vq = F.floor(F.col(value) * F.lit(1e3) + F.lit(0.5)).cast("long")
+    keys = ["day"] + ([by] if by else [])
+    return (
+        df.select(
+            *([F.col(by)] if by else []),
+            epoch_us(df, ts).alias("__us"),
+            vq.alias("__vq"),
+        )
+        .select(*([by] if by else []), _day_expr().alias("day"), "__vq")
+        .groupBy(*keys)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("__vq").cast("long").alias("sum_q"),
+            F.min("__vq").cast("long").alias("min_q"),
+            F.max("__vq").cast("long").alias("max_q"),
+            F.sum(F.col("__vq") * F.col("__vq")).cast("long").alias("sum_sq"),
+        )
+    )
+
+
+def merge_moments(
+    daily: DataFrame, window_days: int = 7, by: str | None = "event_type"
+) -> DataFrame:
+    """Trailing-window roll-up of :func:`daily_moments` partials — the
+    merge half of the lambda pattern: counts/sums add, extremes
+    max/min-merge. Costs ×W on the DAILY table (days × groups rows),
+    never the raw log; the mean is the single closing division the
+    caller nudge-rounds.
+    """
+    keys = ["day"] + ([by] if by else [])
+    exploded = daily.select(
+        *([by] if by else []),
+        F.explode(
+            F.sequence(F.col("day"), F.col("day") + F.lit(window_days - 1))
+        ).alias("day"),
+        "n",
+        "sum_q",
+        "min_q",
+        "max_q",
+        "sum_sq",
+    )
+    merged = exploded.groupBy(*keys).agg(
+        F.sum("n").cast("long").alias("n"),
+        F.sum("sum_q").cast("long").alias("sum_q"),
+        F.min("min_q").cast("long").alias("min_q"),
+        F.max("max_q").cast("long").alias("max_q"),
+        F.sum("sum_sq").cast("long").alias("sum_sq"),
+    )
+    days = daily.select("day").distinct()
+    return merged.join(days, "day").withColumn(
+        "mean_q",
+        F.col("sum_q").cast("double") / F.col("n").cast("double"),
+    )

@@ -219,3 +219,42 @@ def test_attribution_touch_is_strictly_prior(spark):
         r.event_id: r.channel for r in last_touch_attribution(df).collect()
     }
     assert got == {"e2": "click", "e0": "direct"}
+
+
+def test_daily_moments_merge_vs_direct(spark, events):
+    """Window-merged partials must equal moments computed DIRECTLY on
+    the window's raw rows — the mergeability identity the lambda
+    pattern rests on."""
+    from featureextraction_spark.operators.activity import (
+        daily_moments,
+        merge_moments,
+    )
+
+    rows = [tuple(r) for r in events.collect()]
+    raw = defaultdict(list)
+    for _u, _e, t, ts, v in rows:
+        d = (ts - EPOCH) // dt.timedelta(microseconds=1) // US_PER_DAY
+        raw[(d, t)].append(int((v * 1e3 + 0.5) // 1))
+    days = sorted({d for d, _t in raw})
+    types = sorted({t for _d, t in raw})
+    want = {}
+    for d in days:
+        for t in types:
+            win = [
+                q
+                for dd in range(d - 6, d + 1)
+                for q in raw.get((dd, t), [])
+            ]
+            if win:
+                want[(d, t)] = (
+                    len(win), sum(win), min(win), max(win),
+                    sum(q * q for q in win),
+                )
+    merged = merge_moments(daily_moments(events), window_days=7)
+    got = {
+        (r.day, r.event_type): (r.n, r.sum_q, r.min_q, r.max_q, r.sum_sq)
+        for r in merged.collect()
+    }
+    assert got == want
+    for r in merged.collect():
+        assert r.mean_q == r.sum_q / r.n
