@@ -2341,6 +2341,72 @@ def q_rolling_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-part triangle counts over the co-purchase graph (parts that
+    share an order): ordered two-join enumeration — each triangle
+    produced exactly once — all hash equi-joins, fan-out bounded by
+    Σdeg² over middle vertices."""
+    from featureextraction_spark.operators.graph import triangle_counts
+
+    li = _load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    edges = (
+        a.join(b, "l_orderkey")
+        .where(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .select(
+            F.col("a.l_partkey").alias("src"),
+            F.col("b.l_partkey").alias("dst"),
+        )
+    )
+    return triangle_counts(edges)
+
+
+_CDC_CUTOFF_US = 1_705_363_200_000_000  # 2024-01-16 00:00:00 UTC
+
+
+def _cdc_state(spark: SparkSession, sf_dir: str, before_us: int | None = None):
+    from featureextraction_spark.operators.scd import cdc_apply
+    from featureextraction_spark.functions.time import epoch_us
+
+    ev = _load(spark, sf_dir, "events")
+    log = ev.select(
+        "user_id", "event_id", "ts", "event_type", "value",
+        epoch_us(ev, "ts").alias("ts_us"),
+    )
+    if before_us is not None:
+        log = log.where(F.col("ts_us") < F.lit(before_us))
+    return cdc_apply(
+        log, key="user_id", seq=("ts", "event_id"),
+        op="event_type", delete_op="error",
+    )
+
+
+def q_cdc_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest-wins changelog compaction (the read half of CDC): one row
+    per user — the payload of their last event — users whose final
+    event is an 'error' tombstone absent. One key exchange + one
+    row_number; hot keys pre-thinnable with the salted top-k pattern."""
+    return _cdc_state(spark, sf_dir).select(
+        "user_id", "event_id", "ts_us", "event_type", "value"
+    )
+
+
+def q_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed snapshot diff between the mid-month CDC state and the
+    final state: one full-outer hash equi-join on the key, null-safe
+    column comparison, status ∈ added/removed/changed/unchanged."""
+    from featureextraction_spark.operators.scd import table_diff
+
+    old = _cdc_state(spark, sf_dir, before_us=_CDC_CUTOFF_US)
+    new = _cdc_state(spark, sf_dir)
+    return table_diff(
+        old, new, key="user_id", compare=("event_type", "value")
+    ).select(
+        "user_id", "status",
+        "old_event_type", "new_event_type", "old_value", "new_value",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "lag_lead": q_lag_lead,
@@ -2467,6 +2533,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zorder": q_zorder,
         "systematic_sample": q_systematic_sample,
         "rolling_moments": q_rolling_moments,
+        "triangles": q_triangles,
+        "cdc_state": q_cdc_state,
+        "table_diff": q_table_diff,
     }
 
 
@@ -2728,6 +2797,7 @@ def oracle_sql() -> dict[str, str]:
     base.update(_round4p_oracle_sql())
     base.update(_round4q_oracle_sql())
     base.update(_round4r_oracle_sql())
+    base.update(_round4s_oracle_sql())
     # full-probe IVF is exhaustive by construction — the exact replay gates it
     base["ivf_topk_full"] = base["cosine_topk"]
     # full-probe IVF-PQ scans every list exactly once == the flat ADC scan
@@ -6594,5 +6664,63 @@ def _round4r_oracle_sql() -> dict[str, str]:
                    round(CAST(sum_q AS DOUBLE) / CAST(n AS DOUBLE)
                          + 1e-9, 6) AS mean_q
             FROM g JOIN days USING (day)
+        """,
+    }
+
+
+def _round4s_oracle_sql() -> dict[str, str]:
+    """DuckDB replay of the graph/CDC trio: ordered-triple triangle
+    enumeration, latest-wins changelog compaction, keyed snapshot diff.
+    All integer/string/pass-through-double columns — no float
+    arithmetic, so bit-exact across engines by construction."""
+    cdc = """
+        SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type, value
+        FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY user_id
+                ORDER BY ts DESC, event_id DESC) AS rn
+            FROM events {where}
+        ) WHERE rn = 1 AND event_type <> 'error'
+    """
+    return {
+        "triangles": """
+            WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem),
+            e AS (
+                SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
+                FROM li a JOIN li b
+                  ON a.l_orderkey = b.l_orderkey
+                 AND a.l_partkey < b.l_partkey
+            ),
+            tri AS (
+                SELECT e1.pa AS a, e1.pb AS b, e2.pb AS c
+                FROM e e1
+                JOIN e e2 ON e1.pb = e2.pa
+                JOIN e e3 ON e3.pa = e1.pa AND e3.pb = e2.pb
+            ),
+            corners AS (
+                SELECT a AS node FROM tri
+                UNION ALL SELECT b FROM tri
+                UNION ALL SELECT c FROM tri
+            )
+            SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
+            FROM corners GROUP BY node
+        """,
+        "cdc_state": cdc.format(where=""),
+        "table_diff": f"""
+            WITH old_c AS ({cdc.format(
+                where="WHERE epoch_us(ts) < 1705363200000000")}),
+            new_c AS ({cdc.format(where="")})
+            SELECT COALESCE(o.user_id, n.user_id) AS user_id,
+                   CASE WHEN o.user_id IS NULL THEN 'added'
+                        WHEN n.user_id IS NULL THEN 'removed'
+                        WHEN o.event_type IS NOT DISTINCT FROM n.event_type
+                             AND o.value IS NOT DISTINCT FROM n.value
+                        THEN 'unchanged'
+                        ELSE 'changed' END AS status,
+                   o.event_type AS old_event_type,
+                   n.event_type AS new_event_type,
+                   o.value AS old_value,
+                   n.value AS new_value
+            FROM old_c o FULL OUTER JOIN new_c n ON o.user_id = n.user_id
         """,
     }

@@ -45,3 +45,62 @@ def scd2_intervals(
         F.lead("__us").over(w).cast("long").alias("valid_to_us"),
         F.row_number().over(w).cast("long").alias("version"),
     )
+
+
+def cdc_apply(
+    changelog: DataFrame,
+    key: str,
+    seq: tuple[str, ...],
+    op: str = "op",
+    delete_op: str = "D",
+) -> DataFrame:
+    """Latest-wins changelog compaction (the read half of CDC / the
+    Delta-style MERGE): one row per key — the payload of the key's
+    highest-``seq`` change — with keys whose final change is a
+    ``delete_op`` absent from the result.
+
+    ``seq`` must be a per-key total order (e.g. (ts_us, change_id)), so
+    "latest" is engine-independent. One key exchange + one row_number;
+    for a mega-hot key (one entity receiving a large share of all
+    changes) pre-thin with the :func:`..ranking.top_per_group` salted
+    two-phase pattern at k=1 — same rows by the subset property.
+    """
+    w = Window.partitionBy(key).orderBy(*[F.col(c).desc() for c in seq])
+    return (
+        changelog.withColumn("__rn", F.row_number().over(w))
+        .where((F.col("__rn") == 1) & (F.col(op) != F.lit(delete_op)))
+        .drop("__rn")
+    )
+
+
+def table_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key: str,
+    compare: tuple[str, ...],
+) -> DataFrame:
+    """Keyed snapshot diff: one row per key in either snapshot with
+    ``status`` ∈ {added, removed, changed, unchanged} and the old/new
+    values of every compared column (prefixed ``old_`` / ``new_``).
+
+    The audit you run after a CDC apply or a backfill. One full outer
+    hash equi-join on the key; comparisons are null-safe (`<=>` — a
+    NULL→value transition counts as changed, not silently equal).
+    """
+    o = old.select(
+        F.col(key), *[F.col(c).alias(f"old_{c}") for c in compare]
+    ).withColumn("__in_old", F.lit(1))
+    n = new.select(
+        F.col(key), *[F.col(c).alias(f"new_{c}") for c in compare]
+    ).withColumn("__in_new", F.lit(1))
+    j = o.join(n, key, "full_outer")
+    same = F.lit(True)
+    for c in compare:
+        same = same & F.col(f"old_{c}").eqNullSafe(F.col(f"new_{c}"))
+    status = (
+        F.when(F.col("__in_old").isNull(), F.lit("added"))
+        .when(F.col("__in_new").isNull(), F.lit("removed"))
+        .when(same, F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+    )
+    return j.withColumn("status", status).drop("__in_old", "__in_new")
