@@ -2407,6 +2407,129 @@ def q_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact tie-aware ROC-AUC of value predicting purchase: distinct-
+    score collapse + two-phase exclusive cumsum (no single-partition
+    window) + one-row fold; auc_num2/n_pos/n_neg are the integer-exact
+    hash vehicles, auc the one closing division."""
+    from featureextraction_spark.operators.evaluation import roc_auc
+
+    ev = _load(spark, sf_dir, "events")
+    d = ev.select(
+        F.col("value").alias("score"),
+        (F.col("event_type") == "purchase").cast("long").alias("label"),
+    )
+    out = roc_auc(d, quant=10_000)
+    return out.select(
+        "n_pos", "n_neg", "auc_num2", _hround6(F.col("auc")).alias("auc")
+    )
+
+
+def q_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability-diagram bins of value (0–100, 10 bins) vs purchase
+    rate — integer-only bin assignment (clamped quantized score, exact
+    division), one map-combinable aggregate."""
+    from featureextraction_spark.operators.evaluation import calibration_bins
+
+    ev = _load(spark, sf_dir, "events")
+    d = ev.select(
+        F.col("value").alias("score"),
+        (F.col("event_type") == "purchase").cast("long").alias("label"),
+    )
+    out = calibration_bins(
+        d, n_bins=10, lo=0.0, hi=100.0, quant=1_000
+    )
+    return out.select(
+        "bin", "n", "n_pos", "sum_score_q",
+        _hround6(F.col("pos_rate")).alias("pos_rate"),
+    )
+
+
+def q_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B readout: users hash-assigned to variants by the shared md5
+    contract, per-user conversion collapse, 2×2 chi-squared in exact
+    rational form (integer num/den hash vehicles, one closing division)."""
+    from featureextraction_spark.operators.evaluation import ab_chi2
+    from featureextraction_spark.operators.sampling import _seed_hash
+
+    ev = _load(spark, sf_dir, "events")
+    users = ev.groupBy("user_id").agg(
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).cast("long").alias("converted")
+    )
+    units = users.select(
+        F.when(_seed_hash("user_id", 7) % 2 == 0, "A")
+        .otherwise("B").alias("variant"),
+        "converted",
+    )
+    out = ab_chi2(units)
+    return out.select(
+        "n_a", "conv_a", "n_b", "conv_b", "chi2_num", "chi2_den",
+        _hround6(F.col("chi2")).alias("chi2"),
+    )
+
+
+def q_scd2_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time dimension read: purchases probe the SCD2 tier
+    dimension built from signup events — equi-join on the entity key
+    with interval containment as the join residual, left-preserving
+    (pre-first-signup purchases keep NULL state)."""
+    from featureextraction_spark.operators.scd import scd2_intervals, scd2_lookup
+    from featureextraction_spark.functions.time import epoch_us
+
+    ev = _load(spark, sf_dir, "events")
+    signups = ev.where(F.col("event_type") == "signup").withColumn(
+        "tier",
+        F.when(F.col("value") < 33, "bronze")
+        .when(F.col("value") < 66, "silver")
+        .otherwise("gold"),
+    )
+    dim = scd2_intervals(signups, state="tier")
+    probes = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", epoch_us(ev, "ts").alias("ts_us")
+    )
+    return scd2_lookup(probes, dim)
+
+
+def q_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass per-column data-quality profile of the event log
+    (nulls / exact distincts / min-max) — one scan + Expand ×k, floats
+    pre-quantized so no engine float formatting reaches the output."""
+    from featureextraction_spark.operators.profiling import profile_columns
+    from featureextraction_spark.functions.time import epoch_us
+
+    ev = _load(spark, sf_dir, "events")
+    p = ev.select(
+        "event_id", "user_id", "event_type", "props",
+        epoch_us(ev, "ts").alias("ts_us"),
+        F.floor(F.col("value").cast("double") * 10000.0 + 0.5)
+        .cast("long").alias("value_q"),
+    )
+    return profile_columns(
+        p, ["event_id", "user_id", "event_type", "props", "ts_us", "value_q"]
+    )
+
+
+def q_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deequ-style expectation gate over the event log — completeness,
+    key uniqueness, set membership, value range, min row count — ONE
+    aggregate pass, integer-rational metrics."""
+    from featureextraction_spark.operators.profiling import expectation_checks
+
+    ev = _load(spark, sf_dir, "events")
+    return expectation_checks(
+        ev,
+        completeness=["user_id", "value", "props"],
+        unique=["event_id"],
+        member_of={
+            "event_type": ["click", "view", "purchase", "signup", "error"]
+        },
+        ranges={"value": (0.0, 100.0)},
+        min_rows=1_000,
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "lag_lead": q_lag_lead,
@@ -2536,6 +2659,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangles": q_triangles,
         "cdc_state": q_cdc_state,
         "table_diff": q_table_diff,
+        "roc_auc": q_roc_auc,
+        "calibration": q_calibration,
+        "ab_test": q_ab_test,
+        "scd2_lookup": q_scd2_lookup,
+        "profile": q_profile,
+        "expectations": q_expectations,
     }
 
 
@@ -2798,6 +2927,7 @@ def oracle_sql() -> dict[str, str]:
     base.update(_round4q_oracle_sql())
     base.update(_round4r_oracle_sql())
     base.update(_round4s_oracle_sql())
+    base.update(_round4t_oracle_sql())
     # full-probe IVF is exhaustive by construction — the exact replay gates it
     base["ivf_topk_full"] = base["cosine_topk"]
     # full-probe IVF-PQ scans every list exactly once == the flat ADC scan
@@ -6722,5 +6852,202 @@ def _round4s_oracle_sql() -> dict[str, str]:
                    o.value AS old_value,
                    n.value AS new_value
             FROM old_c o FULL OUTER JOIN new_c n ON o.user_id = n.user_id
+        """,
+    }
+
+
+def _round4t_oracle_sql() -> dict[str, str]:
+    """DuckDB replay of the eval-metric / data-quality batch. Every
+    metric is an integer rational until one closing division; the shared
+    +1e-9 nudged rounding guards the only float columns."""
+    profile_cols = [
+        "event_id", "user_id", "event_type", "props", "ts_us", "value_q"
+    ]
+    profile_blocks = "\nUNION ALL\n".join(
+        f"""SELECT '{c}' AS col_name,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_null,
+               CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct,
+               CAST(min({c}) AS VARCHAR) AS min_s,
+               CAST(max({c}) AS VARCHAR) AS max_s
+        FROM p"""
+        for c in profile_cols
+    )
+    return {
+        "roc_auc": """
+            WITH d AS (
+                SELECT CAST(floor(CAST(value AS DOUBLE) * 10000.0 + 0.5)
+                            AS BIGINT) AS sq,
+                       CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END
+                           AS y
+                FROM events
+            ),
+            per AS (
+                SELECT sq, CAST(sum(y) AS BIGINT) AS n_pos,
+                       CAST(count(*) - sum(y) AS BIGINT) AS n_neg
+                FROM d GROUP BY sq
+            ),
+            cum AS (
+                SELECT n_pos, n_neg,
+                       CAST(coalesce(sum(n_neg) OVER (
+                           ORDER BY sq
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                       ), 0) AS BIGINT) AS neg_below
+                FROM per
+            )
+            SELECT CAST(sum(n_pos) AS BIGINT) AS n_pos,
+                   CAST(sum(n_neg) AS BIGINT) AS n_neg,
+                   CAST(sum(n_pos * (2 * neg_below + n_neg)) AS BIGINT)
+                       AS auc_num2,
+                   round(CAST(sum(n_pos * (2 * neg_below + n_neg)) AS DOUBLE)
+                         / (2.0 * CAST(sum(n_pos) AS DOUBLE)
+                            * CAST(sum(n_neg) AS DOUBLE)) + 1e-9, 6) AS auc
+            FROM cum
+        """,
+        "calibration": """
+            WITH d AS (
+                SELECT CAST(floor(CAST(value AS DOUBLE) * 1000.0 + 0.5)
+                            AS BIGINT) AS sq,
+                       CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END
+                           AS y
+                FROM events
+            ),
+            binned AS (
+                SELECT least(
+                           least(greatest(sq, 0), 100000) * 10 // 100000,
+                           9) AS bin,
+                       sq, y
+                FROM d
+            )
+            SELECT bin, CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(y) AS BIGINT) AS n_pos,
+                   CAST(sum(sq) AS BIGINT) AS sum_score_q,
+                   round(CAST(sum(y) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+                         + 1e-9, 6) AS pos_rate
+            FROM binned GROUP BY bin
+        """,
+        "ab_test": """
+            WITH u AS (
+                SELECT user_id,
+                       max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+                           END) AS converted
+                FROM events GROUP BY user_id
+            ),
+            v AS (
+                SELECT CASE WHEN ('0x' || substr(md5(
+                                CAST(user_id AS VARCHAR) || ':7'), 1, 15)
+                            )::BIGINT % 2 = 0
+                            THEN 'A' ELSE 'B' END AS variant,
+                       converted
+                FROM u
+            ),
+            g AS (
+                SELECT
+                    CAST(sum(CASE WHEN variant = 'A' THEN 1 ELSE 0 END)
+                         AS BIGINT) AS n_a,
+                    CAST(sum(CASE WHEN variant = 'A' AND converted = 1
+                             THEN 1 ELSE 0 END) AS BIGINT) AS conv_a,
+                    CAST(sum(CASE WHEN variant = 'B' THEN 1 ELSE 0 END)
+                         AS BIGINT) AS n_b,
+                    CAST(sum(CASE WHEN variant = 'B' AND converted = 1
+                             THEN 1 ELSE 0 END) AS BIGINT) AS conv_b
+                FROM v
+            )
+            SELECT n_a, conv_a, n_b, conv_b,
+                   CAST((n_a + n_b)
+                        * (conv_a * (n_b - conv_b) - (n_a - conv_a) * conv_b)
+                        * (conv_a * (n_b - conv_b) - (n_a - conv_a) * conv_b)
+                        AS BIGINT) AS chi2_num,
+                   CAST(n_a * n_b * (conv_a + conv_b)
+                        * ((n_a - conv_a) + (n_b - conv_b)) AS BIGINT)
+                       AS chi2_den,
+                   CASE WHEN n_a * n_b * (conv_a + conv_b)
+                             * ((n_a - conv_a) + (n_b - conv_b)) <> 0
+                        THEN round(
+                            CAST((n_a + n_b)
+                                 * (conv_a * (n_b - conv_b)
+                                    - (n_a - conv_a) * conv_b)
+                                 * (conv_a * (n_b - conv_b)
+                                    - (n_a - conv_a) * conv_b) AS DOUBLE)
+                            / CAST(n_a * n_b * (conv_a + conv_b)
+                                   * ((n_a - conv_a) + (n_b - conv_b))
+                                   AS DOUBLE) + 1e-9, 6)
+                   END AS chi2
+            FROM g
+        """,
+        "scd2_lookup": """
+            WITH s AS (
+                SELECT user_id, event_id, epoch_us(ts) AS us,
+                       CASE WHEN value < 33 THEN 'bronze'
+                            WHEN value < 66 THEN 'silver'
+                            ELSE 'gold' END AS tier
+                FROM events WHERE event_type = 'signup'
+            ),
+            dim AS (
+                SELECT user_id, tier AS state,
+                       us AS valid_from_us,
+                       lead(us) OVER (PARTITION BY user_id
+                                      ORDER BY us, event_id) AS valid_to_us,
+                       CAST(row_number() OVER (PARTITION BY user_id
+                                               ORDER BY us, event_id)
+                            AS BIGINT) AS version
+                FROM s
+            ),
+            p AS (
+                SELECT user_id, event_id, epoch_us(ts) AS ts_us
+                FROM events WHERE event_type = 'purchase'
+            )
+            SELECT p.user_id, p.event_id, p.ts_us,
+                   d.state AS dim_state,
+                   d.version AS dim_version,
+                   d.valid_from_us AS dim_valid_from_us
+            FROM p LEFT JOIN dim d
+              ON p.user_id = d.user_id
+             AND d.valid_from_us <= p.ts_us
+             AND (d.valid_to_us IS NULL OR p.ts_us < d.valid_to_us)
+        """,
+        "profile": f"""
+            WITH p AS (
+                SELECT event_id, user_id, event_type, props,
+                       epoch_us(ts) AS ts_us,
+                       CAST(floor(CAST(value AS DOUBLE) * 10000.0 + 0.5)
+                            AS BIGINT) AS value_q
+                FROM events
+            )
+            {profile_blocks}
+        """,
+        "expectations": """
+            WITH g AS (
+                SELECT CAST(count(*) AS BIGINT) AS n,
+                       CAST(sum(CASE WHEN user_id IS NOT NULL THEN 1 ELSE 0
+                                END) AS BIGINT) AS comp_user,
+                       CAST(sum(CASE WHEN value IS NOT NULL THEN 1 ELSE 0
+                                END) AS BIGINT) AS comp_value,
+                       CAST(sum(CASE WHEN props IS NOT NULL THEN 1 ELSE 0
+                                END) AS BIGINT) AS comp_props,
+                       CAST(count(DISTINCT event_id) AS BIGINT) AS uni_eid,
+                       CAST(sum(CASE WHEN event_type IN
+                                ('click','view','purchase','signup','error')
+                                THEN 1 ELSE 0 END) AS BIGINT) AS set_type,
+                       CAST(sum(CASE WHEN value >= 0.0 AND value <= 100.0
+                                THEN 1 ELSE 0 END) AS BIGINT) AS rng_value
+                FROM events
+            )
+            SELECT rule, metric_num, metric_den,
+                   CASE WHEN rule = 'min_rows'
+                        THEN CAST(metric_num >= metric_den AS BIGINT)
+                        ELSE CAST(metric_num = metric_den AS BIGINT)
+                   END AS passed
+            FROM (
+                SELECT 'complete(user_id)' AS rule, comp_user AS metric_num,
+                       n AS metric_den FROM g
+                UNION ALL SELECT 'complete(value)', comp_value, n FROM g
+                UNION ALL SELECT 'complete(props)', comp_props, n FROM g
+                UNION ALL SELECT 'unique(event_id)', uni_eid, n FROM g
+                UNION ALL SELECT 'in_set(event_type)', set_type, n FROM g
+                UNION ALL SELECT 'in_range(value)', rng_value, n FROM g
+                UNION ALL SELECT 'min_rows', n, CAST(1000 AS BIGINT) FROM g
+            )
         """,
     }

@@ -164,3 +164,154 @@ def evaluate_embeddings(
     """EP3's evaluation dataflow end-to-end (J4 → A16 → A17)."""
     pairs = all_pairs_distances(df, id_col, vec_col, label_col, metric)
     return derived_metrics(confusion_at_thresholds(pairs, thresholds), ndigits)
+
+
+def roc_auc(
+    df: DataFrame,
+    score: str = "score",
+    label: str = "label",
+    quant: int = 10_000,
+) -> DataFrame:
+    """Exact ROC-AUC as the tie-aware Mann-Whitney statistic, computed
+    without a global rank window.
+
+    AUC = Σ_s n_pos(s)·(neg_below(s) + n_neg(s)/2) / (n_pos·n_neg) over
+    DISTINCT scores s — the probability a random positive outscores a
+    random negative, ties counting half. Doubling the numerator keeps
+    everything integer: ``auc_num2 = Σ n_pos·(2·neg_below + n_neg)`` is
+    the exact rational numerator (the hash-safe vehicle), ``auc`` the
+    closing division.
+
+    Scale shape: scores quantize to integers (``quant`` units), one
+    groupBy collapses the corpus to its distinct-score table, the
+    exclusive below-cumsum rides :func:`..packing.with_global_cumsum`'s
+    two-phase range-partitioned pass (no single-partition window), and
+    the final fold is a one-row aggregate. Nothing touches the full
+    table twice.
+    """
+    from .packing import with_global_cumsum
+
+    sq = F.floor(
+        F.col(score).cast("double") * F.lit(float(quant)) + F.lit(0.5)
+    ).cast("long")
+    per = (
+        df.select(sq.alias("sq"), F.col(label).cast("long").alias("__y"))
+        .groupBy("sq")
+        .agg(
+            F.sum("__y").cast("long").alias("n_pos"),
+            (F.count(F.lit(1)) - F.sum("__y")).cast("long").alias("n_neg"),
+        )
+    )
+    cum = with_global_cumsum(per, ["sq"], "n_neg", out_col="neg_below")
+    return cum.agg(
+        F.sum("n_pos").cast("long").alias("n_pos"),
+        F.sum("n_neg").cast("long").alias("n_neg"),
+        F.sum(
+            F.col("n_pos") * (2 * F.col("neg_below") + F.col("n_neg"))
+        ).cast("long").alias("auc_num2"),
+    ).select(
+        "n_pos",
+        "n_neg",
+        "auc_num2",
+        (
+            F.col("auc_num2").cast("double")
+            / (2.0 * F.col("n_pos").cast("double") * F.col("n_neg").cast("double"))
+        ).alias("auc"),
+    )
+
+
+def calibration_bins(
+    df: DataFrame,
+    score: str = "score",
+    label: str = "label",
+    n_bins: int = 10,
+    lo: float = 0.0,
+    hi: float = 1.0,
+    quant: int = 1_000,
+) -> DataFrame:
+    """Reliability-diagram counts: equal-width score bins vs observed
+    positive rate. Pure integer binning (quantized score, integer div —
+    no float boundary can flip an assignment), one map-side-combinable
+    aggregate; per-bin sums stay exact integers, the rate is the only
+    closing division.
+    """
+    q = F.floor(
+        F.col(score).cast("double") * F.lit(float(quant)) + F.lit(0.5)
+    ).cast("long")
+    lo_q, hi_q = int(round(lo * quant)), int(round(hi * quant))
+    # clamp into [lo_q, hi_q] FIRST so the division is over non-negative
+    # integers (floor == truncate on every engine); (x - x % d) is a
+    # multiple of d, so the double divide is exact for |x| < 2^53
+    qc = F.least(F.greatest(q, F.lit(lo_q)), F.lit(hi_q))
+    num = (qc - F.lit(lo_q)) * F.lit(n_bins)
+    d = F.lit(hi_q - lo_q)
+    b = F.least(
+        ((num - F.pmod(num, d)) / d).cast("long"), F.lit(n_bins - 1)
+    )
+    return (
+        df.select(
+            b.alias("bin"),
+            q.alias("__sq"),
+            F.col(label).cast("long").alias("__y"),
+        )
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("__y").cast("long").alias("n_pos"),
+            F.sum("__sq").cast("long").alias("sum_score_q"),
+        )
+        .select(
+            "bin", "n", "n_pos", "sum_score_q",
+            (F.col("n_pos").cast("double") / F.col("n").cast("double")).alias(
+                "pos_rate"
+            ),
+        )
+    )
+
+
+def ab_chi2(
+    df: DataFrame,
+    variant: str = "variant",
+    converted: str = "converted",
+) -> DataFrame:
+    """2×2 A/B readout: per-variant trial/conversion counts plus the
+    chi-squared statistic in exact rational form. ``df`` is already one
+    row per unit (user) with a binary ``converted``; the whole readout
+    is one map-side-combinable aggregate → a driver-sized 1-row fold.
+    chi² = N·(ad-bc)² / ((a+b)(c+d)(a+c)(b+d)) — integers until the one
+    closing division. Counts are the hash-safe vehicle; at ≳10⁹ units
+    move the num/den product to double (documented overflow bound).
+    """
+    g = (
+        df.groupBy()
+        .agg(
+            F.sum(F.when(F.col(variant) == "A", 1).otherwise(0))
+            .cast("long").alias("n_a"),
+            F.sum(
+                F.when(
+                    (F.col(variant) == "A") & (F.col(converted) == 1), 1
+                ).otherwise(0)
+            ).cast("long").alias("conv_a"),
+            F.sum(F.when(F.col(variant) == "B", 1).otherwise(0))
+            .cast("long").alias("n_b"),
+            F.sum(
+                F.when(
+                    (F.col(variant) == "B") & (F.col(converted) == 1), 1
+                ).otherwise(0)
+            ).cast("long").alias("conv_b"),
+        )
+    )
+    a, c = F.col("conv_a"), F.col("conv_b")
+    b, d = F.col("n_a") - a, F.col("n_b") - c
+    n = F.col("n_a") + F.col("n_b")
+    det = a * d - b * c
+    den = (a + b) * (c + d) * (a + c) * (b + d)
+    return g.select(
+        "n_a", "conv_a", "n_b", "conv_b",
+        (n * det * det).cast("long").alias("chi2_num"),
+        den.cast("long").alias("chi2_den"),
+        F.when(
+            den != 0,
+            (n * det * det).cast("double") / den.cast("double"),
+        ).alias("chi2"),
+    )

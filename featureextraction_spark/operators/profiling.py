@@ -181,3 +181,99 @@ def skew_histogram(df: DataFrame, key: str) -> DataFrame:
             F.sum("__cnt").cast("long").alias("rows_in_bucket"),
         )
     )
+
+
+def profile_columns(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Single-pass per-column data-quality profile in long format:
+    (column, n_rows, n_null, n_distinct, min/max for orderable integer
+    and string columns as strings — callers pre-quantize floats so no
+    engine-specific float formatting enters the output).
+
+    One aggregate row computes every metric (multiple exact
+    count-distincts plan as a single scan + Expand ×k — the standard
+    multi-distinct shape, k = column count, not data-sized), then a
+    ``stack`` unpivots to long form. No per-column rescans.
+    """
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.count(F.lit(1)).cast("long").alias(f"__n_{c}"),
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
+            .cast("long").alias(f"__null_{c}"),
+            F.count_distinct(F.col(c)).cast("long").alias(f"__dist_{c}"),
+            F.min(F.col(c)).cast("string").alias(f"__min_{c}"),
+            F.max(F.col(c)).cast("string").alias(f"__max_{c}"),
+        ]
+    one = df.agg(*aggs)
+    stack = ", ".join(
+        f"'{c}', __n_{c}, __null_{c}, __dist_{c}, __min_{c}, __max_{c}"
+        for c in cols
+    )
+    return one.selectExpr(
+        f"stack({len(cols)}, {stack}) AS "
+        "(col_name, n_rows, n_null, n_distinct, min_s, max_s)"
+    )
+
+
+def expectation_checks(
+    df: DataFrame,
+    completeness: list[str] = (),
+    unique: list[str] = (),
+    member_of: dict[str, list[str]] | None = None,
+    ranges: dict[str, tuple[float, float]] | None = None,
+    min_rows: int | None = None,
+) -> DataFrame:
+    """Deequ-style data-quality gate: evaluate every declared
+    expectation over ONE aggregate pass and emit one row per rule —
+    (rule, metric_num, metric_den, passed). Metrics stay exact integer
+    rationals (satisfied count / total), so the gate is engine- and
+    run-deterministic; ``passed`` asserts num == den (full compliance)
+    except ``min_rows`` which asserts num >= den.
+
+    Uniqueness counts rows whose key value occurs exactly once, via
+    count_distinct vs count per the single-scan Expand shape of
+    :func:`profile_columns` — at web scale the one Expand fans the scan
+    ×k, never data² — while set/range rules are plain conditional sums.
+    """
+    member_of = member_of or {}
+    ranges = ranges or {}
+    aggs = [F.count(F.lit(1)).cast("long").alias("__n")]
+    names: list[tuple[str, str, str]] = []
+    for c in completeness:
+        aggs.append(
+            F.sum(F.when(F.col(c).isNotNull(), 1).otherwise(0))
+            .cast("long").alias(f"__comp_{c}")
+        )
+        names.append((f"complete({c})", f"__comp_{c}", "__n"))
+    for c in unique:
+        # distinct == total  ⟺  no key occurs twice (exact, single scan)
+        aggs.append(F.count_distinct(F.col(c)).cast("long").alias(f"__uni_{c}"))
+        names.append((f"unique({c})", f"__uni_{c}", "__n"))
+    for c, allowed in member_of.items():
+        aggs.append(
+            F.sum(F.when(F.col(c).isin(list(allowed)), 1).otherwise(0))
+            .cast("long").alias(f"__set_{c}")
+        )
+        names.append((f"in_set({c})", f"__set_{c}", "__n"))
+    for c, (lo, hi) in ranges.items():
+        aggs.append(
+            F.sum(
+                F.when(
+                    (F.col(c) >= F.lit(lo)) & (F.col(c) <= F.lit(hi)), 1
+                ).otherwise(0)
+            ).cast("long").alias(f"__rng_{c}")
+        )
+        names.append((f"in_range({c})", f"__rng_{c}", "__n"))
+    one = df.agg(*aggs)
+    if min_rows is not None:
+        one = one.withColumn("__minrows", F.lit(int(min_rows)).cast("long"))
+        names.append(("min_rows", "__n", "__minrows"))
+    stack = ", ".join(f"'{r}', {num}, {den}" for r, num, den in names)
+    long = one.selectExpr(
+        f"stack({len(names)}, {stack}) AS (rule, metric_num, metric_den)"
+    )
+    passed = F.when(
+        F.col("rule") == "min_rows",
+        (F.col("metric_num") >= F.col("metric_den")).cast("long"),
+    ).otherwise((F.col("metric_num") == F.col("metric_den")).cast("long"))
+    return long.withColumn("passed", passed)

@@ -104,3 +104,47 @@ def table_diff(
         .otherwise(F.lit("changed"))
     )
     return j.withColumn("status", status).drop("__in_old", "__in_new")
+
+
+def scd2_lookup(
+    probes: DataFrame,
+    dim: DataFrame,
+    by: str = "user_id",
+    probe_ts_us: str = "ts_us",
+) -> DataFrame:
+    """Point-in-time dimension read: each probe row joined to the ONE
+    SCD2 interval containing its timestamp (``valid_from_us <= ts <
+    valid_to_us``, open row = NULL upper bound). Left join keeps probes
+    before the entity's first version (state NULL) — the as-of contract.
+
+    Physical shape: an equi-join on the entity key with the containment
+    as a join residual — one key exchange each side, no range explode;
+    per-entity version chains are short (a dimension, not a log), so the
+    residual scan is bounded. Probing a mega-entity's long chain at 100×
+    → bucket both sides on ``by`` (``sources.bucketed``) for a
+    zero-exchange sort-merge.
+    """
+    # rename the dim's key: probes and dim often share lineage (both cut
+    # from one log), and same-name equality on a shared source resolves
+    # to a trivially-true predicate instead of a join key
+    d = dim.select(
+        F.col(by).alias("__dim_key"),
+        F.col("state"),
+        F.col("version"),
+        F.col("valid_from_us"),
+        F.col("valid_to_us"),
+    )
+    cond = (
+        (probes[by] == d["__dim_key"])
+        & (d["valid_from_us"] <= probes[probe_ts_us])
+        & (
+            d["valid_to_us"].isNull()
+            | (probes[probe_ts_us] < d["valid_to_us"])
+        )
+    )
+    return probes.join(d, cond, "left").select(
+        probes["*"],
+        d["state"].alias("dim_state"),
+        d["version"].alias("dim_version"),
+        d["valid_from_us"].alias("dim_valid_from_us"),
+    )
