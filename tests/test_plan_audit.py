@@ -640,3 +640,95 @@ def test_systematic_sample_no_global_window(spark):
     plan = plan_of(systematic_sample(df, "eid", every_k=7))
     assert "windowspecdefinition()" not in plan.lower().replace(" ", "")
     assert "Exchange rangepartitioning" in plan, plan
+
+
+def test_triangle_counts_all_hash_equi_joins(spark):
+    from featureextraction_spark.operators.graph import triangle_counts
+
+    edges = spark.range(2000).selectExpr(
+        "id % 97 AS src", "(id * 31) % 97 AS dst"
+    )
+    plan = plan_of(triangle_counts(edges))
+    # the two triangle joins + corner agg must be hash equi-joins — a
+    # nested-loop/cartesian here would be corpus² at scale
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "BatchEvalPython" not in plan, plan
+
+
+def test_cdc_apply_single_key_exchange(spark, tr_parquet):
+    from featureextraction_spark.operators.scd import cdc_apply
+
+    log = tr_parquet.selectExpr(
+        "conv_id AS user_id", "CAST(turn_idx AS STRING) AS event_id",
+        "ts", "role AS event_type", "CAST(turn_idx AS DOUBLE) AS value"
+    )
+    out = cdc_apply(
+        log, key="user_id", seq=("ts", "event_id"),
+        op="event_type", delete_op="assistant",
+    )
+    plan = plan_of(out)
+    assert count_exchanges(plan) == 1, plan
+    # Spark inserts a map-side WindowGroupLimit (partial per-key top-1)
+    # with its own local sort BEFORE the exchange — the shuffle carries
+    # at most one row per (key, input partition), not the whole log
+    assert "WindowGroupLimit" in plan and "Partial" in plan, plan
+    assert plan.count("Sort [") <= 2, plan
+
+
+def test_scd2_lookup_is_key_equi_join_with_residual(spark, tr_parquet):
+    from featureextraction_spark.operators.scd import scd2_intervals, scd2_lookup
+
+    dim = scd2_intervals(
+        tr_parquet.selectExpr(
+            "conv_id AS user_id", "CAST(turn_idx AS STRING) AS event_id",
+            "ts", "role AS event_type"
+        )
+    )
+    probes = tr_parquet.selectExpr(
+        "conv_id AS user_id", "CAST(turn_idx AS STRING) AS event_id",
+        "unix_micros(CAST(ts AS timestamp)) AS ts_us"
+    )
+    plan = plan_of(scd2_lookup(probes, dim))
+    # containment must ride the key join as a residual, not explode
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert re.search(r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)", plan), plan
+
+
+def test_roc_auc_no_single_partition_window(spark):
+    from featureextraction_spark.operators.evaluation import roc_auc
+    from featureextraction_spark.operators.cache import (
+        release_persisted_intermediates,
+    )
+
+    df = spark.range(20000).selectExpr(
+        "CAST(id % 997 AS DOUBLE) / 997 AS score", "CAST(id % 3 = 0 AS LONG) AS label"
+    )
+    plan = plan_of(roc_auc(df))
+    # the cumsum must be partitioned by the range-partition id — a global
+    # ORDER BY window (partitionless) would serialize the distinct-score
+    # table through one task
+    for ln in plan.splitlines():
+        if "windowspecdefinition" in ln:
+            assert "__pid" in ln, ln
+    release_persisted_intermediates()
+
+
+def test_profile_and_expectations_single_scan(spark, tr_parquet):
+    from featureextraction_spark.operators.profiling import (
+        expectation_checks,
+        profile_columns,
+    )
+
+    p = profile_columns(tr_parquet, ["conv_id", "turn_idx", "role"])
+    # one scan + Expand for the multi-distinct; no join, no re-scan
+    plan = plan_of(p)
+    assert plan.count("FileScan parquet") == 1, plan
+    assert "Expand" in plan, plan
+    e = expectation_checks(
+        tr_parquet, completeness=["role"], unique=["conv_id"],
+        member_of={"role": ["user", "assistant"]}, min_rows=1,
+    )
+    eplan = plan_of(e)
+    assert eplan.count("FileScan parquet") == 1, eplan

@@ -801,3 +801,52 @@ def test_streaming_attribution_matches_batch(spark, event_stream_dir):
     e = exp.sort_values(key).reset_index(drop=True)
     for c in ["user_id", "event_id", "channel", "value_q"]:
         assert list(g[c]) == list(e[c]), c
+
+
+def test_streaming_cdc_apply_matches_batch(spark, event_stream_dir):
+    """The final emission per key must equal cdc_apply's compacted row:
+    live keys match payload exactly; tombstoned keys are flagged
+    is_delete and absent from the batch result."""
+    from featureextraction_spark.operators.scd import cdc_apply
+    from featureextraction_spark.streaming.cdc import streaming_cdc_apply
+
+    batch_df = spark.read.parquet(event_stream_dir)
+    batch_df.persist().count()
+    got = _run_stream(
+        spark,
+        event_stream_dir,
+        batch_df,
+        lambda s: streaming_cdc_apply(s, delete_op="email"),
+        "append",
+        "cdc_out",
+    )
+    # last emission per key = max (ts_us, event_id); event_id strings in
+    # this fixture are zero-padded so string order == arrival order
+    last = (
+        got.sort_values(["user_id", "ts_us", "event_id"], kind="mergesort")
+        .groupby("user_id")
+        .tail(1)
+        .reset_index(drop=True)
+    )
+    bdf = batch_df.withColumn("ts", F.col("ts").cast("timestamp"))
+    exp = (
+        cdc_apply(
+            bdf, key="user_id", seq=("ts", "event_id"),
+            op="event_type", delete_op="email",
+        )
+        .withColumn("ts_us", F.unix_micros(F.col("ts")))
+        .select("user_id", "event_id", "ts_us", "event_type", "value")
+        .toPandas()
+    )
+    live = last[last["is_delete"] == 0].reset_index(drop=True)
+    dead = set(last[last["is_delete"] == 1]["user_id"])
+    assert set(exp["user_id"]) == set(live["user_id"])
+    assert dead.isdisjoint(set(exp["user_id"])) and len(dead) > 0
+    e = exp.sort_values("user_id").reset_index(drop=True)
+    g = live.sort_values("user_id").reset_index(drop=True)
+    assert list(g["event_id"]) == list(e["event_id"])
+    assert list(g["ts_us"]) == list(e["ts_us"])
+    assert list(g["op"]) == list(e["event_type"])
+    assert [round(v, 6) for v in g["value"]] == [
+        round(v, 6) for v in e["value"]
+    ]
