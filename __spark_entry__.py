@@ -2530,6 +2530,31 @@ def q_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PHRASE_TOKENS = ("stream", "table", "hash")
+
+
+def q_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier risk table over user lifetimes (right-censored at a
+    7-day horizon before dataset end): one key collapse + tiny-table
+    two-phase cumsum; d/n_risk integers, hazard the closing division."""
+    from featureextraction_spark.operators.cohorts import survival_table
+
+    ev = _load(spark, sf_dir, "events")
+    out = survival_table(ev, censor_horizon_days=7)
+    return out.select(
+        "t", "n_risk", "d", "c", _hround6(F.col("hazard")).alias("hazard")
+    )
+
+
+def q_phrase_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-phrase retrieval via positional postings chained by
+    (doc, pos+i) equi-joins — only the phrase terms' postings shuffle."""
+    from featureextraction_spark.operators.retrieval import phrase_match
+
+    docs = _load(spark, sf_dir, "documents")
+    return phrase_match(docs, PHRASE_TOKENS)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "lag_lead": q_lag_lead,
@@ -2665,6 +2690,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scd2_lookup": q_scd2_lookup,
         "profile": q_profile,
         "expectations": q_expectations,
+        "survival": q_survival,
+        "phrase_match": q_phrase_match,
     }
 
 
@@ -2928,6 +2955,7 @@ def oracle_sql() -> dict[str, str]:
     base.update(_round4r_oracle_sql())
     base.update(_round4s_oracle_sql())
     base.update(_round4t_oracle_sql())
+    base.update(_round4u_oracle_sql())
     # full-probe IVF is exhaustive by construction — the exact replay gates it
     base["ivf_topk_full"] = base["cosine_topk"]
     # full-probe IVF-PQ scans every list exactly once == the flat ADC scan
@@ -7049,5 +7077,73 @@ def _round4t_oracle_sql() -> dict[str, str]:
                 UNION ALL SELECT 'in_range(value)', rng_value, n FROM g
                 UNION ALL SELECT 'min_rows', n, CAST(1000 AS BIGINT) FROM g
             )
+        """,
+    }
+
+
+def _round4u_oracle_sql() -> dict[str, str]:
+    """DuckDB replay of the survival risk table (window cumsum over the
+    tiny distinct-lifetime table) and the positional phrase chain
+    (1-based array index shifted to Spark's 0-based posexplode)."""
+    w0, w1, w2 = PHRASE_TOKENS
+    return {
+        "survival": """
+            WITH per AS (
+                SELECT user_id,
+                       min(epoch_us(ts) // 86400000000) AS first_day,
+                       max(epoch_us(ts) // 86400000000) AS last_day
+                FROM events GROUP BY user_id
+            ),
+            e AS (SELECT max(last_day) AS end_day FROM per),
+            lt AS (
+                SELECT last_day - first_day AS t,
+                       CASE WHEN (SELECT end_day FROM e) - last_day > 7
+                            THEN 1 ELSE 0 END AS churned
+                FROM per
+            ),
+            by_t AS (
+                SELECT t, CAST(sum(churned) AS BIGINT) AS d,
+                       CAST(count(*) - sum(churned) AS BIGINT) AS c,
+                       CAST(count(*) AS BIGINT) AS lv
+                FROM lt GROUP BY t
+            ),
+            cum AS (
+                SELECT t, d, c,
+                       CAST(coalesce(sum(lv) OVER (
+                           ORDER BY t
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                       ), 0) AS BIGINT) AS left_before,
+                       CAST((SELECT sum(lv) FROM by_t) AS BIGINT) AS total
+                FROM by_t
+            )
+            SELECT t, CAST(total - left_before AS BIGINT) AS n_risk, d, c,
+                   round(CAST(d AS DOUBLE)
+                         / CAST(total - left_before AS DOUBLE) + 1e-9, 6)
+                       AS hazard
+            FROM cum
+        """,
+        "phrase_match": f"""
+            WITH t AS (
+                SELECT doc_id,
+                       regexp_extract_all(lower(text), {_TOKENS_RE}) AS w
+                FROM documents
+            ),
+            p AS (
+                SELECT doc_id, g.i - 1 AS pos, w[g.i] AS term
+                FROM t, LATERAL (
+                    SELECT unnest(generate_series(1, len(w))) AS i
+                ) g
+                WHERE w[g.i] IN ('{w0}', '{w1}', '{w2}')
+            ),
+            c0 AS (SELECT doc_id, pos AS p0 FROM p WHERE term = '{w0}'),
+            c1 AS (SELECT doc_id, pos - 1 AS p0 FROM p WHERE term = '{w1}'),
+            c2 AS (SELECT doc_id, pos - 2 AS p0 FROM p WHERE term = '{w2}')
+            SELECT c0.doc_id,
+                   CAST(count(*) AS BIGINT) AS n_matches,
+                   CAST(min(c0.p0) AS BIGINT) AS first_pos
+            FROM c0
+            JOIN c1 ON c0.doc_id = c1.doc_id AND c0.p0 = c1.p0
+            JOIN c2 ON c0.doc_id = c2.doc_id AND c0.p0 = c2.p0
+            GROUP BY c0.doc_id
         """,
     }

@@ -125,3 +125,67 @@ def seasonal_baseline(
         "n",
         z.alias("seasonal_z"),
     )
+
+
+def survival_table(
+    df: DataFrame,
+    key: str = "user_id",
+    ts: str = "ts",
+    censor_horizon_days: int = 7,
+) -> DataFrame:
+    """Kaplan-Meier risk table over per-entity lifetimes with right
+    censoring: one row per distinct lifetime t (days between an entity's
+    first and last event) carrying n_risk (entities surviving ≥ t),
+    d (death/churn events at t), c (censored at t) and the discrete
+    hazard d/n_risk. An entity still active within ``censor_horizon_days``
+    of the dataset's end is censored, not churned — the standard
+    KM treatment of the observation boundary.
+
+    Scale shape: one key collapse of the log (map-combinable min/max),
+    one broadcast of the single-row dataset-end scalar, one groupBy onto
+    the tiny distinct-lifetime table, and the at-risk counts via
+    :func:`..packing.with_global_cumsum`'s two-phase exclusive cumsum —
+    no single-partition window anywhere. d and n_risk stay integers (the
+    hash vehicle); the hazard is the one closing division. The KM
+    survival curve itself is the running product of (1 - hazard) — left
+    to the caller because float products are order-sensitive; every
+    input to it here is exact.
+    """
+    us = epoch_us(df, ts)
+    # exact integer day: (x - x % d) is a multiple of d, the double
+    # divide of an exact multiple < 2^53 is exact — no floor flips
+    day = ((us - F.pmod(us, F.lit(DAY_US))) / F.lit(DAY_US)).cast("long")
+    t = df.select(F.col(key).alias("__k"), day.alias("__day"))
+    per = t.groupBy("__k").agg(
+        F.min("__day").alias("first_day"),
+        F.max("__day").alias("last_day"),
+    )
+    end = per.agg(F.max("last_day").alias("__end_day"))
+    per = per.join(F.broadcast(end)).select(
+        (F.col("last_day") - F.col("first_day")).alias("t"),
+        F.when(
+            F.col("__end_day") - F.col("last_day")
+            > F.lit(censor_horizon_days),
+            F.lit(1),
+        ).otherwise(F.lit(0)).alias("__churned"),
+    )
+    by_t = per.groupBy("t").agg(
+        F.sum("__churned").cast("long").alias("d"),
+        (F.count(F.lit(1)) - F.sum("__churned")).cast("long").alias("c"),
+        F.count(F.lit(1)).cast("long").alias("__leave"),
+    )
+    from .packing import with_global_cumsum
+
+    cum = with_global_cumsum(by_t, ["t"], "__leave", out_col="__left_before")
+    # total entities = Σ leave(t) over the tiny lifetime table — a 1-row
+    # broadcast, not a second driver action over the log
+    total = cum.groupBy().agg(F.sum("__leave").cast("long").alias("__total"))
+    return cum.join(F.broadcast(total)).select(
+        "t",
+        (F.col("__total") - F.col("__left_before")).cast("long").alias("n_risk"),
+        "d",
+        "c",
+        (F.col("d").cast("double")
+         / (F.col("__total") - F.col("__left_before")).cast("double")
+         ).alias("hazard"),
+    )

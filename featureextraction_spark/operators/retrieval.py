@@ -115,3 +115,54 @@ def bm25_topk(
         .limit(k)
         .select(id_col, "n_terms_hit", "score")
     )
+
+
+def phrase_match(
+    df: DataFrame,
+    phrase: Sequence[str],
+    id_col: str = "doc_id",
+    text: str = "text",
+) -> DataFrame:
+    """Exact-phrase retrieval over a positional inverted index: posting
+    lists (doc, position) per phrase term, chained by (doc, pos + i)
+    equi-joins — the classic positional-index phrase query, no text
+    rescan per term. Output one row per matching document:
+    (id_col, n_matches, first_pos).
+
+    Scale shape: the term filter lands BEFORE the explode output is
+    shuffled (only the phrase's own postings move — a vocabulary-
+    selective sliver of the corpus), every chain step is a hash
+    equi-join on (doc, aligned position), and the closing per-doc
+    aggregate is map-combinable. Tokenization is the repo-wide
+    whitespace contract shared with the DuckDB oracle.
+    """
+    terms = [t.lower() for t in phrase]
+    if not terms:
+        raise ValueError("phrase must be non-empty")
+    toks = F.filter(
+        F.split(
+            F.lower(F.trim(F.regexp_replace(F.col(text), _WS_RUN, " "))), " "
+        ),
+        lambda x: x != "",
+    )
+    posted = df.select(
+        F.col(id_col), F.posexplode(toks).alias("__pos", "__term")
+    ).where(F.col("__term").isin(terms))
+    chain = (
+        posted.where(F.col("__term") == terms[0])
+        .select(F.col(id_col), F.col("__pos").alias("__p0"))
+    )
+    for i, t in enumerate(terms[1:], start=1):
+        nxt = posted.where(F.col("__term") == F.lit(t)).select(
+            F.col(id_col).alias("__id_r"),
+            (F.col("__pos") - F.lit(i)).alias("__p0_r"),
+        )
+        chain = chain.join(
+            nxt,
+            (chain[id_col] == nxt["__id_r"])
+            & (chain["__p0"] == nxt["__p0_r"]),
+        ).select(chain[id_col], chain["__p0"])
+    return chain.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_matches"),
+        F.min("__p0").cast("long").alias("first_pos"),
+    )

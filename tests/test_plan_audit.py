@@ -732,3 +732,33 @@ def test_profile_and_expectations_single_scan(spark, tr_parquet):
     )
     eplan = plan_of(e)
     assert eplan.count("FileScan parquet") == 1, eplan
+
+
+def test_phrase_match_filters_before_join_no_nested_loop(spark):
+    from featureextraction_spark.operators.retrieval import phrase_match
+
+    df = spark.createDataFrame(
+        [(i, "alpha beta gamma alpha beta") for i in range(200)],
+        "doc_id long, text string",
+    )
+    plan = plan_of(phrase_match(df, ("alpha", "beta")))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "BatchEvalPython" not in plan, plan
+
+
+def test_survival_no_single_partition_window(spark, tr_parquet):
+    from featureextraction_spark.operators.cohorts import survival_table
+    from featureextraction_spark.operators.cache import (
+        release_persisted_intermediates,
+    )
+
+    out = survival_table(
+        tr_parquet.selectExpr("conv_id AS user_id", "ts"),
+        censor_horizon_days=1,
+    )
+    plan = plan_of(out)
+    for ln in plan.splitlines():
+        if "windowspecdefinition" in ln:
+            assert "__pid" in ln, ln
+    release_persisted_intermediates()
