@@ -2533,6 +2533,41 @@ def q_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
 PHRASE_TOKENS = ("stream", "table", "hash")
 
 
+def q_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local clustering coefficients over the co-purchase graph —
+    triangle enumeration + vertex-keyed degree join; 2T and deg·(deg-1)
+    are the integer hash vehicles."""
+    from featureextraction_spark.operators.graph import clustering_coeffs
+
+    li = _load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    edges = (
+        a.join(b, "l_orderkey")
+        .where(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .select(
+            F.col("a.l_partkey").alias("src"),
+            F.col("b.l_partkey").alias("dst"),
+        )
+    )
+    out = clustering_coeffs(edges)
+    return out.select(
+        "node", "degree", "n_triangles",
+        _hround6(F.col("clustering_coeff")).alias("clustering_coeff"),
+    )
+
+
+def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full BPE vocabulary induction (12 merge rules) — iterative by
+    nature, so recorded rows-only at the driver gate (like
+    feature_vectors); the bit-exact naive oracle lives in pytest. Every
+    iteration is vocabulary-sized: one corpus collapse up front, then
+    pair-count + argmax + JVM fold per merge."""
+    from featureextraction_spark.functions.textstats import bpe_merge_table
+
+    docs = _load(spark, sf_dir, "documents")
+    return bpe_merge_table(docs, n_merges=12)
+
+
 def q_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Kaplan-Meier risk table over user lifetimes (right-censored at a
     7-day horizon before dataset end): one key collapse + tiny-table
@@ -2692,6 +2727,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "expectations": q_expectations,
         "survival": q_survival,
         "phrase_match": q_phrase_match,
+        "clustering": q_clustering,
+        "bpe_train": q_bpe_train,
     }
 
 
@@ -7145,5 +7182,45 @@ def _round4u_oracle_sql() -> dict[str, str]:
             JOIN c1 ON c0.doc_id = c1.doc_id AND c0.p0 = c1.p0
             JOIN c2 ON c0.doc_id = c2.doc_id AND c0.p0 = c2.p0
             GROUP BY c0.doc_id
+        """,
+        "clustering": """
+            WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem),
+            e AS (
+                SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
+                FROM li a JOIN li b
+                  ON a.l_orderkey = b.l_orderkey
+                 AND a.l_partkey < b.l_partkey
+            ),
+            deg AS (
+                SELECT node, CAST(count(*) AS BIGINT) AS degree
+                FROM (
+                    SELECT pa AS node FROM e
+                    UNION ALL SELECT pb FROM e
+                ) GROUP BY node
+            ),
+            tri AS (
+                SELECT e1.pa AS a, e1.pb AS b, e2.pb AS c
+                FROM e e1
+                JOIN e e2 ON e1.pb = e2.pa
+                JOIN e e3 ON e3.pa = e1.pa AND e3.pb = e2.pb
+            ),
+            tc AS (
+                SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
+                FROM (
+                    SELECT a AS node FROM tri
+                    UNION ALL SELECT b FROM tri
+                    UNION ALL SELECT c FROM tri
+                ) GROUP BY node
+            )
+            SELECT d.node, d.degree,
+                   CAST(coalesce(t.n_triangles, 0) AS BIGINT)
+                       AS n_triangles,
+                   CASE WHEN d.degree > 1
+                        THEN round(
+                            CAST(2 * coalesce(t.n_triangles, 0) AS DOUBLE)
+                            / CAST(d.degree * (d.degree - 1) AS DOUBLE)
+                            + 1e-9, 6)
+                        ELSE 0.0 END AS clustering_coeff
+            FROM deg d LEFT JOIN tc t USING (node)
         """,
     }

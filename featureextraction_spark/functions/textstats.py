@@ -717,3 +717,130 @@ def pmi_collocations(
         F.round(lift + F.lit(1e-9), 6).alias("lift"),
     )
     return out.orderBy(F.col("lift").desc(), F.col("pair").asc()).limit(top)
+
+
+def bpe_train(
+    df: DataFrame,
+    text: str = "text",
+    n_merges: int = 10,
+    min_len: int = 2,
+) -> "list[tuple[int, str, str, str, int]]":
+    """Full byte-pair-encoding trainer: learn ``n_merges`` merge rules
+    (rank, left, right, merged, pair_count) from the corpus — the
+    vocabulary-induction step of an LLM tokenizer pipeline.
+
+    Distributed shape (the classic trainer optimization, Sennrich
+    ACL'16, re-expressed relationally): the corpus collapses ONCE to
+    distinct words with counts (word-keyed, map-side combinable — the
+    only corpus-sized shuffle); every iteration then runs on the
+    vocabulary-sized symbol table: adjacent-pair explode → pair-keyed
+    weighted count → argmax (count DESC, then lexicographic — fully
+    deterministic) → a JVM-side fold rewrites each word's symbol array
+    with greedy left-to-right non-overlapping merging (no Python in the
+    loop). Each iteration is persisted and the predecessor released, so
+    lineage stays O(1) per step; the driver sees exactly one 1-row
+    collect per merge. Iterative by nature — no single-statement SQL
+    replay exists, so the driver gate records this rows-only; pytest
+    holds the bit-exact naive oracle.
+    """
+    toks = F.filter(
+        F.split(
+            F.lower(
+                F.trim(
+                    F.regexp_replace(
+                        F.col(text), "[ \\t\\n\\r\\f\\u000B]+", " "
+                    )
+                )
+            ),
+            " ",
+        ),
+        lambda x: x != "",
+    )
+    cur = (
+        df.select(F.explode(toks).alias("__w"))
+        .filter(F.length("__w") >= min_len)
+        .groupBy("__w")
+        .agg(F.count(F.lit(1)).cast("long").alias("__wc"))
+        .select(
+            "__wc",
+            F.filter(F.split("__w", ""), lambda s: s != "").alias("__syms"),
+        )
+        .persist()
+    )
+    merges: list[tuple[int, str, str, str, int]] = []
+    try:
+        for rank in range(n_merges):
+            pair_counts = (
+                cur.where(F.size("__syms") >= 2)
+                .select(
+                    "__wc",
+                    F.explode(
+                        F.expr(
+                            "transform(sequence(0, size(__syms) - 2),"
+                            " i -> struct(__syms[i] AS l,"
+                            " __syms[i + 1] AS r))"
+                        )
+                    ).alias("__p"),
+                )
+                .groupBy(F.col("__p.l").alias("l"), F.col("__p.r").alias("r"))
+                .agg(F.sum("__wc").cast("long").alias("cnt"))
+            )
+            best = pair_counts.orderBy(
+                F.col("cnt").desc(), F.col("l"), F.col("r")
+            ).limit(1).collect()
+            if not best:
+                break
+            left, right, cnt = best[0].l, best[0].r, int(best[0].cnt)
+            merged = left + right
+            merges.append((rank, left, right, merged, cnt))
+            # greedy left-to-right non-overlapping rewrite, JVM-side fold
+            fold = F.aggregate(
+                F.col("__syms"),
+                F.struct(
+                    F.array().cast("array<string>").alias("out"),
+                    F.lit(None).cast("string").alias("pend"),
+                ),
+                lambda acc, s: F.when(
+                    acc.pend.isNull(),
+                    F.struct(acc.out.alias("out"), s.alias("pend")),
+                )
+                .when(
+                    (acc.pend == F.lit(left)) & (s == F.lit(right)),
+                    F.struct(
+                        F.concat(
+                            acc.out, F.array(F.lit(merged))
+                        ).alias("out"),
+                        F.lit(None).cast("string").alias("pend"),
+                    ),
+                )
+                .otherwise(
+                    F.struct(
+                        F.concat(acc.out, F.array(acc.pend)).alias("out"),
+                        s.alias("pend"),
+                    )
+                ),
+                lambda acc: F.when(
+                    acc.pend.isNull(), acc.out
+                ).otherwise(F.concat(acc.out, F.array(acc.pend))),
+            )
+            nxt = cur.select("__wc", fold.alias("__syms")).persist()
+            nxt.count()  # materialize before dropping the predecessor
+            cur.unpersist()
+            cur = nxt
+    finally:
+        cur.unpersist()
+    return merges
+
+
+def bpe_merge_table(
+    df: DataFrame, text: str = "text", n_merges: int = 10
+) -> DataFrame:
+    """:func:`bpe_train` packaged as a DataFrame of merge rules —
+    (rank, left, right, merged, pair_count), all integers/strings."""
+    spark = df.sparkSession
+    rows = bpe_train(df, text=text, n_merges=n_merges)
+    return spark.createDataFrame(
+        rows or [],
+        "rank long, left string, right string, merged string, "
+        "pair_count long",
+    )

@@ -344,3 +344,46 @@ def triangle_counts(
     return corners.groupBy("node").agg(
         F.count(F.lit(1)).cast("long").alias("n_triangles")
     )
+
+
+def clustering_coeffs(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Per-vertex local clustering coefficient over an undirected simple
+    graph: coeff = 2·triangles / (deg·(deg-1)) — how close the vertex's
+    neighborhood is to a clique. Composes :func:`triangle_counts` with a
+    one-pass degree aggregate over the same canonical edge set; numerator
+    (2T) and denominator stay exact integers (the hash vehicle), the
+    coefficient is the one closing division. Degree-1 vertices report 0.
+
+    One extra exchange beyond the triangle join (the degree groupBy,
+    keyed the same way); the join of degrees to triangle counts is
+    vertex-keyed — never edge- or pair-sized.
+    """
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .where(F.col("a") < F.col("b"))
+        .distinct()
+    )
+    deg = (
+        e.select(F.explode(F.array("a", "b")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("degree"))
+    )
+    tri = triangle_counts(e, src="a", dst="b")
+    den = F.col("degree") * (F.col("degree") - 1)
+    return deg.join(tri, "node", "left").select(
+        "node",
+        "degree",
+        F.coalesce(F.col("n_triangles"), F.lit(0)).cast("long").alias(
+            "n_triangles"
+        ),
+        F.when(
+            den > 0,
+            (2 * F.coalesce(F.col("n_triangles"), F.lit(0))).cast("double")
+            / den.cast("double"),
+        ).otherwise(F.lit(0.0)).alias("clustering_coeff"),
+    )

@@ -154,3 +154,40 @@ def test_table_diff_null_to_value_is_changed(spark):
     new = spark.createDataFrame([(1, "x")], "k long, cat string")
     out = table_diff(old, new, key="k", compare=("cat",)).collect()
     assert out[0].status == "changed"
+
+
+def test_clustering_coeffs_vs_naive(spark):
+    from featureextraction_spark.operators.graph import clustering_coeffs
+
+    rng = random.Random(13)
+    edges = set()
+    for a, b in combinations(range(15), 2):
+        if rng.random() < 0.4:
+            edges.add((a, b))
+    edges.add((20, 21))  # degree-1 pair: coeff must be 0
+    df = spark.createDataFrame(sorted(edges), "src long, dst long")
+    tri = _naive_triangles(edges)
+    adj = defaultdict(set)
+    for a, b in edges:
+        adj[a].add(b)
+        adj[b].add(a)
+    got = {r.node: (r.degree, r.n_triangles, r.clustering_coeff)
+           for r in clustering_coeffs(df).collect()}
+    assert set(got) == set(adj)
+    for n, neigh in adj.items():
+        d = len(neigh)
+        t = tri.get(n, 0)
+        want = 2 * t / (d * (d - 1)) if d > 1 else 0.0
+        assert got[n][0] == d and got[n][1] == t
+        assert abs(got[n][2] - want) < 1e-12
+
+
+def test_clustering_coeff_complete_graph_is_one(spark):
+    df = spark.createDataFrame(
+        [(a, b) for a, b in combinations(range(5), 2)], "src long, dst long"
+    )
+    from featureextraction_spark.operators.graph import clustering_coeffs
+
+    assert all(
+        r.clustering_coeff == 1.0 for r in clustering_coeffs(df).collect()
+    )

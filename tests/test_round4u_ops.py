@@ -103,3 +103,70 @@ def test_phrase_match_single_term(spark):
     df = spark.createDataFrame([(1, "x y x")], "doc_id long, text string")
     got = phrase_match(df, ("x",)).collect()
     assert (got[0].n_matches, got[0].first_pos) == (2, 0)
+
+
+def _naive_bpe(texts, n_merges, min_len=2):
+    words = Counter()
+    for t in texts:
+        for w in re.split(r"[ \t\n\r\f\x0b]+", t.lower()):
+            if len(w) >= min_len:
+                words[w] += 1
+    vocab = {tuple(w): c for w, c in words.items()}
+    merges = []
+    for rank in range(n_merges):
+        pairs = Counter()
+        for syms, c in vocab.items():
+            for i in range(len(syms) - 1):
+                pairs[(syms[i], syms[i + 1])] += c
+        if not pairs:
+            break
+        (l, r), cnt = min(
+            pairs.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        merges.append((rank, l, r, l + r, cnt))
+        new_vocab = {}
+        for syms, c in vocab.items():
+            out, pend = [], None
+            for s in syms:
+                if pend is None:
+                    pend = s
+                elif pend == l and s == r:
+                    out.append(l + r)
+                    pend = None
+                else:
+                    out.append(pend)
+                    pend = s
+            if pend is not None:
+                out.append(pend)
+            new_vocab[tuple(out)] = new_vocab.get(tuple(out), 0) + c
+        vocab = new_vocab
+    return merges
+
+
+def test_bpe_train_vs_naive(spark):
+    from featureextraction_spark.functions.textstats import bpe_train
+
+    rng = random.Random(59)
+    vocab = ["lower", "newest", "widest", "low", "lowest", "news", "wide"]
+    texts = [" ".join(rng.choice(vocab) for _ in range(rng.randint(3, 30)))
+             for _ in range(60)]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = bpe_train(df, n_merges=8)
+    assert got == _naive_bpe(texts, 8)
+
+
+def test_bpe_train_sennrich_example(spark):
+    from featureextraction_spark.functions.textstats import bpe_train
+
+    df = spark.createDataFrame(
+        [(1, " ".join(["low"] * 5 + ["lower"] * 2 + ["newest"] * 6
+                      + ["widest"] * 3))],
+        "doc_id long, text string",
+    )
+    got = bpe_train(df, n_merges=4)
+    # es (9) -> est (9) -> lo (7) -> low (7): the ACL'16 walkthrough
+    assert [(m[1], m[2]) for m in got] == [
+        ("e", "s"), ("es", "t"), ("l", "o"), ("lo", "w")
+    ]
