@@ -2556,6 +2556,55 @@ def q_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pit_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The feature store's get_historical_features read: purchases
+    probe TWO backward as-of logs (last click / last view value) and
+    one SCD2 dimension (signup tier) in a single leakage-free plan —
+    one entity-keyed exchange per source."""
+    from featureextraction_spark.plans.pit_read import point_in_time_read
+    from featureextraction_spark.operators.scd import scd2_intervals
+    from featureextraction_spark.functions.time import epoch_us
+
+    ev = _load(spark, sf_dir, "events")
+    # collapse same-(user, ts) log rows exactly as the oracle's max_by
+    def _log(etype: str, out: str) -> DataFrame:
+        return (
+            ev.where(F.col("event_type") == etype)
+            .groupBy("user_id", "ts")
+            .agg(
+                F.max("event_id").alias("event_id"),
+                F.max_by("value", "event_id").alias(out),
+            )
+        )
+
+    signups = ev.where(F.col("event_type") == "signup").withColumn(
+        "tier",
+        F.when(F.col("value") < 33, "bronze")
+        .when(F.col("value") < 66, "silver")
+        .otherwise("gold"),
+    )
+    probes = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts", epoch_us(ev, "ts").alias("ts_us")
+    )
+    out = point_in_time_read(
+        probes,
+        asof_sources=[
+            ("click_", _log("click", "cv"), ["cv"]),
+            ("view_", _log("view", "vv"), ["vv"]),
+        ],
+        dim_sources=[("tier_", scd2_intervals(signups, state="tier"))],
+    )
+    return out.select(
+        "user_id",
+        "event_id",
+        "ts_us",
+        F.round(F.col("click_cv"), 4).alias("click_value"),
+        F.round(F.col("view_vv"), 4).alias("view_value"),
+        F.col("tier_state").alias("tier"),
+        F.col("tier_version").alias("tier_version"),
+    )
+
+
 def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full BPE vocabulary induction (12 merge rules) — iterative by
     nature, so recorded rows-only at the driver gate (like
@@ -2729,6 +2778,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phrase_match": q_phrase_match,
         "clustering": q_clustering,
         "bpe_train": q_bpe_train,
+        "pit_read": q_pit_read,
     }
 
 
@@ -7222,5 +7272,52 @@ def _round4u_oracle_sql() -> dict[str, str]:
                             + 1e-9, 6)
                         ELSE 0.0 END AS clustering_coeff
             FROM deg d LEFT JOIN tc t USING (node)
+        """,
+        "pit_read": """
+            WITH clicks AS (
+                SELECT user_id, ts, max_by(value, event_id) AS v
+                FROM events WHERE event_type = 'click'
+                GROUP BY user_id, ts
+            ),
+            views AS (
+                SELECT user_id, ts, max_by(value, event_id) AS v
+                FROM events WHERE event_type = 'view'
+                GROUP BY user_id, ts
+            ),
+            s AS (
+                SELECT user_id, event_id, epoch_us(ts) AS us,
+                       CASE WHEN value < 33 THEN 'bronze'
+                            WHEN value < 66 THEN 'silver'
+                            ELSE 'gold' END AS tier
+                FROM events WHERE event_type = 'signup'
+            ),
+            dim AS (
+                SELECT user_id, tier AS state,
+                       us AS valid_from_us,
+                       lead(us) OVER (PARTITION BY user_id
+                                      ORDER BY us, event_id) AS valid_to_us,
+                       CAST(row_number() OVER (PARTITION BY user_id
+                                               ORDER BY us, event_id)
+                            AS BIGINT) AS version
+                FROM s
+            ),
+            p AS (
+                SELECT user_id, event_id, ts, epoch_us(ts) AS ts_us
+                FROM events WHERE event_type = 'purchase'
+            )
+            SELECT p.user_id, p.event_id, p.ts_us,
+                   round(c.v, 4) AS click_value,
+                   round(w.v, 4) AS view_value,
+                   d.state AS tier,
+                   d.version AS tier_version
+            FROM p
+            ASOF LEFT JOIN clicks c
+              ON p.user_id = c.user_id AND c.ts <= p.ts
+            ASOF LEFT JOIN views w
+              ON p.user_id = w.user_id AND w.ts <= p.ts
+            LEFT JOIN dim d
+              ON p.user_id = d.user_id
+             AND d.valid_from_us <= p.ts_us
+             AND (d.valid_to_us IS NULL OR p.ts_us < d.valid_to_us)
         """,
     }

@@ -170,3 +170,78 @@ def test_bpe_train_sennrich_example(spark):
     assert [(m[1], m[2]) for m in got] == [
         ("e", "s"), ("es", "t"), ("l", "o"), ("lo", "w")
     ]
+
+
+def test_point_in_time_read_vs_naive_no_leakage(spark):
+    from featureextraction_spark.operators.scd import scd2_intervals
+    from featureextraction_spark.plans.pit_read import point_in_time_read
+
+    rng = random.Random(61)
+    logs = {"m": [], "n": []}
+    dim_changes = []
+    probes = []
+    for u in range(25):
+        for name in logs:
+            t = rng.randrange(0, 900)
+            for _ in range(rng.randint(0, 6)):
+                logs[name].append((u, rng.randrange(10**6), t,
+                                   round(rng.uniform(0, 10), 3)))
+                t += rng.randrange(1, 200)
+        t = rng.randrange(0, 900)
+        for i in range(rng.randint(0, 4)):
+            dim_changes.append((u, i, t, f"v{i}"))
+            t += rng.randrange(1, 300)
+        for _ in range(8):
+            probes.append((u, rng.randrange(10**6), rng.randrange(1000)))
+
+    def mk_log(rows):
+        return spark.createDataFrame(
+            rows, "user_id long, event_id long, t long, value double"
+        ).selectExpr(
+            "user_id", "event_id", "value",
+            "CAST(to_timestamp(t) AS timestamp) AS ts",
+        )
+
+    dim = scd2_intervals(
+        spark.createDataFrame(
+            dim_changes, "user_id long, event_id long, t long, sv string"
+        ).selectExpr(
+            "user_id", "event_id", "sv",
+            "CAST(to_timestamp(t) AS timestamp) AS ts",
+        ),
+        state="sv",
+    )
+    pdf = spark.createDataFrame(
+        probes, "user_id long, event_id long, t long"
+    ).selectExpr(
+        "user_id", "event_id",
+        "CAST(to_timestamp(t) AS timestamp) AS ts",
+        "t * 1000000 AS ts_us",
+    )
+    out = point_in_time_read(
+        pdf,
+        asof_sources=[("m_", mk_log(logs["m"]), ["value"]),
+                      ("n_", mk_log(logs["n"]), ["value"])],
+        dim_sources=[("d_", dim)],
+    )
+    got = {
+        (r.user_id, r.event_id): (r.m_value, r.n_value, r.d_state)
+        for r in out.collect()
+    }
+    assert len(got) == len(probes)
+
+    def last_at(rows, u, t):
+        elig = [(rt, eid, v) for (ru, eid, rt, v) in rows
+                if ru == u and rt <= t]
+        if not elig:
+            return None
+        return max(elig)[2]
+
+    for u, pid, t in probes:
+        mv = last_at(logs["m"], u, t)
+        nv = last_at(logs["n"], u, t)
+        dv = None
+        for (du, i, dt_, sv) in dim_changes:
+            if du == u and dt_ <= t:
+                dv = sv
+        assert got[(u, pid)] == (mv, nv, dv), (u, pid, t)
