@@ -305,21 +305,10 @@ def dedup_clusters(
     )
 
 
-def triangle_counts(
-    edges: DataFrame, src: str = "src", dst: str = "dst"
-) -> DataFrame:
-    """Per-vertex triangle counts over an undirected simple graph.
-
-    ``edges`` may contain either or both directions and self-loops; the
-    canonical pass below dedups to one (a < b) row per edge. Triangles
-    enumerate via the classic two-join ordered scheme — e1(a,b) ⋈
-    e2(b,c) ⋈ e3(a,c) with a < b < c — so each triangle appears EXACTLY
-    once (no /6 correction, no double counting), then each contributes
-    one count to each corner. All hash equi-joins; the join fan-out is
-    Σ deg²(b) over middle vertices, the standard bound — pre-prune hub
-    vertices (degree caps) upstream if the graph has them.
-    """
-    e = (
+def _canonical_edges(edges: DataFrame, src: str, dst: str) -> DataFrame:
+    """One (a < b) row per undirected edge — both directions, duplicates
+    and self-loops collapse."""
+    return (
         edges.select(
             F.least(F.col(src), F.col(dst)).alias("a"),
             F.greatest(F.col(src), F.col(dst)).alias("b"),
@@ -327,53 +316,108 @@ def triangle_counts(
         .where(F.col("a") < F.col("b"))
         .distinct()
     )
-    e1 = e.select(F.col("a"), F.col("b"))
-    e2 = e.select(F.col("a").alias("b"), F.col("b").alias("c"))
-    e3 = e.select(F.col("a").alias("ta"), F.col("b").alias("tc"))
-    tri = (
-        e1.join(e2, "b")
-        .join(
-            e3,
-            (F.col("a") == F.col("ta")) & (F.col("c") == F.col("tc")),
-        )
-        .select("a", "b", "c")
+
+
+def _degrees(e: DataFrame) -> DataFrame:
+    return (
+        e.select(F.explode(F.array("a", "b")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("degree"))
     )
+
+
+def _triangle_counts_canonical(
+    e: DataFrame, deg: DataFrame, broadcast_edges: int
+) -> DataFrame:
+    """Degree-ordered compact-forward enumeration over a canonical edge
+    set with its degree table (see :func:`triangle_counts`)."""
+    from .cache import persist_tracked
+
+    er = e.join(
+        deg.select(F.col("node").alias("a"), F.col("degree").alias("da")),
+        "a",
+    ).join(
+        deg.select(F.col("node").alias("b"), F.col("degree").alias("db")),
+        "b",
+    )
+    lower_first = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
+    eo = persist_tracked(
+        er.select(
+            F.when(lower_first, F.col("a")).otherwise(F.col("b")).alias("u"),
+            F.when(lower_first, F.col("b")).otherwise(F.col("a")).alias("v"),
+            F.when(lower_first, F.col("db")).otherwise(F.col("da")).alias("dv"),
+        )
+    )
+    w1 = eo.select("u", F.col("v").alias("v1"), F.col("dv").alias("d1"))
+    w2 = eo.select("u", F.col("v").alias("v2"), F.col("dv").alias("d2"))
+    wedges = w1.join(w2, "u").where(
+        (F.col("d1") < F.col("d2"))
+        | ((F.col("d1") == F.col("d2")) & (F.col("v1") < F.col("v2")))
+    )
+    closing = eo.select(F.col("u").alias("v1"), F.col("v").alias("v2"))
+    # size-gated broadcast of the closure side: the wedge table is the
+    # Σ out-deg² blow-up — when the EDGE set fits a broadcast (it's the
+    # small one by construction), wedges stream through a broadcast-hash
+    # probe and never shuffle; above the gate fall back to a shuffled
+    # equi-join (both sides keyed on the closing edge)
+    if eo.count() <= broadcast_edges:
+        closing = F.broadcast(closing)
+    tri = wedges.join(closing, ["v1", "v2"]).select("u", "v1", "v2")
     corners = tri.select(
-        F.explode(F.array(F.col("a"), F.col("b"), F.col("c"))).alias("node")
+        F.explode(F.array(F.col("u"), F.col("v1"), F.col("v2"))).alias("node")
     )
     return corners.groupBy("node").agg(
         F.count(F.lit(1)).cast("long").alias("n_triangles")
     )
 
 
+def triangle_counts(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    broadcast_edges: int = 2_000_000,
+) -> DataFrame:
+    """Per-vertex triangle counts over an undirected simple graph.
+
+    ``edges`` may contain either or both directions and self-loops; the
+    canonical pass dedups to one (a < b) row per edge. Enumeration is
+    the DEGREE-ORDERED compact-forward scheme (Latapy TCS'08; Cohen,
+    "Graph Twiddling in a MapReduce World", CiSE'09): orient every edge
+    from its lower-(degree, id)-ranked endpoint to the higher, build
+    wedges at the LOW-rank apex, close them against the oriented edge
+    set. Every triangle materializes exactly once (the rank order is a
+    tournament), and the wedge fan-out is Σ out-deg² with out-degrees
+    bounded by O(√m) — hub vertices fan out on their cheap side instead
+    of exploding as Σ deg² middles. All hash equi-joins; the oriented
+    edge table is persisted (it feeds both wedge sides and the closure).
+    """
+    from .cache import persist_tracked
+
+    e = persist_tracked(_canonical_edges(edges, src, dst))
+    return _triangle_counts_canonical(e, _degrees(e), broadcast_edges)
+
+
 def clustering_coeffs(
-    edges: DataFrame, src: str = "src", dst: str = "dst"
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    broadcast_edges: int = 2_000_000,
 ) -> DataFrame:
     """Per-vertex local clustering coefficient over an undirected simple
     graph: coeff = 2·triangles / (deg·(deg-1)) — how close the vertex's
-    neighborhood is to a clique. Composes :func:`triangle_counts` with a
-    one-pass degree aggregate over the same canonical edge set; numerator
-    (2T) and denominator stay exact integers (the hash vehicle), the
-    coefficient is the one closing division. Degree-1 vertices report 0.
-
-    One extra exchange beyond the triangle join (the degree groupBy,
-    keyed the same way); the join of degrees to triangle counts is
-    vertex-keyed — never edge- or pair-sized.
+    neighborhood is to a clique. Shares ONE persisted canonical edge set
+    and ONE degree table with the triangle enumeration (no second edge
+    build); numerator (2T) and denominator stay exact integers (the hash
+    vehicle), the coefficient is the one closing division. Degree-1
+    vertices report 0.
     """
-    e = (
-        edges.select(
-            F.least(F.col(src), F.col(dst)).alias("a"),
-            F.greatest(F.col(src), F.col(dst)).alias("b"),
-        )
-        .where(F.col("a") < F.col("b"))
-        .distinct()
-    )
-    deg = (
-        e.select(F.explode(F.array("a", "b")).alias("node"))
-        .groupBy("node")
-        .agg(F.count(F.lit(1)).cast("long").alias("degree"))
-    )
-    tri = triangle_counts(e, src="a", dst="b")
+    from .cache import persist_tracked
+
+    e = persist_tracked(_canonical_edges(edges, src, dst))
+    deg = persist_tracked(_degrees(e))
+    tri = _triangle_counts_canonical(e, deg, broadcast_edges)
     den = F.col("degree") * (F.col("degree") - 1)
     return deg.join(tri, "node", "left").select(
         "node",
