@@ -762,3 +762,35 @@ def test_survival_no_single_partition_window(spark, tr_parquet):
         if "windowspecdefinition" in ln:
             assert "__pid" in ln, ln
     release_persisted_intermediates()
+
+
+def test_pit_read_one_exchange_per_source_no_python(spark, tr_parquet):
+    from featureextraction_spark.operators.scd import scd2_intervals
+    from featureextraction_spark.plans.pit_read import point_in_time_read
+
+    log = tr_parquet.selectExpr(
+        "conv_id AS user_id", "CAST(turn_idx AS STRING) AS event_id",
+        "ts", "CAST(turn_idx AS DOUBLE) AS value"
+    )
+    dim = scd2_intervals(
+        tr_parquet.selectExpr(
+            "conv_id AS user_id", "CAST(turn_idx AS STRING) AS event_id",
+            "ts", "role AS event_type"
+        )
+    )
+    probes = tr_parquet.selectExpr(
+        "conv_id AS user_id", "CAST(turn_idx AS STRING) AS event_id", "ts",
+        "unix_micros(CAST(ts AS timestamp)) AS ts_us"
+    )
+    out = point_in_time_read(
+        probes,
+        asof_sources=[("a_", log, ["value"])],
+        dim_sources=[("d_", dim)],
+    )
+    plan = plan_of(out)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    # as-of union window + scd2 window + dim-probe join: a handful of
+    # entity-keyed exchanges, bounded and key-aligned — never data²
+    assert count_exchanges(plan) <= 5, plan
