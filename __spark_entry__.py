@@ -2605,6 +2605,73 @@ def q_pit_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """6-hour OHLC bars per user — order-dependent open/close pinned by
+    asc+desc row_numbers on ONE (user, bucket) exchange; all outputs
+    exact quantized integers."""
+    from featureextraction_spark.operators.rolling import resample_bars
+
+    ev = _load(spark, sf_dir, "events")
+    return resample_bars(ev, bucket_us=6 * 3_600 * 1_000_000)
+
+
+def q_auc_slices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source sliced ROC-AUC of doc length predicting lang='en' —
+    the per-slice model-eval read; group-keyed window cumsum, integer
+    auc_num2 vehicles, degenerate slices NULL."""
+    from featureextraction_spark.operators.evaluation import roc_auc_by
+
+    docs = _load(spark, sf_dir, "documents")
+    d = docs.select(
+        F.col("source"),
+        F.col("n_chars").cast("double").alias("score"),
+        (F.col("lang") == "en").cast("long").alias("label"),
+    )
+    out = roc_auc_by(d, group="source", quant=1)
+    return out.select(
+        F.col("grp").alias("source"), "n_pos", "n_neg", "auc_num2",
+        _hround6(F.col("auc")).alias("auc"),
+    )
+
+
+def q_gains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lift/gains deciles of value targeting purchases — two-phase
+    global rank (no single-partition window over the log), cumulative
+    sums on the 10-row bucket table, rational lift vehicles."""
+    from featureextraction_spark.operators.evaluation import gains_table
+
+    ev = _load(spark, sf_dir, "events")
+    d = ev.select(
+        F.col("value").alias("score"),
+        F.col("event_id"),
+        (F.col("event_type") == "purchase").cast("long").alias("label"),
+    )
+    out = gains_table(d, n_buckets=10)
+    return out.select(
+        "bucket", "n", "n_pos", "cum_n", "cum_pos", "lift_num", "lift_den",
+        _hround6(F.col("lift")).alias("lift"),
+    )
+
+
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-insensitive snapshot fingerprint of the event log (md5-60
+    row hashes folded by modular sum) — one scan, one row; the cheap
+    run-to-run divergence detector in front of table_diff."""
+    from featureextraction_spark.operators.profiling import table_fingerprint
+    from featureextraction_spark.functions.time import epoch_us
+
+    ev = _load(spark, sf_dir, "events")
+    p = ev.select(
+        "event_id", "user_id", "event_type",
+        epoch_us(ev, "ts").alias("ts_us"),
+        F.floor(F.col("value").cast("double") * 10000.0 + 0.5)
+        .cast("long").alias("value_q"),
+    )
+    return table_fingerprint(
+        p, ["event_id", "user_id", "event_type", "ts_us", "value_q"]
+    )
+
+
 def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full BPE vocabulary induction (12 merge rules) — iterative by
     nature, so recorded rows-only at the driver gate (like
@@ -2779,6 +2846,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clustering": q_clustering,
         "bpe_train": q_bpe_train,
         "pit_read": q_pit_read,
+        "resample": q_resample,
+        "auc_slices": q_auc_slices,
+        "gains": q_gains,
+        "fingerprint": q_fingerprint,
     }
 
 
@@ -3043,6 +3114,7 @@ def oracle_sql() -> dict[str, str]:
     base.update(_round4s_oracle_sql())
     base.update(_round4t_oracle_sql())
     base.update(_round4u_oracle_sql())
+    base.update(_round4v_oracle_sql())
     # full-probe IVF is exhaustive by construction — the exact replay gates it
     base["ivf_topk_full"] = base["cosine_topk"]
     # full-probe IVF-PQ scans every list exactly once == the flat ADC scan
@@ -7319,5 +7391,141 @@ def _round4u_oracle_sql() -> dict[str, str]:
               ON p.user_id = d.user_id
              AND d.valid_from_us <= p.ts_us
              AND (d.valid_to_us IS NULL OR p.ts_us < d.valid_to_us)
+        """,
+    }
+
+
+def _round4v_oracle_sql() -> dict[str, str]:
+    """DuckDB replay of the resample/eval/fingerprint batch: window
+    row_numbers pin OHLC open/close, the sliced AUC is the group-keyed
+    cumsum, gains ranks 0-based like with_global_rank, the fingerprint
+    folds md5-60 row hashes mod 2^61-1 (HUGEINT sum is exact)."""
+    return {
+        "resample": """
+            WITH b AS (
+                SELECT user_id,
+                       epoch_us(ts) // 21600000000 AS bucket,
+                       epoch_us(ts) AS us, event_id,
+                       CAST(floor(CAST(value AS DOUBLE) * 10000.0 + 0.5)
+                            AS BIGINT) AS vq
+                FROM events
+            ),
+            m AS (
+                SELECT *,
+                       row_number() OVER (PARTITION BY user_id, bucket
+                                          ORDER BY us, event_id) AS ra,
+                       row_number() OVER (PARTITION BY user_id, bucket
+                                          ORDER BY us DESC, event_id DESC)
+                           AS rd
+                FROM b
+            )
+            SELECT user_id, bucket, CAST(count(*) AS BIGINT) AS n,
+                   CAST(max(CASE WHEN ra = 1 THEN vq END) AS BIGINT)
+                       AS open_q,
+                   CAST(max(vq) AS BIGINT) AS high_q,
+                   CAST(min(vq) AS BIGINT) AS low_q,
+                   CAST(max(CASE WHEN rd = 1 THEN vq END) AS BIGINT)
+                       AS close_q,
+                   CAST(sum(vq) AS BIGINT) AS sum_q
+            FROM m GROUP BY user_id, bucket
+        """,
+        "auc_slices": """
+            WITH d AS (
+                SELECT source, CAST(n_chars AS BIGINT) AS sq,
+                       CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+                FROM documents
+            ),
+            per AS (
+                SELECT source, sq, CAST(sum(y) AS BIGINT) AS n_pos,
+                       CAST(count(*) - sum(y) AS BIGINT) AS n_neg
+                FROM d GROUP BY source, sq
+            ),
+            cum AS (
+                SELECT source, n_pos, n_neg,
+                       CAST(coalesce(sum(n_neg) OVER (
+                           PARTITION BY source ORDER BY sq
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                       ), 0) AS BIGINT) AS neg_below
+                FROM per
+            )
+            SELECT source,
+                   CAST(sum(n_pos) AS BIGINT) AS n_pos,
+                   CAST(sum(n_neg) AS BIGINT) AS n_neg,
+                   CAST(sum(n_pos * (2 * neg_below + n_neg)) AS BIGINT)
+                       AS auc_num2,
+                   CASE WHEN sum(n_pos) > 0 AND sum(n_neg) > 0
+                        THEN round(
+                            CAST(sum(n_pos * (2 * neg_below + n_neg))
+                                 AS DOUBLE)
+                            / (2.0 * CAST(sum(n_pos) AS DOUBLE)
+                               * CAST(sum(n_neg) AS DOUBLE)) + 1e-9, 6)
+                   END AS auc
+            FROM cum GROUP BY source
+        """,
+        "gains": """
+            WITH d AS (
+                SELECT CAST(floor(CAST(value AS DOUBLE) * 10000.0 + 0.5)
+                            AS BIGINT) AS sq,
+                       event_id,
+                       CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END
+                           AS y
+                FROM events
+            ),
+            t AS (
+                SELECT CAST(count(*) AS BIGINT) AS tn,
+                       CAST(sum(y) AS BIGINT) AS tpos
+                FROM d
+            ),
+            r AS (
+                SELECT y,
+                       row_number() OVER (ORDER BY sq DESC, event_id DESC)
+                           - 1 AS rk
+                FROM d
+            ),
+            per AS (
+                SELECT (rk * 10) // (SELECT tn FROM t) AS bucket,
+                       CAST(count(*) AS BIGINT) AS n,
+                       CAST(sum(y) AS BIGINT) AS n_pos
+                FROM r GROUP BY 1
+            ),
+            cum AS (
+                SELECT bucket, n, n_pos,
+                       CAST(sum(n) OVER (ORDER BY bucket) AS BIGINT)
+                           AS cum_n,
+                       CAST(sum(n_pos) OVER (ORDER BY bucket) AS BIGINT)
+                           AS cum_pos
+                FROM per
+            )
+            SELECT bucket, n, n_pos, cum_n, cum_pos,
+                   CAST(cum_pos * (SELECT tn FROM t) AS BIGINT) AS lift_num,
+                   CAST(cum_n * (SELECT tpos FROM t) AS BIGINT) AS lift_den,
+                   CASE WHEN cum_n * (SELECT tpos FROM t) <> 0
+                        THEN round(
+                            CAST(cum_pos * (SELECT tn FROM t) AS DOUBLE)
+                            / CAST(cum_n * (SELECT tpos FROM t) AS DOUBLE)
+                            + 1e-9, 6)
+                   END AS lift
+            FROM cum
+        """,
+        "fingerprint": """
+            WITH p AS (
+                SELECT coalesce(CAST(event_id AS VARCHAR), '␀') || '|'
+                       || coalesce(CAST(user_id AS VARCHAR), '␀') || '|'
+                       || coalesce(event_type, '␀') || '|'
+                       || coalesce(CAST(epoch_us(ts) AS VARCHAR), '␀')
+                       || '|'
+                       || coalesce(CAST(CAST(floor(
+                              CAST(value AS DOUBLE) * 10000.0 + 0.5)
+                              AS BIGINT) AS VARCHAR), '␀') AS canon
+                FROM events
+            ),
+            h AS (
+                SELECT ('0x' || substr(md5(canon), 1, 15))::BIGINT AS hv
+                FROM p
+            )
+            SELECT CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(sum(hv) % 2305843009213693951 AS BIGINT)
+                       AS fingerprint
+            FROM h
         """,
     }

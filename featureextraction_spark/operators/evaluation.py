@@ -30,7 +30,7 @@ pair, so each distance is evaluated once, not once per threshold.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -314,4 +314,136 @@ def ab_chi2(
             den != 0,
             (n * det * det).cast("double") / den.cast("double"),
         ).alias("chi2"),
+    )
+
+
+def roc_auc_by(
+    df: DataFrame,
+    group: str,
+    score: str = "score",
+    label: str = "label",
+    quant: int = 10_000,
+) -> DataFrame:
+    """Per-slice exact ROC-AUC — :func:`roc_auc` partitioned by a group
+    column (the sliced model-evaluation read: per source, per cohort,
+    per segment). The below-cumsum here is a GROUP-KEYED window over the
+    per-group distinct-score table — partitioned, so no single task ever
+    sees more than one group's score range; everything else matches the
+    global operator (integer auc_num2 vehicle, one closing division).
+    Degenerate slices (no positives or no negatives) report NULL auc.
+    """
+    sq = F.floor(
+        F.col(score).cast("double") * F.lit(float(quant)) + F.lit(0.5)
+    ).cast("long")
+    per = (
+        df.select(
+            F.col(group).alias("grp"),
+            sq.alias("sq"),
+            F.col(label).cast("long").alias("__y"),
+        )
+        .groupBy("grp", "sq")
+        .agg(
+            F.sum("__y").cast("long").alias("n_pos"),
+            (F.count(F.lit(1)) - F.sum("__y")).cast("long").alias("n_neg"),
+        )
+    )
+    w = (
+        Window.partitionBy("grp")
+        .orderBy("sq")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = per.withColumn(
+        "neg_below", F.coalesce(F.sum("n_neg").over(w), F.lit(0)).cast("long")
+    )
+    agg = cum.groupBy("grp").agg(
+        F.sum("n_pos").cast("long").alias("n_pos"),
+        F.sum("n_neg").cast("long").alias("n_neg"),
+        F.sum(
+            F.col("n_pos") * (2 * F.col("neg_below") + F.col("n_neg"))
+        ).cast("long").alias("auc_num2"),
+    )
+    return agg.select(
+        "grp",
+        "n_pos",
+        "n_neg",
+        "auc_num2",
+        F.when(
+            (F.col("n_pos") > 0) & (F.col("n_neg") > 0),
+            F.col("auc_num2").cast("double")
+            / (2.0 * F.col("n_pos").cast("double")
+               * F.col("n_neg").cast("double")),
+        ).alias("auc"),
+    )
+
+
+def gains_table(
+    df: DataFrame,
+    score: str = "score",
+    label: str = "label",
+    tie: str = "event_id",
+    n_buckets: int = 10,
+    quant: int = 10_000,
+) -> DataFrame:
+    """Lift/gains deciles: rank the population by score DESCENDING,
+    split into ``n_buckets`` equal-count buckets, report per-bucket and
+    cumulative conversions plus the lift of the cumulative targeting cut
+    over the base rate — the campaign-targeting readout.
+
+    The full-population rank is the two-phase range-partitioned
+    :func:`..blockpair.with_global_rank` (no single-partition window);
+    bucket and cumulative sums then live on the ``n_buckets``-row table.
+    Counts stay integers (lift_num/lift_den the rational vehicle); lift
+    is the one closing division.
+    """
+    from .blockpair import with_global_rank
+
+    sq = F.floor(
+        F.col(score).cast("double") * F.lit(float(quant)) + F.lit(0.5)
+    ).cast("long")
+    base = df.select(
+        sq.alias("__sq"),
+        F.col(tie).alias("__tie"),
+        F.col(label).cast("long").alias("__y"),
+    ).select(
+        # rank DESC by score with a unique tie-break: negate the pair
+        F.struct(
+            (-F.col("__sq")).alias("a"), (-F.col("__tie")).alias("b")
+        ).alias("__ord"),
+        "__y",
+    )
+    ranked = with_global_rank(base, "__ord", out_col="__rk")
+    total = ranked.groupBy().agg(
+        F.count(F.lit(1)).cast("long").alias("__n"),
+        F.sum("__y").cast("long").alias("__npos"),
+    )
+    b = ranked.join(F.broadcast(total)).select(
+        ((F.col("__rk") * F.lit(n_buckets)
+          - F.pmod(F.col("__rk") * F.lit(n_buckets), F.col("__n")))
+         / F.col("__n")).cast("long").alias("bucket"),
+        "__y",
+        "__n",
+        "__npos",
+    )
+    per = b.groupBy("bucket", "__n", "__npos").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("__y").cast("long").alias("n_pos"),
+    )
+    wc = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = per.select(
+        "bucket", "n", "n_pos",
+        F.sum("n").over(wc).cast("long").alias("cum_n"),
+        F.sum("n_pos").over(wc).cast("long").alias("cum_pos"),
+        "__n", "__npos",
+    )
+    return cum.select(
+        "bucket", "n", "n_pos", "cum_n", "cum_pos",
+        (F.col("cum_pos") * F.col("__n")).cast("long").alias("lift_num"),
+        (F.col("cum_n") * F.col("__npos")).cast("long").alias("lift_den"),
+        F.when(
+            F.col("cum_n") * F.col("__npos") != 0,
+            (F.col("cum_pos") * F.col("__n")).cast("double")
+            / (F.col("cum_n") * F.col("__npos")).cast("double"),
+        ).alias("lift"),
     )

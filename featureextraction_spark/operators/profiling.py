@@ -277,3 +277,30 @@ def expectation_checks(
         (F.col("metric_num") >= F.col("metric_den")).cast("long"),
     ).otherwise((F.col("metric_num") == F.col("metric_den")).cast("long"))
     return long.withColumn("passed", passed)
+
+
+def table_fingerprint(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Order-insensitive content fingerprint of a table projection —
+    the one-row checksum you store per snapshot/partition to detect
+    silent divergence between pipeline runs (the cheap companion to
+    :func:`..scd.table_diff`: fingerprints differ → run the diff).
+
+    Row hash = the repo-wide md5-60-bit contract over a NULL-sentineled
+    '|' join of the columns; the table hash folds row hashes with a
+    commutative SUM (decimal-exact, then reduced mod 2^61-1 so the
+    result is a portable BIGINT). One map-side-combinable aggregate —
+    at 100 TB this is a pure scan with a 1-row result; per-partition
+    fingerprints (groupBy a partition column instead) merge by modular
+    addition.
+    """
+    canon = F.concat_ws(
+        "|", *[F.coalesce(F.col(c).cast("string"), F.lit("␀")) for c in cols]
+    )
+    h = F.conv(F.substring(F.md5(canon), 1, 15), 16, 10).cast("long")
+    m = (1 << 61) - 1
+    return df.select(h.alias("__h")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.pmod(F.sum(F.col("__h").cast("decimal(38,0)")), F.lit(m))
+        .cast("long")
+        .alias("fingerprint"),
+    )

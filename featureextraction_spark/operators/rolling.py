@@ -150,3 +150,56 @@ def dyadic_ewma(
         )
         .drop("__vq", "__lst")
     )
+
+
+def resample_bars(
+    df: DataFrame,
+    key: str = "user_id",
+    ts: str = "ts",
+    tie: str = "event_id",
+    value: str = "value",
+    bucket_us: int = 6 * 3_600 * 1_000_000,
+    quant: int = 10_000,
+) -> DataFrame:
+    """Downsample an event stream to per-(key, bucket) OHLC bars — the
+    time-grain resampling a feature pipeline runs before trend features:
+    open/close are the first/last value in the bucket by (ts, tie),
+    high/low/sum exact quantized-integer extrema/mass, n the row count.
+
+    One (key, bucket) exchange carrying two in-partition sorts (the
+    ascending and descending row_numbers that pin open and close — an
+    ORDER-dependent first/last, not an arbitrary-row ``first()``); the
+    closing groupBy rides the same partitioning. Bucket assignment is
+    exact integer division of epoch µs.
+    """
+    from ..functions.time import epoch_us
+
+    us = epoch_us(df, ts)
+    vq = F.floor(F.col(value).cast("double") * F.lit(float(quant)) + F.lit(0.5)).cast("long")
+    bucket = ((us - F.pmod(us, F.lit(bucket_us))) / F.lit(bucket_us)).cast("long")
+    base = df.select(
+        F.col(key),
+        bucket.alias("bucket"),
+        us.alias("__us"),
+        F.col(tie).alias("__tie"),
+        vq.alias("__vq"),
+    )
+    w_asc = Window.partitionBy(key, "bucket").orderBy("__us", "__tie")
+    w_desc = Window.partitionBy(key, "bucket").orderBy(
+        F.col("__us").desc(), F.col("__tie").desc()
+    )
+    marked = base.select(
+        key,
+        "bucket",
+        "__vq",
+        F.row_number().over(w_asc).alias("__ra"),
+        F.row_number().over(w_desc).alias("__rd"),
+    )
+    return marked.groupBy(key, "bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.max(F.when(F.col("__ra") == 1, F.col("__vq"))).cast("long").alias("open_q"),
+        F.max("__vq").cast("long").alias("high_q"),
+        F.min("__vq").cast("long").alias("low_q"),
+        F.max(F.when(F.col("__rd") == 1, F.col("__vq"))).cast("long").alias("close_q"),
+        F.sum("__vq").cast("long").alias("sum_q"),
+    )
