@@ -2672,6 +2672,26 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ooo_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark-sizing diagnostic: log2 lateness histogram of events
+    replayed in a deterministically jittered ingestion order (md5
+    contract, 0-2 min jitter) — one sessionize-shaped exchange + a
+    <=64-row histogram. Read bucket b as 'a 2^b us watermark admits it'."""
+    from featureextraction_spark.operators.profiling import out_of_order_profile
+    from featureextraction_spark.operators.sampling import _seed_hash
+    from featureextraction_spark.functions.time import epoch_us
+
+    ev = _load(spark, sf_dir, "events")
+    jitter = F.pmod(_seed_hash("event_id", 9), F.lit(120_000_000))
+    d = ev.select(
+        "user_id", "ts", "event_id",
+        (epoch_us(ev, "ts") + jitter).alias("arrival_us"),
+    )
+    return out_of_order_profile(
+        d, key="user_id", ts="ts", arrival=("arrival_us", "event_id")
+    )
+
+
 def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full BPE vocabulary induction (12 merge rules) — iterative by
     nature, so recorded rows-only at the driver gate (like
@@ -2850,6 +2870,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "auc_slices": q_auc_slices,
         "gains": q_gains,
         "fingerprint": q_fingerprint,
+        "ooo_profile": q_ooo_profile,
     }
 
 
@@ -7527,5 +7548,33 @@ def _round4v_oracle_sql() -> dict[str, str]:
                    CAST(sum(hv) % 2305843009213693951 AS BIGINT)
                        AS fingerprint
             FROM h
+        """,
+        "ooo_profile": """
+            WITH d AS (
+                SELECT user_id, event_id, epoch_us(ts) AS us,
+                       epoch_us(ts)
+                       + (('0x' || substr(md5(
+                              CAST(event_id AS VARCHAR) || ':9'), 1, 15)
+                          )::BIGINT % 120000000) AS arrival_us
+                FROM events
+            ),
+            x AS (
+                SELECT us,
+                       max(us) OVER (PARTITION BY user_id
+                           ORDER BY arrival_us, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                           AS pm
+                FROM d
+            ),
+            l AS (
+                SELECT CASE WHEN pm > us THEN pm - us ELSE 0 END AS late
+                FROM x
+            )
+            SELECT CASE WHEN late > 0
+                        THEN CAST(length(bin(late)) AS BIGINT)
+                        ELSE 0 END AS bucket,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   CAST(max(late) AS BIGINT) AS max_late_us
+            FROM l GROUP BY 1
         """,
     }

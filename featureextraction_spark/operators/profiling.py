@@ -304,3 +304,54 @@ def table_fingerprint(df: DataFrame, cols: list[str]) -> DataFrame:
         .cast("long")
         .alias("fingerprint"),
     )
+
+
+def out_of_order_profile(
+    df: DataFrame,
+    key: str = "user_id",
+    ts: str = "ts",
+    arrival: tuple[str, ...] = ("event_id",),
+) -> DataFrame:
+    """Out-of-order arrival profile — the measurement that SIZES a
+    streaming watermark: per key, replay events in ARRIVAL order
+    (``arrival`` is the ingestion sequence) and measure each event's
+    lateness against the running event-time maximum seen before it.
+    Output is a log₂ histogram of lateness microseconds (bucket =
+    length(bin(lateness)), the repo's portable ⌊log₂⌋+1 contract) with
+    bucket 0 holding the in-order events — read it as "a watermark of
+    2^b µs would admit everything at or below bucket b".
+
+    One key exchange + one in-partition sort (the same shuffle shape as
+    sessionize), then a ≤64-row map-combinable histogram; max/lateness
+    stay exact BIGINT µs.
+    """
+    from ..functions.time import epoch_us
+
+    us = epoch_us(df, ts)
+    order = [F.col(c) for c in arrival]  # must be a per-key total order
+    w = (
+        Window.partitionBy(key)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    late = (
+        df.select(F.col(key), *order, us.alias("__us"))
+        .withColumn("__prev_max", F.max("__us").over(w))
+        .select(
+            F.when(
+                F.col("__prev_max") > F.col("__us"),
+                F.col("__prev_max") - F.col("__us"),
+            ).otherwise(F.lit(0)).cast("long").alias("__late_us")
+        )
+    )
+    bucket = F.when(
+        F.col("__late_us") > 0, F.length(F.bin(F.col("__late_us")))
+    ).otherwise(F.lit(0)).cast("long")
+    return (
+        late.select(bucket.alias("bucket"), "__late_us")
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.max("__late_us").cast("long").alias("max_late_us"),
+        )
+    )

@@ -122,3 +122,40 @@ def test_table_fingerprint_vs_naive_and_order_insensitive(spark):
         [(1, "a", 10), (2, None, 21), (3, "c", None)], "id long, cat string, v long"
     )
     assert table_fingerprint(df3, ["id", "cat", "v"]).collect()[0].fingerprint != want
+
+
+def test_out_of_order_profile_vs_naive(spark):
+    from featureextraction_spark.operators.profiling import out_of_order_profile
+
+    rng = random.Random(79)
+    rows = []
+    for u in range(15):
+        t = rng.randrange(0, 10**9)
+        for i in range(rng.randint(2, 30)):
+            t += rng.randrange(1, 10**6)
+            # arrival jitter makes some events land late
+            rows.append((u, u * 1000 + i, t, t + rng.randrange(0, 500_000)))
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, t long, arrival_us long"
+    ).selectExpr(
+        "user_id", "event_id", "arrival_us",
+        "CAST(to_timestamp(CAST(t AS DOUBLE) / 1000000.0) AS timestamp) AS ts",
+    )
+    got = {r.bucket: (r.n_events, r.max_late_us)
+           for r in out_of_order_profile(
+               df, arrival=("arrival_us", "event_id")).collect()}
+    per = defaultdict(list)
+    for u, eid, t, a in rows:
+        per[u].append((a, eid, t))
+    want = defaultdict(lambda: [0, 0])
+    for evs in per.values():
+        evs.sort()
+        mx = None
+        for _, _, t in evs:
+            late = max(0, (mx - t)) if mx is not None else 0
+            b = late.bit_length() if late > 0 else 0
+            want[b][0] += 1
+            want[b][1] = max(want[b][1], late)
+            mx = t if mx is None else max(mx, t)
+    assert got == {b: tuple(v) for b, v in want.items()}
+    assert 0 in got and len(got) > 1  # both in-order and late mass
