@@ -2672,6 +2672,25 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregate maintenance, externally gated: moment
+    partials built SEPARATELY over the pre-cutoff log (the 'stored'
+    state) and the post-cutoff delta, then algebraically combined —
+    the oracle computes the same totals from scratch, so the gate
+    proves merge(partials(old), partials(delta)) == full scan."""
+    from featureextraction_spark.operators.activity import (
+        combine_moments,
+        daily_moments,
+    )
+    from featureextraction_spark.functions.time import epoch_us
+
+    ev = _load(spark, sf_dir, "events")
+    us = epoch_us(ev, "ts")
+    old = daily_moments(ev.where(us < F.lit(_CDC_CUTOFF_US)))
+    delta = daily_moments(ev.where(us >= F.lit(_CDC_CUTOFF_US)))
+    return combine_moments(old.unionByName(delta))
+
+
 def q_ooo_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermark-sizing diagnostic: log2 lateness histogram of events
     replayed in a deterministically jittered ingestion order (md5
@@ -2871,6 +2890,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gains": q_gains,
         "fingerprint": q_fingerprint,
         "ooo_profile": q_ooo_profile,
+        "incremental": q_incremental,
     }
 
 
@@ -7576,5 +7596,20 @@ def _round4v_oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_events,
                    CAST(max(late) AS BIGINT) AS max_late_us
             FROM l GROUP BY 1
+        """,
+        # the FROM-SCRATCH aggregate: the Spark side merges two partial
+        # sets, so a green hash here IS the algebraic-merge proof
+        "incremental": """
+            SELECT event_type,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(vq) AS BIGINT) AS sum_q,
+                   CAST(min(vq) AS BIGINT) AS min_q,
+                   CAST(max(vq) AS BIGINT) AS max_q,
+                   CAST(sum(vq * vq) AS BIGINT) AS sum_sq
+            FROM (
+                SELECT event_type,
+                       CAST(floor(value * 1000.0 + 0.5) AS BIGINT) AS vq
+                FROM events
+            ) GROUP BY event_type
         """,
     }

@@ -384,3 +384,25 @@ def merge_moments(
         "mean_q",
         F.col("sum_q").cast("double") / F.col("n").cast("double"),
     )
+
+
+def combine_moments(
+    partials: DataFrame, by: str | None = "event_type"
+) -> DataFrame:
+    """Second-stage combine of :func:`daily_moments` partials into per-
+    group totals — the algebraic-merge half of incremental aggregate
+    maintenance: stored partials from yesterday's run plus today's delta
+    partials combine to EXACTLY the from-scratch aggregate (n/sum add,
+    min/max fold, sum_sq adds), so history is never rescanned. Union any
+    number of partial sets first; this is one map-combinable groupBy over
+    the tiny partial table.
+    """
+    keys = [by] if by else []
+    agg = partials.groupBy(*keys).agg(
+        F.sum("n").cast("long").alias("n"),
+        F.sum("sum_q").cast("long").alias("sum_q"),
+        F.min("min_q").cast("long").alias("min_q"),
+        F.max("max_q").cast("long").alias("max_q"),
+        F.sum("sum_sq").cast("long").alias("sum_sq"),
+    )
+    return agg

@@ -159,3 +159,27 @@ def test_out_of_order_profile_vs_naive(spark):
             mx = t if mx is None else max(mx, t)
     assert got == {b: tuple(v) for b, v in want.items()}
     assert 0 in got and len(got) > 1  # both in-order and late mass
+
+
+def test_combine_moments_equals_from_scratch(spark):
+    from featureextraction_spark.operators.activity import (
+        combine_moments,
+        daily_moments,
+    )
+
+    rng = random.Random(83)
+    rows = []
+    for i in range(400):
+        t = rng.randrange(0, 20 * 86_400_000_000)
+        rows.append((rng.choice(["a", "b"]),
+                     EPOCH + dt.timedelta(microseconds=t),
+                     round(rng.uniform(-5, 50), 3)))
+    df = spark.createDataFrame(rows, "event_type string, ts timestamp, value double")
+    cutoff = EPOCH + dt.timedelta(days=10)
+    old = daily_moments(df.where(df.ts < cutoff))
+    delta = daily_moments(df.where(df.ts >= cutoff))
+    merged = {r.event_type: (r.n, r.sum_q, r.min_q, r.max_q, r.sum_sq)
+              for r in combine_moments(old.unionByName(delta)).collect()}
+    scratch = {r.event_type: (r.n, r.sum_q, r.min_q, r.max_q, r.sum_sq)
+               for r in combine_moments(daily_moments(df)).collect()}
+    assert merged == scratch and len(merged) == 2
