@@ -2672,6 +2672,46 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules over order baskets (support /
+    confidence / lift, all integer-rational until the closing
+    divisions); distinct-items-first so multiplicity can't inflate
+    support."""
+    from featureextraction_spark.operators.graph import association_rules
+
+    li = _load(spark, sf_dir, "lineitem")
+    out = association_rules(
+        li, basket="l_orderkey", item="l_partkey", min_pair_support=3
+    )
+    return out.select(
+        "ante", "cons", "pair_n", "ante_n", "cons_n", "n_baskets",
+        _hround6(F.col("confidence")).alias("confidence"),
+        _hround6(F.col("lift")).alias("lift"),
+    )
+
+
+def q_threads(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reply-chain reconstruction by pointer doubling: each user's
+    timeline becomes a parent-pointer chain, tree_paths resolves
+    (root, depth) in O(log depth) self-join rounds — the oracle replays
+    it with one window (chains are the SQL-checkable special case of
+    the general forest the operator handles)."""
+    from featureextraction_spark.operators.graph import tree_paths
+    from pyspark.sql import Window
+
+    ev = _load(spark, sf_dir, "events")
+    from featureextraction_spark.functions.time import epoch_us
+
+    w = Window.partitionBy("user_id").orderBy(
+        epoch_us(ev, "ts"), F.col("event_id")
+    )
+    nodes = ev.select(
+        F.col("event_id").alias("id"),
+        F.lag("event_id").over(w).alias("parent"),
+    )
+    return tree_paths(nodes)
+
+
 def q_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental aggregate maintenance, externally gated: moment
     partials built SEPARATELY over the pre-cutoff log (the 'stored'
@@ -2891,6 +2931,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": q_fingerprint,
         "ooo_profile": q_ooo_profile,
         "incremental": q_incremental,
+        "assoc_rules": q_assoc_rules,
+        "threads": q_threads,
     }
 
 
@@ -7611,5 +7653,47 @@ def _round4v_oracle_sql() -> dict[str, str]:
                        CAST(floor(value * 1000.0 + 0.5) AS BIGINT) AS vq
                 FROM events
             ) GROUP BY event_type
+        """,
+        "assoc_rules": """
+            WITH b AS (
+                SELECT DISTINCT l_orderkey AS bk, l_partkey AS it
+                FROM lineitem
+            ),
+            t AS (SELECT CAST(count(DISTINCT bk) AS BIGINT) AS nb FROM b),
+            items AS (
+                SELECT it, CAST(count(*) AS BIGINT) AS item_n
+                FROM b GROUP BY it
+            ),
+            pairs AS (
+                SELECT l.it AS ante, r.it AS cons,
+                       CAST(count(*) AS BIGINT) AS pair_n
+                FROM b l JOIN b r ON l.bk = r.bk AND l.it <> r.it
+                GROUP BY l.it, r.it
+                HAVING count(*) >= 3
+            )
+            SELECT p.ante, p.cons, p.pair_n,
+                   a.item_n AS ante_n, c.item_n AS cons_n,
+                   (SELECT nb FROM t) AS n_baskets,
+                   round(CAST(p.pair_n AS DOUBLE)
+                         / CAST(a.item_n AS DOUBLE) + 1e-9, 6)
+                       AS confidence,
+                   round(CAST(p.pair_n * (SELECT nb FROM t) AS DOUBLE)
+                         / CAST(a.item_n * c.item_n AS DOUBLE) + 1e-9, 6)
+                       AS lift
+            FROM pairs p
+            JOIN items a ON a.it = p.ante
+            JOIN items c ON c.it = p.cons
+        """,
+        "threads": """
+            WITH o AS (
+                SELECT event_id,
+                       row_number() OVER (PARTITION BY user_id
+                           ORDER BY epoch_us(ts), event_id) - 1 AS depth,
+                       first_value(event_id) OVER (PARTITION BY user_id
+                           ORDER BY epoch_us(ts), event_id) AS root_id
+                FROM events
+            )
+            SELECT event_id AS id, root_id, CAST(depth AS BIGINT) AS depth
+            FROM o
         """,
     }

@@ -431,3 +431,121 @@ def clustering_coeffs(
             / den.cast("double"),
         ).otherwise(F.lit(0.0)).alias("clustering_coeff"),
     )
+
+
+def association_rules(
+    baskets: DataFrame,
+    basket: str = "basket_id",
+    item: str = "item",
+    min_pair_support: int = 2,
+) -> DataFrame:
+    """Pairwise association rules over baskets — support / confidence /
+    lift for every co-occurring ordered item pair (a → b), the
+    market-basket read behind "users who bought X also bought Y".
+
+    Counts stay exact integers end-to-end (the hash vehicle):
+    ``n_baskets``, per-item support, pair support; confidence =
+    pair/ante and lift = pair·N/(ante·cons) close with one division
+    each. Pair generation is the same-basket self-join with an ordering
+    predicate — fan-out Σ basket_size², the standard bound; dedup to
+    DISTINCT items per basket first so multiplicity can't inflate
+    support. Item supports attach via two vertex-keyed joins, never
+    basket-sized.
+    """
+    from .cache import persist_tracked
+
+    b = persist_tracked(
+        baskets.select(
+            F.col(basket).alias("__b"), F.col(item).alias("__i")
+        ).distinct()
+    )
+    n_baskets = b.select("__b").distinct().count()
+    items = b.groupBy(F.col("__i").alias("it")).agg(
+        F.count(F.lit(1)).cast("long").alias("item_n")
+    )
+    l, r = b.alias("l"), b.alias("r")
+    pairs = (
+        l.join(r, "__b")
+        .where(F.col("l.__i") != F.col("r.__i"))
+        .groupBy(
+            F.col("l.__i").alias("ante"), F.col("r.__i").alias("cons")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("pair_n"))
+        .where(F.col("pair_n") >= F.lit(min_pair_support))
+    )
+    out = (
+        pairs.join(items.select(F.col("it").alias("ante"),
+                                F.col("item_n").alias("ante_n")), "ante")
+        .join(items.select(F.col("it").alias("cons"),
+                           F.col("item_n").alias("cons_n")), "cons")
+    )
+    return out.select(
+        "ante", "cons", "pair_n", "ante_n", "cons_n",
+        F.lit(int(n_baskets)).cast("long").alias("n_baskets"),
+        (F.col("pair_n").cast("double") / F.col("ante_n").cast("double"))
+        .alias("confidence"),
+        (
+            (F.col("pair_n") * F.lit(int(n_baskets))).cast("double")
+            / (F.col("ante_n") * F.col("cons_n")).cast("double")
+        ).alias("lift"),
+    )
+
+
+def tree_paths(
+    nodes: DataFrame,
+    id_col: str = "id",
+    parent_col: str = "parent",
+    max_iter: int = 30,
+) -> DataFrame:
+    """(id, root_id, depth) for every node of a forest given parent
+    pointers (roots carry NULL parents) — thread / reply-chain
+    reconstruction for conversation trees, resolved by POINTER DOUBLING:
+    each round every unresolved node jumps to its current ancestor's
+    ancestor, so the followed distance doubles and a depth-D forest
+    resolves in ⌈log₂ D⌉ rounds (never D sequential self-joins). A
+    parent id that matches no node is treated as a root.
+
+    Each round is one hash equi-join of the state table with itself plus
+    a localCheckpoint (same O(1)-lineage discipline as
+    :func:`connected_components`); the per-round driver work is a single
+    unresolved-count. depth is exact integer edges-to-root.
+    """
+    state = nodes.select(
+        F.col(id_col).alias("id"),
+        F.col(parent_col).alias("cur"),
+        F.when(F.col(parent_col).isNull(), F.lit(0))
+        .otherwise(F.lit(1)).cast("long").alias("d"),
+        F.when(F.col(parent_col).isNull(), F.col(id_col)).alias("root_id"),
+    )
+    state = _checkpoint(state)
+    for _ in range(max_iter):
+        if state.where(F.col("root_id").isNull()).count() == 0:
+            return state.select(
+                "id", "root_id", F.col("d").cast("long").alias("depth")
+            )
+        look = state.select(
+            F.col("id").alias("__lid"),
+            F.col("cur").alias("__lcur"),
+            F.col("d").alias("__ld"),
+            F.col("root_id").alias("__lroot"),
+        )
+        j = state.join(look, state["cur"] == look["__lid"], "left")
+        resolved = F.col("root_id").isNotNull()
+        hit = F.col("__lid").isNotNull()
+        state = _checkpoint(
+            j.select(
+                "id",
+                F.when(resolved, F.lit(None))
+                .when(~hit, F.lit(None))          # cur is an implicit root
+                .when(F.col("__lroot").isNotNull(), F.lit(None))
+                .otherwise(F.col("__lcur")).alias("cur"),
+                F.when(resolved, F.col("d"))
+                .when(~hit, F.col("d"))
+                .otherwise(F.col("d") + F.col("__ld")).cast("long").alias("d"),
+                F.when(resolved, F.col("root_id"))
+                .when(~hit, F.col("cur"))          # dangling parent = root
+                .when(F.col("__lroot").isNotNull(), F.col("__lroot"))
+                .alias("root_id"),
+            )
+        )
+    raise RuntimeError(f"tree_paths did not converge in {max_iter} rounds")

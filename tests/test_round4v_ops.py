@@ -183,3 +183,74 @@ def test_combine_moments_equals_from_scratch(spark):
     scratch = {r.event_type: (r.n, r.sum_q, r.min_q, r.max_q, r.sum_sq)
                for r in combine_moments(daily_moments(df)).collect()}
     assert merged == scratch and len(merged) == 2
+
+
+def test_association_rules_vs_naive(spark):
+    from featureextraction_spark.operators.graph import association_rules
+
+    rng = random.Random(89)
+    baskets = []
+    for b in range(60):
+        items = rng.sample(range(12), rng.randint(1, 5))
+        for i in items:
+            baskets.append((b, i))
+            if rng.random() < 0.3:
+                baskets.append((b, i))  # duplicate rows must not inflate
+    df = spark.createDataFrame(baskets, "basket_id long, item long")
+    got = {(r.ante, r.cons): (r.pair_n, r.ante_n, r.cons_n, r.n_baskets,
+                              r.confidence, r.lift)
+           for r in association_rules(df, min_pair_support=2).collect()}
+    sets = defaultdict(set)
+    for b, i in baskets:
+        sets[b].add(i)
+    item_n = defaultdict(int)
+    pair_n = defaultdict(int)
+    for s in sets.values():
+        for i in s:
+            item_n[i] += 1
+        for i in s:
+            for j in s:
+                if i != j:
+                    pair_n[(i, j)] += 1
+    nb = len(sets)
+    want = {}
+    for (i, j), pn in pair_n.items():
+        if pn >= 2:
+            want[(i, j)] = (pn, item_n[i], item_n[j], nb,
+                            pn / item_n[i], pn * nb / (item_n[i] * item_n[j]))
+    assert set(got) == set(want)
+    for k, v in want.items():
+        assert got[k][:4] == v[:4]
+        assert abs(got[k][4] - v[4]) < 1e-12 and abs(got[k][5] - v[5]) < 1e-12
+
+
+def test_tree_paths_vs_naive_forest(spark):
+    from featureextraction_spark.operators.graph import tree_paths
+
+    rng = random.Random(97)
+    # random forest incl. a deep chain (depth 200 → needs log rounds)
+    rows = [(0, None)]
+    for i in range(1, 300):
+        rows.append((i, rng.randrange(0, i) if rng.random() < 0.9 else None))
+    chain_base = 1000
+    rows.append((chain_base, None))
+    for i in range(1, 200):
+        rows.append((chain_base + i, chain_base + i - 1))
+    rows.append((5000, 4999))  # dangling parent: 4999 has no node row
+    df = spark.createDataFrame(rows, "id long, parent long")
+    got = {r.id: (r.root_id, r.depth) for r in tree_paths(df).collect()}
+
+    bykid = dict(rows)
+    def naive(i):
+        d = 0
+        while bykid.get(i) is not None:
+            p = bykid[i]
+            if p not in bykid:
+                return p, d + 1
+            i = p
+            d += 1
+        return i, d
+    want = {i: naive(i) for i, _ in rows}
+    assert got == want
+    assert got[chain_base + 199] == (chain_base, 199)
+    assert got[5000] == (4999, 1)
