@@ -2785,6 +2785,54 @@ def q_phrase_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     return phrase_match(docs, PHRASE_TOKENS)
 
 
+def q_ranking_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-k retrieval quality of the exact cosine top-10 run judged
+    against same-label relevance: hits@10 / MRR / precision / recall /
+    linear DCG per query — recall@k is THE metric ANN indexes report.
+    One (query, doc) equi-join of the Q·k run against qrels plus two
+    map-side-combinable per-query aggregates; rational 2520-trick
+    integer vehicles for the rank-discounted metrics."""
+    from featureextraction_spark.operators.evaluation import ranking_metrics
+
+    emb = _load(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 10)
+    run = sim_ops.cosine_topk(queries_df, emb, k=10)
+    qrels = (
+        queries_df.select(F.col("vec_id").alias("query_id"), "label")
+        .join(
+            emb.select(F.col("vec_id").alias("rel_id"), "label"), "label"
+        )
+        .where(F.col("rel_id") != F.col("query_id"))
+        .select("query_id", "rel_id")
+    )
+    out = ranking_metrics(run, qrels, k=10)
+    return out.select(
+        "query_id", "n_rel", "hits", "first_rel_rank", "rr_x2520",
+        "dcg_lin_x2520",
+        _hround6(F.col("precision_at_10")).alias("precision_at_10"),
+        _hround6(F.col("recall_at_10")).alias("recall_at_10"),
+    )
+
+
+def q_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa between the stopword-voting language-ID heuristic
+    and the trusted lang label — the chance-corrected labeler audit run
+    before trusting a cheap classifier to filter at scale. One global
+    agree count + two alphabet-sized marginal aggregates; kappa_num /
+    kappa_den BIGINT-exact, the float is the single closing division."""
+    from featureextraction_spark.operators.evaluation import cohens_kappa
+
+    docs = _load(spark, sf_dir, "documents")
+    labeled = language_id(docs).select(
+        "lang", F.coalesce(F.col("lang_pred"), F.lit("unknown")).alias("lang_pred")
+    )
+    out = cohens_kappa(labeled, "lang", "lang_pred")
+    return out.select(
+        "n", "agree", "rc_sum", "kappa_num", "kappa_den",
+        _hround6(F.col("kappa")).alias("kappa"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "lag_lead": q_lag_lead,
@@ -2933,6 +2981,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental": q_incremental,
         "assoc_rules": q_assoc_rules,
         "threads": q_threads,
+        "ranking_eval": q_ranking_eval,
+        "kappa": q_kappa,
     }
 
 
@@ -3198,6 +3248,7 @@ def oracle_sql() -> dict[str, str]:
     base.update(_round4t_oracle_sql())
     base.update(_round4u_oracle_sql())
     base.update(_round4v_oracle_sql())
+    base.update(_round4w_oracle_sql())
     # full-probe IVF is exhaustive by construction — the exact replay gates it
     base["ivf_topk_full"] = base["cosine_topk"]
     # full-probe IVF-PQ scans every list exactly once == the flat ADC scan
@@ -7695,5 +7746,136 @@ def _round4v_oracle_sql() -> dict[str, str]:
             )
             SELECT event_id AS id, root_id, CAST(depth AS BIGINT) AS depth
             FROM o
+        """,
+    }
+
+
+def _round4w_oracle_sql() -> dict[str, str]:
+    """Oracles for the retrieval-quality and labeler-agreement reads."""
+    dim_vals = ",\n                ".join(
+        f"('{w}', '{lang}')"
+        for lang, ws in sorted(STOPWORDS.items())
+        for w in ws
+    )
+    return {
+        "ranking_eval": """
+            WITH q AS (
+                SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv,
+                       label AS qlab
+                FROM embeddings WHERE vec_id < 10
+            ),
+            c AS (
+                SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv,
+                       label AS clab
+                FROM embeddings
+            ),
+            scored AS (
+                SELECT query_id, neighbor_id,
+                       round(list_dot_product(qv, cv)
+                             / (sqrt(list_dot_product(qv, qv))
+                                * sqrt(list_dot_product(cv, cv))), 6)
+                           AS cosine
+                FROM q, c WHERE query_id <> neighbor_id
+            ),
+            run AS (
+                SELECT query_id, neighbor_id, rank FROM (
+                    SELECT query_id, neighbor_id,
+                           row_number() OVER (PARTITION BY query_id
+                                              ORDER BY cosine DESC,
+                                                       neighbor_id) AS rank
+                    FROM scored
+                ) WHERE rank <= 10
+            ),
+            qrels AS (
+                SELECT q.query_id, c.neighbor_id AS rel_id
+                FROM q JOIN c ON q.qlab = c.clab
+                WHERE c.neighbor_id <> q.query_id
+            ),
+            nrel AS (
+                SELECT query_id, CAST(count(*) AS BIGINT) AS n_rel
+                FROM qrels GROUP BY 1
+            ),
+            j AS (
+                SELECT r.query_id, r.rank,
+                       CASE WHEN qr.rel_id IS NOT NULL THEN 1 ELSE 0 END
+                           AS rel
+                FROM run r LEFT JOIN qrels qr
+                  ON r.query_id = qr.query_id AND r.neighbor_id = qr.rel_id
+            ),
+            perq AS (
+                SELECT query_id,
+                       CAST(sum(rel) AS BIGINT) AS hits,
+                       CAST(min(CASE WHEN rel = 1 THEN rank END) AS BIGINT)
+                           AS first_rel_rank,
+                       CAST(sum(CASE WHEN rel = 1 THEN 2520 // rank
+                                     ELSE 0 END) AS BIGINT)
+                           AS dcg_lin_x2520
+                FROM j GROUP BY 1
+            )
+            SELECT p.query_id,
+                   CAST(coalesce(n.n_rel, 0) AS BIGINT) AS n_rel,
+                   p.hits, p.first_rel_rank,
+                   CAST(coalesce(2520 // p.first_rel_rank, 0) AS BIGINT)
+                       AS rr_x2520,
+                   p.dcg_lin_x2520,
+                   round(CAST(p.hits AS DOUBLE) / 10.0 + 1e-9, 6)
+                       AS precision_at_10,
+                   CASE WHEN coalesce(n.n_rel, 0) > 0
+                        THEN round(CAST(p.hits AS DOUBLE)
+                                   / CAST(n.n_rel AS DOUBLE) + 1e-9, 6)
+                        ELSE CAST(0.0 AS DOUBLE)
+                   END AS recall_at_10
+            FROM perq p LEFT JOIN nrel n USING (query_id)
+        """,
+        "kappa": f"""
+            WITH dim(word, cand_lang) AS (VALUES
+                {dim_vals}
+            ),
+            toks AS (
+                SELECT doc_id,
+                       unnest(regexp_extract_all(lower(text), {_TOKENS_RE}))
+                           AS word
+                FROM documents
+            ),
+            hits AS (
+                SELECT doc_id, cand_lang, count(*) AS hits
+                FROM toks JOIN dim USING (word) GROUP BY 1, 2
+            ),
+            best AS (
+                SELECT doc_id, cand_lang AS lang_pred
+                FROM (SELECT doc_id, cand_lang,
+                             row_number() OVER (PARTITION BY doc_id
+                                                ORDER BY hits DESC,
+                                                         cand_lang) AS rn
+                      FROM hits)
+                WHERE rn = 1
+            ),
+            lab AS (
+                SELECT d.lang AS a, coalesce(b.lang_pred, 'unknown') AS b
+                FROM documents d LEFT JOIN best b USING (doc_id)
+            ),
+            tot AS (
+                SELECT CAST(count(*) AS BIGINT) AS n,
+                       CAST(sum(CASE WHEN a = b THEN 1 ELSE 0 END)
+                            AS BIGINT) AS agree
+                FROM lab
+            ),
+            ra AS (SELECT a, CAST(count(*) AS BIGINT) AS r FROM lab
+                   GROUP BY 1),
+            cb AS (SELECT b, CAST(count(*) AS BIGINT) AS c FROM lab
+                   GROUP BY 1),
+            rc AS (
+                SELECT CAST(coalesce(sum(r * c), 0) AS BIGINT) AS rc_sum
+                FROM ra JOIN cb ON ra.a = cb.b
+            )
+            SELECT n, agree, rc_sum,
+                   CAST(n * agree - rc_sum AS BIGINT) AS kappa_num,
+                   CAST(n * n - rc_sum AS BIGINT) AS kappa_den,
+                   CASE WHEN n * n <> rc_sum
+                        THEN round(CAST(n * agree - rc_sum AS DOUBLE)
+                                   / CAST(n * n - rc_sum AS DOUBLE)
+                                   + 1e-9, 6)
+                   END AS kappa
+            FROM tot, rc
         """,
     }

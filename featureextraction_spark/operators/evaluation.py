@@ -447,3 +447,147 @@ def gains_table(
             / (F.col("cum_n") * F.col("__npos")).cast("double"),
         ).alias("lift"),
     )
+
+
+def ranking_metrics(
+    run: DataFrame,
+    qrels: DataFrame,
+    k: int = 10,
+    query_col: str = "query_id",
+    doc_col: str = "neighbor_id",
+    rank_col: str = "rank",
+    rel_doc_col: str = "rel_id",
+) -> DataFrame:
+    """Per-query retrieval-quality metrics for a ranked run against a
+    relevance table: hits@k, MRR, precision@k, recall@k and a
+    linear-gain DCG (gain 1/rank instead of 1/log2(rank+1), keeping the
+    whole vehicle rational — every rank 1..k divides 2520, so
+    ``Σ 2520/rank`` is an exact BIGINT on any engine; the classic
+    log-DCG needs libm and is deliberately avoided at the hash gate).
+
+    Inputs: ``run`` is (query, doc, rank) with rank 1..k per query —
+    e.g. the output of :func:`..similarity.cosine_topk`; ``qrels`` is
+    the set of (query, relevant-doc) pairs.
+
+    Reference analog: the confusion-matrix evaluation over embedded
+    pairs (``src/training/statistics.py:28-51``) judges *threshold*
+    retrieval; this judges *rank-k* retrieval — the IR view of the same
+    question, standard for ANN/index quality (recall@k is THE metric PQ
+    / IVF papers report).
+
+    Scale: one (query, doc) equi-join of the run (Q·k rows) against
+    qrels, then two map-side-combinable per-query aggregates. Nothing
+    touches the corpus; qrels joins sharded on the same key as the run.
+    k ≤ 10 keeps the 2520 trick exact (lcm(1..10) = 2520).
+    """
+    if k > 10:
+        raise ValueError("ranking_metrics keeps integer DCG only for k <= 10")
+    r = run.select(
+        F.col(query_col).alias("query_id"),
+        F.col(doc_col).alias("__doc"),
+        F.col(rank_col).cast("long").alias("__rank"),
+    ).filter(F.col("__rank") <= k)
+    rel = qrels.select(
+        F.col(query_col).alias("query_id"),
+        F.col(rel_doc_col).alias("__doc"),
+        F.lit(1).alias("__rel"),
+    )
+    n_rel = rel.groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rel")
+    )
+    joined = r.join(rel, ["query_id", "__doc"], "left")
+    per_q = joined.groupBy("query_id").agg(
+        F.sum(F.when(F.col("__rel").isNotNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("hits"),
+        F.min(F.when(F.col("__rel").isNotNull(), F.col("__rank"))).alias(
+            "first_rel_rank"
+        ),
+        F.sum(
+            F.when(
+                F.col("__rel").isNotNull(),
+                F.expr("2520 div __rank"),
+            ).otherwise(F.lit(0))
+        )
+        .cast("long")
+        .alias("dcg_lin_x2520"),
+    )
+    out = per_q.join(n_rel, "query_id", "left").na.fill({"n_rel": 0})
+    return out.select(
+        "query_id",
+        "n_rel",
+        "hits",
+        "first_rel_rank",
+        F.coalesce(
+            F.expr("2520 div first_rel_rank").cast("long"), F.lit(0)
+        ).alias("rr_x2520"),
+        "dcg_lin_x2520",
+        (F.col("hits").cast("double") / F.lit(float(k))).alias(
+            f"precision_at_{k}"
+        ),
+        F.when(
+            F.col("n_rel") > 0,
+            F.col("hits").cast("double") / F.col("n_rel").cast("double"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias(f"recall_at_{k}"),
+    )
+
+
+def cohens_kappa(df: DataFrame, a: str, b: str) -> DataFrame:
+    """Cohen's kappa inter-annotator agreement between two categorical
+    label columns, as one row of exact integer vehicles plus the single
+    closing division:
+
+        kappa = (n·Σagree − Σ r_i·c_i) / (n² − Σ r_i·c_i)
+
+    where r_i / c_i are the marginal counts of category i under each
+    annotator — the standard chance-corrected form with p_o = agree/n
+    and p_e = Σ r_i·c_i / n², cleared of denominators so ``kappa_num``
+    and ``kappa_den`` are BIGINT-exact on any engine.
+
+    The label-audit primitive for LLM data pipelines: scoring how much
+    a cheap heuristic labeler agrees with a trusted one beyond chance
+    before trusting it to filter at scale.
+
+    Scale: one global count/agree aggregate plus two category-sized
+    marginal aggregates joined on category (both map-side combinable);
+    the final arithmetic runs on rows the size of the label alphabet.
+    """
+    base = df.select(
+        F.col(a).cast("string").alias("__a"), F.col(b).cast("string").alias("__b")
+    )
+    totals = base.groupBy().agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.when(F.col("__a") == F.col("__b"), 1).otherwise(0))
+        .cast("long")
+        .alias("agree"),
+    )
+    ra = base.groupBy("__a").agg(F.count(F.lit(1)).cast("long").alias("__r"))
+    cb = base.groupBy("__b").agg(F.count(F.lit(1)).cast("long").alias("__c"))
+    rc = (
+        ra.join(cb, ra["__a"] == cb["__b"], "inner")
+        .groupBy()
+        .agg(
+            F.coalesce(F.sum(F.col("__r") * F.col("__c")), F.lit(0))
+            .cast("long")
+            .alias("rc_sum")
+        )
+    )
+    out = totals.join(F.broadcast(rc))
+    return out.select(
+        "n",
+        "agree",
+        "rc_sum",
+        (F.col("n") * F.col("agree") - F.col("rc_sum"))
+        .cast("long")
+        .alias("kappa_num"),
+        (F.col("n") * F.col("n") - F.col("rc_sum"))
+        .cast("long")
+        .alias("kappa_den"),
+        F.when(
+            F.col("n") * F.col("n") != F.col("rc_sum"),
+            (F.col("n") * F.col("agree") - F.col("rc_sum")).cast("double")
+            / (F.col("n") * F.col("n") - F.col("rc_sum")).cast("double"),
+        ).alias("kappa"),
+    )
