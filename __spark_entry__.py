@@ -2833,6 +2833,57 @@ def q_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user lag-1/2/3 autocorrelation of the value series — the
+    burstiness/periodicity feature; denominator-cleared form keeps
+    acf_num/acf_den BIGINT-exact under any partial aggregation, one
+    user-keyed exchange serves windows, leads and the final agg."""
+    from featureextraction_spark.operators.rolling import autocorrelation
+
+    ev = _load(spark, sf_dir, "events")
+    out = autocorrelation(
+        ev, value="value", by="user_id", order=["ts", "event_id"]
+    )
+    return out.select(
+        "user_id", "lag", "n", "acf_num", "acf_den",
+        _hround6(F.col("acf")).alias("acf"),
+    )
+
+
+def q_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto frontier of orders on (price, recency) — the non-dominated
+    rows no trade-off can discard. Bucket-local skylines + a broadcast
+    suffix-max over the tiny bucket table; the only unpartitioned window
+    runs over <= 64 bucket rows."""
+    from featureextraction_spark.operators.skyline import skyline_2d
+
+    o = _load(spark, sf_dir, "orders")
+    d = o.select(
+        "o_orderkey",
+        F.floor(F.col("o_totalprice").cast("double") * 100.0 + 0.5)
+        .cast("long")
+        .alias("price_q"),
+        F.datediff(F.col("o_orderdate"), F.lit("1970-01-01"))
+        .cast("long")
+        .alias("day_q"),
+    )
+    return skyline_2d(d, x="price_q", y="day_q", keep=["o_orderkey"])
+
+
+def q_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-digit Benford profile of value per event type — the cheap
+    fabricated-metrics detector; string-based significand (no libm),
+    ppm-integer deviation vehicle, fixed 9-digit grid per group."""
+    from featureextraction_spark.operators.profiling import benford_profile
+
+    ev = _load(spark, sf_dir, "events")
+    out = benford_profile(ev, value="value", by="event_type", quant=100.0)
+    return out.select(
+        "grp", "digit", "n_d", "n", "ppm", "dev_ppm_n",
+        _hround6(F.col("ratio")).alias("ratio"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "lag_lead": q_lag_lead,
@@ -2983,6 +3034,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "threads": q_threads,
         "ranking_eval": q_ranking_eval,
         "kappa": q_kappa,
+        "acf": q_acf,
+        "skyline": q_skyline,
+        "benford": q_benford,
     }
 
 
@@ -3249,6 +3303,7 @@ def oracle_sql() -> dict[str, str]:
     base.update(_round4u_oracle_sql())
     base.update(_round4v_oracle_sql())
     base.update(_round4w_oracle_sql())
+    base.update(_round4x_oracle_sql())
     # full-probe IVF is exhaustive by construction — the exact replay gates it
     base["ivf_topk_full"] = base["cosine_topk"]
     # full-probe IVF-PQ scans every list exactly once == the flat ADC scan
@@ -7877,5 +7932,121 @@ def _round4w_oracle_sql() -> dict[str, str]:
                                    + 1e-9, 6)
                    END AS kappa
             FROM tot, rc
+        """,
+    }
+
+
+def _round4x_oracle_sql() -> dict[str, str]:
+    """Oracles for the autocorrelation / skyline / Benford reads."""
+    from featureextraction_spark.operators.profiling import BENFORD_PPM
+
+    ppm_vals = ", ".join(f"({d}, {p})" for d, p in sorted(BENFORD_PPM.items()))
+    lead_win = "PARTITION BY user_id ORDER BY us, event_id"
+    return {
+        "acf": f"""
+            WITH d AS (
+                SELECT user_id, epoch_us(ts) AS us, event_id,
+                       CAST(floor(CAST(value AS DOUBLE) * 1000.0 + 0.5)
+                            AS BIGINT) AS q
+                FROM events
+            ),
+            w AS (
+                SELECT user_id, q,
+                       CAST(count(*) OVER (PARTITION BY user_id) AS BIGINT)
+                           AS n,
+                       CAST(sum(q) OVER (PARTITION BY user_id) AS BIGINT)
+                           AS s,
+                       lead(q, 1) OVER ({lead_win}) AS q1,
+                       lead(q, 2) OVER ({lead_win}) AS q2,
+                       lead(q, 3) OVER ({lead_win}) AS q3
+                FROM d
+            ),
+            g AS (
+                SELECT user_id, CAST(max(n) AS BIGINT) AS n,
+                       CAST(sum((n*q - s) * (n*q - s)) AS BIGINT) AS acf_den,
+                       CAST(sum(CASE WHEN q1 IS NOT NULL
+                                     THEN (n*q - s) * (n*q1 - s)
+                                     ELSE 0 END) AS BIGINT) AS num1,
+                       CAST(sum(CASE WHEN q2 IS NOT NULL
+                                     THEN (n*q - s) * (n*q2 - s)
+                                     ELSE 0 END) AS BIGINT) AS num2,
+                       CAST(sum(CASE WHEN q3 IS NOT NULL
+                                     THEN (n*q - s) * (n*q3 - s)
+                                     ELSE 0 END) AS BIGINT) AS num3
+                FROM w GROUP BY user_id
+            ),
+            u AS (
+                SELECT user_id, 1 AS lag, n, num1 AS acf_num, acf_den FROM g
+                UNION ALL
+                SELECT user_id, 2, n, num2, acf_den FROM g
+                UNION ALL
+                SELECT user_id, 3, n, num3, acf_den FROM g
+            )
+            SELECT user_id, CAST(lag AS BIGINT) AS lag, n, acf_num, acf_den,
+                   CASE WHEN acf_den > 0
+                        THEN round(CAST(acf_num AS DOUBLE)
+                                   / CAST(acf_den AS DOUBLE) + 1e-9, 6)
+                   END AS acf
+            FROM u
+        """,
+        "skyline": """
+            WITH d AS (
+                SELECT o_orderkey,
+                       CAST(floor(CAST(o_totalprice AS DOUBLE) * 100.0 + 0.5)
+                            AS BIGINT) AS price_q,
+                       CAST(date_diff('day', DATE '1970-01-01',
+                                      CAST(o_orderdate AS DATE)) AS BIGINT)
+                           AS day_q
+                FROM orders
+            ),
+            w AS (
+                SELECT *,
+                       max(day_q) OVER (
+                           ORDER BY price_q DESC
+                           RANGE BETWEEN UNBOUNDED PRECEDING
+                                     AND 1 PRECEDING) AS m1,
+                       max(day_q) OVER (PARTITION BY price_q) AS m2
+                FROM d
+            )
+            SELECT o_orderkey, price_q, day_q FROM w
+            WHERE (m1 IS NULL OR m1 < day_q) AND m2 = day_q
+        """,
+        "benford": f"""
+            WITH d AS (
+                SELECT event_type AS grp,
+                       CAST(floor(CAST(value AS DOUBLE) * 100.0 + 0.5)
+                            AS BIGINT) AS q
+                FROM events
+            ),
+            pos AS (SELECT grp, q FROM d WHERE q > 0),
+            counts AS (
+                SELECT grp,
+                       CAST(substr(CAST(q AS VARCHAR), 1, 1) AS BIGINT)
+                           AS digit,
+                       CAST(count(*) AS BIGINT) AS n_d
+                FROM pos GROUP BY 1, 2
+            ),
+            ppm(digit, ppm) AS (VALUES {ppm_vals}),
+            grid AS (
+                SELECT g.grp, CAST(p.digit AS BIGINT) AS digit,
+                       CAST(p.ppm AS BIGINT) AS ppm
+                FROM (SELECT DISTINCT grp FROM counts) g, ppm p
+            ),
+            filled AS (
+                SELECT grid.grp, grid.digit, grid.ppm,
+                       CAST(coalesce(c.n_d, 0) AS BIGINT) AS n_d
+                FROM grid LEFT JOIN counts c
+                  ON grid.grp = c.grp AND grid.digit = c.digit
+            ),
+            t AS (
+                SELECT *,
+                       CAST(sum(n_d) OVER (PARTITION BY grp) AS BIGINT) AS n
+                FROM filled
+            )
+            SELECT grp, digit, n_d, n, ppm,
+                   CAST(abs(n_d * 1000000 - n * ppm) AS BIGINT) AS dev_ppm_n,
+                   round(CAST(n_d AS DOUBLE) / CAST(n AS DOUBLE) + 1e-9, 6)
+                       AS ratio
+            FROM t
         """,
     }

@@ -355,3 +355,68 @@ def out_of_order_profile(
             F.max("__late_us").cast("long").alias("max_late_us"),
         )
     )
+
+
+# Benford first-digit law, P(d) = log10(1 + 1/d), pre-rounded to parts
+# per million so the deviation vehicle is pure BIGINT arithmetic (no
+# libm on either engine at the hash gate).
+BENFORD_PPM: dict[int, int] = {
+    1: 301030, 2: 176091, 3: 124939, 4: 96910, 5: 79181,
+    6: 66947, 7: 57992, 8: 51153, 9: 45757,
+}
+
+
+def benford_profile(
+    df: DataFrame, value: str, by: str, quant: float = 100.0
+) -> DataFrame:
+    """First-significant-digit distribution per group vs Benford's law —
+    the cheap synthetic-data / fabricated-metrics detector: natural
+    multiplicative quantities follow ``P(d) = log10(1+1/d)``; uniform or
+    hand-typed ones don't.
+
+    The digit is the first character of the quantized positive integer's
+    decimal string — string-based significand extraction, so no log10 in
+    the plan and the digit is bit-identical on any engine. Every group
+    emits all nine digit rows (zero-filled): the output is a fixed
+    9·|groups| grid. ``dev_ppm_n = |n_d·10^6 − n·ppm_d|`` is the exact
+    integer L1-deviation vehicle (n× the ppm deviation); ``ratio`` is
+    the single closing division.
+
+    Scale: one map-side-combinable (group, digit) count, then a
+    group-partitioned window over the ≤9-row groups and a broadcast
+    cross join against the 9-row digit dimension. Zeros/negatives are
+    excluded (Benford is defined on positive magnitudes).
+    """
+    q = F.floor(F.col(value).cast("double") * F.lit(quant) + F.lit(0.5)).cast(
+        "long"
+    )
+    d = df.select(F.col(by).alias("grp"), q.alias("__q")).where(
+        F.col("__q") > 0
+    )
+    counts = d.select(
+        "grp",
+        F.substring(F.col("__q").cast("string"), 1, 1)
+        .cast("long")
+        .alias("digit"),
+    ).groupBy("grp", "digit").agg(F.count(F.lit(1)).cast("long").alias("n_d"))
+    spark = df.sparkSession
+    digits = spark.createDataFrame(
+        [(k, v) for k, v in sorted(BENFORD_PPM.items())], "digit long, ppm long"
+    )
+    grid = counts.select("grp").distinct().crossJoin(F.broadcast(digits))
+    full = grid.join(counts, ["grp", "digit"], "left").na.fill({"n_d": 0})
+    w = Window.partitionBy("grp")
+    full = full.withColumn("n", F.sum("n_d").over(w).cast("long"))
+    return full.select(
+        "grp",
+        "digit",
+        "n_d",
+        "n",
+        "ppm",
+        F.abs(F.col("n_d") * F.lit(1_000_000) - F.col("n") * F.col("ppm"))
+        .cast("long")
+        .alias("dev_ppm_n"),
+        (F.col("n_d").cast("double") / F.col("n").cast("double")).alias(
+            "ratio"
+        ),
+    )

@@ -203,3 +203,89 @@ def resample_bars(
         F.max(F.when(F.col("__rd") == 1, F.col("__vq"))).cast("long").alias("close_q"),
         F.sum("__vq").cast("long").alias("sum_q"),
     )
+
+
+def autocorrelation(
+    df: DataFrame,
+    value: str,
+    by: str,
+    order: list[str],
+    lags: tuple[int, ...] = (1, 2, 3),
+    quant: float = 1000.0,
+) -> DataFrame:
+    """Per-key lag-k autocorrelation of a quantized value series — the
+    burstiness / periodicity feature for per-entity event streams.
+
+    Uses the denominator-cleared form so every hash-gated aggregate is
+    an exact BIGINT, order-independent under any partial aggregation:
+    with ``q`` the quantized value, ``n`` the series length and
+    ``S = Σq``, the centered residual scaled by ``n`` is ``c_t = n·q_t − S``
+    and
+
+        acf_num(k) = Σ_{t ≤ n−k} c_t · c_{t+k}
+        acf_den    = Σ_t c_t²
+        acf(k)     = acf_num(k) / acf_den   (the ONE closing division)
+
+    which equals the standard ACF with the full-series mean (the n²
+    factors cancel). Quantization defaults to 1e-3 — squared moments
+    need the coarser grid to stay inside int64 (|c| ≤ n·q_max, so
+    acf_den ≤ n³·q_max²; at 1e-3 a 1k-turn series of values ≤ 1e3
+    stays < 2^63).
+
+    Scale: ONE HashPartitioning(by) exchange serves the unbounded
+    window aggregates (n, S), the ordered lead()s and the final
+    groupBy — Spark reuses the partitioning; per-key work is linear in
+    series length. The lag unpivot is a JVM ``stack`` (no shuffle).
+    """
+    q = F.floor(F.col(value).cast("double") * F.lit(quant) + F.lit(0.5)).cast(
+        "long"
+    )
+    wp = Window.partitionBy(by)
+    wo = Window.partitionBy(by).orderBy(*order)
+    d = df.select(
+        F.col(by),
+        q.alias("__q"),
+        *[F.col(c) for c in order],
+    )
+    d = d.select(
+        by,
+        "__q",
+        F.count(F.lit(1)).over(wp).cast("long").alias("__n"),
+        F.sum("__q").over(wp).cast("long").alias("__s"),
+        *[F.lead("__q", k).over(wo).alias(f"__q{k}") for k in lags],
+    )
+    c = F.col("__n") * F.col("__q") - F.col("__s")
+    aggs = [
+        F.max("__n").alias("n"),
+        F.sum(c * c).cast("long").alias("acf_den"),
+    ]
+    for k in lags:
+        ck = F.col("__n") * F.col(f"__q{k}") - F.col("__s")
+        aggs.append(
+            F.sum(
+                F.when(F.col(f"__q{k}").isNotNull(), c * ck).otherwise(
+                    F.lit(0)
+                )
+            )
+            .cast("long")
+            .alias(f"__num{k}")
+        )
+    g = d.groupBy(by).agg(*aggs)
+    stack = ", ".join(f"{k}, __num{k}" for k in lags)
+    out = g.select(
+        by,
+        "n",
+        "acf_den",
+        F.expr(f"stack({len(lags)}, {stack}) AS (lag, acf_num)"),
+    )
+    return out.select(
+        by,
+        F.col("lag").cast("long").alias("lag"),
+        "n",
+        "acf_num",
+        "acf_den",
+        F.when(
+            F.col("acf_den") > 0,
+            F.col("acf_num").cast("double") / F.col("acf_den").cast("double"),
+        ).alias("acf"),
+    )
