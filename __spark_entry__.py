@@ -2884,6 +2884,61 @@ def q_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_contingency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full r×c chi-squared contingency grid: per-user modal event type
+    vs FIRST event type — does the first action predict the dominant
+    one? Unit pre-collapse (one row per user) keeps the squared integer
+    vehicles in int64; zero cells included so the grid sums to the
+    statistic."""
+    from pyspark.sql import Window
+
+    from featureextraction_spark.operators.evaluation import contingency_table
+
+    ev = _load(spark, sf_dir, "events")
+    per = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("cnt").desc(), "event_type"
+    )
+    modal = (
+        per.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("user_id", F.col("event_type").alias("modal_type"))
+    )
+    wf = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    first = (
+        ev.withColumn("rn", F.row_number().over(wf))
+        .where(F.col("rn") == 1)
+        .select("user_id", F.col("event_type").alias("first_type"))
+    )
+    base = modal.join(first, "user_id")
+    out = contingency_table(base, "modal_type", "first_type")
+    return out.select(
+        "cat_a", "cat_b", "o", "r", "c", "n", "dev_num", "dev_den",
+        _hround6(F.col("chi2_cell")).alias("chi2_cell"),
+    )
+
+
+def q_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user Laplace-smoothed first-order Markov transition model
+    over event types — next-action probability features; one user-keyed
+    window for bigrams, two prefix-sharing aggregates, the alphabet size
+    an in-plan broadcast 1-row aggregate."""
+    from featureextraction_spark.operators.transitions import (
+        markov_transitions,
+    )
+
+    ev = _load(spark, sf_dir, "events")
+    out = markov_transitions(
+        ev, state="event_type", key="user_id", order=("ts", "event_id")
+    )
+    return out.select(
+        "user_id", "prev", "cur", "c_ab", "c_a", "v", "prob_num",
+        "prob_den", _hround6(F.col("prob")).alias("prob"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "lag_lead": q_lag_lead,
@@ -3037,6 +3092,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "acf": q_acf,
         "skyline": q_skyline,
         "benford": q_benford,
+        "contingency": q_contingency,
+        "markov": q_markov,
     }
 
 
@@ -3304,6 +3361,7 @@ def oracle_sql() -> dict[str, str]:
     base.update(_round4v_oracle_sql())
     base.update(_round4w_oracle_sql())
     base.update(_round4x_oracle_sql())
+    base.update(_round4y_oracle_sql())
     # full-probe IVF is exhaustive by construction — the exact replay gates it
     base["ivf_topk_full"] = base["cosine_topk"]
     # full-probe IVF-PQ scans every list exactly once == the flat ADC scan
@@ -8048,5 +8106,90 @@ def _round4x_oracle_sql() -> dict[str, str]:
                    round(CAST(n_d AS DOUBLE) / CAST(n AS DOUBLE) + 1e-9, 6)
                        AS ratio
             FROM t
+        """,
+    }
+
+
+def _round4y_oracle_sql() -> dict[str, str]:
+    """Oracles for the contingency / Markov association reads."""
+    return {
+        "contingency": """
+            WITH per AS (
+                SELECT user_id, event_type, count(*) AS cnt
+                FROM events GROUP BY 1, 2
+            ),
+            modal AS (
+                SELECT user_id, event_type AS cat_a FROM (
+                    SELECT user_id, event_type,
+                           row_number() OVER (PARTITION BY user_id
+                                              ORDER BY cnt DESC,
+                                                       event_type) AS rn
+                    FROM per
+                ) WHERE rn = 1
+            ),
+            fst AS (
+                SELECT user_id, event_type AS cat_b FROM (
+                    SELECT user_id, event_type,
+                           row_number() OVER (PARTITION BY user_id
+                                              ORDER BY epoch_us(ts),
+                                                       event_id) AS rn
+                    FROM events
+                ) WHERE rn = 1
+            ),
+            base AS (
+                SELECT m.cat_a, a.cat_b
+                FROM modal m JOIN fst a USING (user_id)
+            ),
+            cells AS (
+                SELECT cat_a, cat_b, CAST(count(*) AS BIGINT) AS o
+                FROM base GROUP BY 1, 2
+            ),
+            ra AS (SELECT cat_a, CAST(count(*) AS BIGINT) AS r FROM base
+                   GROUP BY 1),
+            cb AS (SELECT cat_b, CAST(count(*) AS BIGINT) AS c FROM base
+                   GROUP BY 1),
+            t AS (SELECT CAST(count(*) AS BIGINT) AS n FROM base),
+            grid AS (
+                SELECT ra.cat_a, cb.cat_b,
+                       CAST(coalesce(cells.o, 0) AS BIGINT) AS o,
+                       ra.r, cb.c, t.n
+                FROM ra CROSS JOIN cb CROSS JOIN t
+                LEFT JOIN cells
+                  ON cells.cat_a = ra.cat_a AND cells.cat_b = cb.cat_b
+            )
+            SELECT cat_a, cat_b, o, r, c, n,
+                   CAST((n*o - r*c) * (n*o - r*c) AS BIGINT) AS dev_num,
+                   CAST(n * r * c AS BIGINT) AS dev_den,
+                   CASE WHEN n * r * c > 0
+                        THEN round(CAST((n*o - r*c) * (n*o - r*c) AS DOUBLE)
+                                   / CAST(n * r * c AS DOUBLE) + 1e-9, 6)
+                   END AS chi2_cell
+            FROM grid
+        """,
+        "markov": """
+            WITH p AS (
+                SELECT user_id, event_type AS cur,
+                       lag(event_type) OVER (PARTITION BY user_id
+                                             ORDER BY epoch_us(ts),
+                                                      event_id) AS prev
+                FROM events
+            ),
+            pairs AS (SELECT * FROM p WHERE prev IS NOT NULL),
+            cab AS (
+                SELECT user_id, prev, cur, CAST(count(*) AS BIGINT) AS c_ab
+                FROM pairs GROUP BY 1, 2, 3
+            ),
+            ca AS (
+                SELECT user_id, prev, CAST(count(*) AS BIGINT) AS c_a
+                FROM pairs GROUP BY 1, 2
+            ),
+            v AS (SELECT CAST(count(DISTINCT event_type) AS BIGINT) AS v
+                  FROM events)
+            SELECT cab.user_id, cab.prev, cab.cur, cab.c_ab, ca.c_a, v.v,
+                   CAST(cab.c_ab + 1 AS BIGINT) AS prob_num,
+                   CAST(ca.c_a + v.v AS BIGINT) AS prob_den,
+                   round(CAST(cab.c_ab + 1 AS DOUBLE)
+                         / CAST(ca.c_a + v.v AS DOUBLE) + 1e-9, 6) AS prob
+            FROM cab JOIN ca USING (user_id, prev) CROSS JOIN v
         """,
     }

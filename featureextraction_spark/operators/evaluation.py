@@ -591,3 +591,64 @@ def cohens_kappa(df: DataFrame, a: str, b: str) -> DataFrame:
             / (F.col("n") * F.col("n") - F.col("rc_sum")).cast("double"),
         ).alias("kappa"),
     )
+
+
+def contingency_table(df: DataFrame, a: str, b: str) -> DataFrame:
+    """Full r×c contingency grid between two categorical columns with
+    per-cell exact chi-squared vehicles — the feature-association audit
+    that generalizes :func:`ab_chi2` beyond 2×2.
+
+    With ``o`` the observed cell count, ``r``/``c`` the marginals and
+    ``n`` the total, the cell's chi-squared contribution
+    ``(o − rc/n)² / (rc/n)`` is emitted denominator-cleared:
+
+        dev_num = (n·o − r·c)²      dev_den = n·r·c
+
+    so every hash-gated column is BIGINT-exact; ``chi2_cell`` is the
+    single closing division. The grid is complete (zero cells included
+    — they still contribute ``rc/n``), so ``Σ chi2_cell`` over the
+    result IS the test statistic. Callers should pre-collapse to the
+    experimental unit (one row per user) so ``n`` stays within the
+    int64 headroom of the squared vehicle: |n·o − r·c| ≤ n², so n ≤
+    ~55M units is safe; beyond that, quantize or shard the test.
+
+    Scale: two alphabet-sized marginal aggregates + one cell count, all
+    map-side combinable; the grid cross-join and the 1-row total are
+    broadcast. Work after the first aggregate is alphabet², not data.
+    """
+    base = df.select(
+        F.col(a).cast("string").alias("cat_a"),
+        F.col(b).cast("string").alias("cat_b"),
+    )
+    cells = base.groupBy("cat_a", "cat_b").agg(
+        F.count(F.lit(1)).cast("long").alias("o")
+    )
+    ra = base.groupBy("cat_a").agg(F.count(F.lit(1)).cast("long").alias("r"))
+    cb = base.groupBy("cat_b").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    n = base.groupBy().agg(F.count(F.lit(1)).cast("long").alias("n"))
+    grid = (
+        ra.crossJoin(F.broadcast(cb))
+        .join(cells, ["cat_a", "cat_b"], "left")
+        .na.fill({"o": 0})
+        .crossJoin(F.broadcast(n))
+    )
+    dev = grid.select(
+        "cat_a",
+        "cat_b",
+        "o",
+        "r",
+        "c",
+        "n",
+        ((F.col("n") * F.col("o") - F.col("r") * F.col("c"))
+         * (F.col("n") * F.col("o") - F.col("r") * F.col("c")))
+        .cast("long")
+        .alias("dev_num"),
+        (F.col("n") * F.col("r") * F.col("c")).cast("long").alias("dev_den"),
+    )
+    return dev.select(
+        "*",
+        F.when(
+            F.col("dev_den") > 0,
+            F.col("dev_num").cast("double") / F.col("dev_den").cast("double"),
+        ).alias("chi2_cell"),
+    )

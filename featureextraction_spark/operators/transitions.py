@@ -87,3 +87,69 @@ def context_pairs(
         .groupBy(F.col("__ctx").alias("context"), F.col(col).alias("label"))
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
     )
+
+
+def markov_transitions(
+    df: DataFrame,
+    state: str,
+    key: str = "conv_id",
+    order: tuple[str, ...] = ("turn_idx",),
+    smoothing: int = 1,
+) -> DataFrame:
+    """Per-key first-order Markov transition model with Laplace
+    smoothing — the next-action probability features a sequence model
+    conditions on, and the per-entity behavioral fingerprint.
+
+    For each observed (key, prev, cur) bigram:
+
+        prob = (c_ab + s) / (c_a + s·V)
+
+    with ``c_ab`` the bigram count, ``c_a`` the from-state count, ``V``
+    the GLOBAL state-alphabet size and ``s`` the smoothing constant —
+    ``prob_num``/``prob_den`` are the exact BIGINT vehicles, ``prob``
+    the single closing division. Unobserved successors (not emitted —
+    the per-key full grid would be keys×V² rows) implicitly carry
+    ``s / (c_a + s·V)``.
+
+    Scale: one key-partitioned ordered window produces bigrams, then
+    two map-side-combinable aggregates sharing the (key, prev) prefix;
+    the alphabet size joins as an in-plan broadcast 1-row aggregate
+    (no driver collect).
+    """
+    w = Window.partitionBy(key).orderBy(*order)
+    pairs = (
+        df.select(
+            F.col(key),
+            F.col(state).alias("cur"),
+            F.lag(state).over(w).alias("prev"),
+        )
+        .where(F.col("prev").isNotNull())
+    )
+    c_ab = pairs.groupBy(key, "prev", "cur").agg(
+        F.count(F.lit(1)).cast("long").alias("c_ab")
+    )
+    c_a = pairs.groupBy(key, "prev").agg(
+        F.count(F.lit(1)).cast("long").alias("c_a")
+    )
+    v = df.select(F.col(state).alias("s")).agg(
+        F.countDistinct("s").cast("long").alias("v")
+    )
+    out = (
+        c_ab.join(c_a, [key, "prev"])
+        .crossJoin(F.broadcast(v))
+    )
+    s = F.lit(int(smoothing))
+    return out.select(
+        key,
+        "prev",
+        "cur",
+        "c_ab",
+        "c_a",
+        "v",
+        (F.col("c_ab") + s).cast("long").alias("prob_num"),
+        (F.col("c_a") + s * F.col("v")).cast("long").alias("prob_den"),
+        (
+            (F.col("c_ab") + s).cast("double")
+            / (F.col("c_a") + s * F.col("v")).cast("double")
+        ).alias("prob"),
+    )
