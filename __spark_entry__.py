@@ -2939,6 +2939,59 @@ def q_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sorted_blocking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood candidate pairs (merge/purge blocking) on a
+    lowercased 12-char text prefix — n·w candidates via the two-phase
+    global rank + adjacent-bucket equi-join; no single-partition
+    window, no all-pairs."""
+    from featureextraction_spark.operators.dedup import (
+        sorted_neighborhood_pairs,
+    )
+
+    docs = _load(spark, sf_dir, "documents")
+    return sorted_neighborhood_pairs(
+        docs, F.lower(F.substring("text", 1, 12)), "doc_id", window=3
+    )
+
+
+def q_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-interpolation resample of per-user value series onto the
+    epoch-aligned 6-hour grid — exact BIGINT interp_num/interp_den
+    vehicles, one user-keyed exchange for collapse + both RANGE-framed
+    neighbor windows."""
+    from featureextraction_spark.operators.interpolate import interp_resample
+
+    ev = _load(spark, sf_dir, "events")
+    ev = ev.withColumn("us", epoch_us(ev, "ts"))
+    out = interp_resample(
+        ev,
+        value="value",
+        key="user_id",
+        t_ms=F.expr("us div 1000"),
+        order_id="event_id",
+        grid_ms=21_600_000,
+    )
+    return out.select(
+        "user_id", "t_ms", "prev_q", "prev_t", "next_q", "next_t",
+        "interp_num", "interp_den",
+        _hround6(F.col("interp")).alias("interp"),
+    )
+
+
+def q_kanon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity / l-diversity release audit of (lang, source) QI
+    groups with the length-centile bucket as the sensitive attribute —
+    one QI groupBy, integer flags."""
+    from featureextraction_spark.operators.curation import k_anonymity_audit
+
+    docs = _load(spark, sf_dir, "documents").withColumn(
+        "len_bucket", F.expr("n_chars div 100")
+    )
+    return k_anonymity_audit(
+        docs, ["lang", "source"], "len_bucket", k=5, l_div=2
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "lag_lead": q_lag_lead,
@@ -3094,6 +3147,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "benford": q_benford,
         "contingency": q_contingency,
         "markov": q_markov,
+        "sorted_blocking": q_sorted_blocking,
+        "interp": q_interp,
+        "kanon": q_kanon,
     }
 
 
@@ -3362,6 +3418,7 @@ def oracle_sql() -> dict[str, str]:
     base.update(_round4w_oracle_sql())
     base.update(_round4x_oracle_sql())
     base.update(_round4y_oracle_sql())
+    base.update(_round4z_oracle_sql())
     # full-probe IVF is exhaustive by construction — the exact replay gates it
     base["ivf_topk_full"] = base["cosine_topk"]
     # full-probe IVF-PQ scans every list exactly once == the flat ADC scan
@@ -8191,5 +8248,97 @@ def _round4y_oracle_sql() -> dict[str, str]:
                    round(CAST(cab.c_ab + 1 AS DOUBLE)
                          / CAST(ca.c_a + v.v AS DOUBLE) + 1e-9, 6) AS prob
             FROM cab JOIN ca USING (user_id, prev) CROSS JOIN v
+        """,
+    }
+
+
+def _round4z_oracle_sql() -> dict[str, str]:
+    """Oracles for sorted-neighborhood blocking, grid interpolation and
+    the k-anonymity audit."""
+    H = 21_600_000
+    return {
+        "sorted_blocking": """
+            WITH r AS (
+                SELECT doc_id, lower(substr(text, 1, 12)) AS k,
+                       CAST(row_number() OVER (
+                           ORDER BY lower(substr(text, 1, 12)), doc_id) - 1
+                           AS BIGINT) AS rnk
+                FROM documents
+            )
+            SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+                   a.rnk AS rank_a, b.rnk AS rank_b,
+                   a.k AS key_a, b.k AS key_b
+            FROM r a JOIN r b ON b.rnk - a.rnk BETWEEN 1 AND 3
+        """,
+        "interp": f"""
+            WITH ev AS (
+                SELECT user_id, epoch_us(ts) // 1000 AS t_ms,
+                       max_by(CAST(floor(CAST(value AS DOUBLE) * 1000.0
+                                         + 0.5) AS BIGINT),
+                              event_id) AS q
+                FROM events GROUP BY 1, 2
+            ),
+            b AS (SELECT user_id, min(t_ms) AS lo, max(t_ms) AS hi
+                  FROM ev GROUP BY 1),
+            g AS (
+                SELECT user_id,
+                       unnest(generate_series(
+                           ((lo + {H - 1}) // {H}) * {H},
+                           (hi // {H}) * {H}, {H})) AS t_ms
+                FROM b
+                WHERE ((lo + {H - 1}) // {H}) * {H} <= (hi // {H}) * {H}
+            ),
+            u AS (
+                SELECT user_id, t_ms, q, 0 AS is_grid FROM ev
+                UNION ALL
+                SELECT user_id, t_ms, NULL, 1 FROM g
+            ),
+            w AS (
+                SELECT user_id, t_ms, is_grid,
+                       last_value(q IGNORE NULLS) OVER wp AS prev_q,
+                       last_value(CASE WHEN q IS NOT NULL THEN t_ms END
+                                  IGNORE NULLS) OVER wp AS prev_t,
+                       first_value(q IGNORE NULLS) OVER wn AS next_q,
+                       first_value(CASE WHEN q IS NOT NULL THEN t_ms END
+                                   IGNORE NULLS) OVER wn AS next_t
+                FROM u
+                WINDOW wp AS (PARTITION BY user_id ORDER BY t_ms
+                              RANGE BETWEEN UNBOUNDED PRECEDING
+                                        AND CURRENT ROW),
+                       wn AS (PARTITION BY user_id ORDER BY t_ms
+                              RANGE BETWEEN CURRENT ROW
+                                        AND UNBOUNDED FOLLOWING)
+            )
+            SELECT user_id, CAST(t_ms AS BIGINT) AS t_ms, prev_q,
+                   CAST(prev_t AS BIGINT) AS prev_t, next_q,
+                   CAST(next_t AS BIGINT) AS next_t,
+                   CAST(CASE WHEN next_t > prev_t
+                             THEN prev_q * (next_t - t_ms)
+                                  + next_q * (t_ms - prev_t)
+                             ELSE prev_q END AS BIGINT) AS interp_num,
+                   CAST(CASE WHEN next_t > prev_t THEN next_t - prev_t
+                             ELSE 1 END AS BIGINT) AS interp_den,
+                   round(CAST(CASE WHEN next_t > prev_t
+                                   THEN prev_q * (next_t - t_ms)
+                                        + next_q * (t_ms - prev_t)
+                                   ELSE prev_q END AS DOUBLE)
+                         / CAST(CASE WHEN next_t > prev_t
+                                     THEN next_t - prev_t
+                                     ELSE 1 END AS DOUBLE)
+                         + 1e-9, 6) AS interp
+            FROM w
+            WHERE is_grid = 1 AND prev_q IS NOT NULL
+              AND next_q IS NOT NULL
+        """,
+        "kanon": """
+            SELECT lang, source,
+                   CAST(count(*) AS BIGINT) AS grp_n,
+                   CAST(count(DISTINCT n_chars // 100) AS BIGINT)
+                       AS n_sensitive,
+                   CAST(CASE WHEN count(*) >= 5 THEN 1 ELSE 0 END
+                        AS BIGINT) AS k_ok,
+                   CAST(CASE WHEN count(DISTINCT n_chars // 100) >= 2
+                             THEN 1 ELSE 0 END AS BIGINT) AS l_ok
+            FROM documents GROUP BY 1, 2
         """,
     }

@@ -632,3 +632,34 @@ def tokenize_to_ids(
         "term",
         F.coalesce(F.col("__vid"), F.lit(int(oov_id))).cast("long").alias("token_id"),
     )
+
+
+def k_anonymity_audit(
+    df: DataFrame,
+    qi_cols: list[str],
+    sensitive: str,
+    k: int = 5,
+    l_div: int = 2,
+) -> DataFrame:
+    """k-anonymity / l-diversity audit per quasi-identifier group
+    (Sweeney 2002; Machanavajjhala et al. 2006) — the release-safety
+    check run before publishing a training corpus with demographic-ish
+    columns: every QI combination must hide among ≥ k rows (k_ok) and
+    carry ≥ l distinct sensitive values (l_ok), else it re-identifies
+    or attribute-discloses.
+
+    One map-side-combinable groupBy on the QI columns; the distinct
+    count shuffles (qi, sensitive) once. Output is QI-cardinality
+    sized, integer flags as hash vehicles.
+    """
+    g = df.groupBy(*qi_cols).agg(
+        F.count(F.lit(1)).cast("long").alias("grp_n"),
+        F.countDistinct(sensitive).cast("long").alias("n_sensitive"),
+    )
+    return g.select(
+        *qi_cols,
+        "grp_n",
+        "n_sensitive",
+        (F.col("grp_n") >= int(k)).cast("long").alias("k_ok"),
+        (F.col("n_sensitive") >= int(l_div)).cast("long").alias("l_ok"),
+    )
