@@ -2992,6 +2992,45 @@ def q_kanon(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Min-hop BFS distance from seed parts (partkey % 97 == 0) over
+    the co-purchase graph — level-synchronous frontier join rounds with
+    anti-join settlement; the oracle replays it as a recursive CTE in
+    UNION mode with min(hop)."""
+    from featureextraction_spark.operators.graph import bfs_hops
+
+    li = _load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    edges = (
+        a.join(b, "l_orderkey")
+        .where(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .select(
+            F.col("a.l_partkey").alias("src"),
+            F.col("b.l_partkey").alias("dst"),
+        )
+        .distinct()
+    )
+    seeds = (
+        li.select(F.col("l_partkey").alias("node"))
+        .where(F.pmod(F.col("node"), F.lit(97)) == 0)
+        .distinct()
+    )
+    return bfs_hops(edges, seeds, max_hops=4)
+
+
+def q_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion of the cosine (scale-invariant) and raw
+    inner-product (MIPS) top-10 runs — the hybrid-retrieval combiner;
+    rrf_num kept BIGINT-exact by lcm pre-scaling."""
+    from featureextraction_spark.operators.retrieval import rrf_fusion
+
+    emb = _load(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 10)
+    run_a = sim_ops.cosine_topk(queries_df, emb, k=10)
+    run_b = sim_ops.dot_topk(queries_df, emb, k=10)
+    return rrf_fusion([run_a, run_b], k=60, topn=10, rank_cap=10)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "lag_lead": q_lag_lead,
@@ -3150,6 +3189,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sorted_blocking": q_sorted_blocking,
         "interp": q_interp,
         "kanon": q_kanon,
+        "bfs": q_bfs,
+        "rrf": q_rrf,
     }
 
 
@@ -3419,6 +3460,7 @@ def oracle_sql() -> dict[str, str]:
     base.update(_round4x_oracle_sql())
     base.update(_round4y_oracle_sql())
     base.update(_round4z_oracle_sql())
+    base.update(_round4aa_oracle_sql())
     # full-probe IVF is exhaustive by construction — the exact replay gates it
     base["ivf_topk_full"] = base["cosine_topk"]
     # full-probe IVF-PQ scans every list exactly once == the flat ADC scan
@@ -8340,5 +8382,94 @@ def _round4z_oracle_sql() -> dict[str, str]:
                    CAST(CASE WHEN count(DISTINCT n_chars // 100) >= 2
                              THEN 1 ELSE 0 END AS BIGINT) AS l_ok
             FROM documents GROUP BY 1, 2
+        """,
+    }
+
+
+def _round4aa_oracle_sql() -> dict[str, str]:
+    """Oracles for BFS hop distance and reciprocal-rank fusion."""
+    import math
+
+    L = math.lcm(*range(61, 71))
+    return {
+        "bfs": """
+            WITH RECURSIVE e0 AS (
+                SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+                FROM lineitem a JOIN lineitem b
+                  ON a.l_orderkey = b.l_orderkey
+                WHERE a.l_partkey < b.l_partkey
+            ),
+            e AS (
+                SELECT src, dst FROM e0
+                UNION
+                SELECT dst, src FROM e0
+            ),
+            seeds AS (
+                SELECT DISTINCT l_partkey AS node FROM lineitem
+                WHERE l_partkey % 97 = 0
+            ),
+            walk(node, hop) AS (
+                SELECT node, 0 FROM seeds
+                UNION
+                SELECT e.dst, w.hop + 1
+                FROM walk w JOIN e ON e.src = w.node
+                WHERE w.hop < 4
+            )
+            SELECT node, CAST(min(hop) AS BIGINT) AS hop
+            FROM walk GROUP BY node
+        """,
+        "rrf": f"""
+            WITH q AS (
+                SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+                FROM embeddings WHERE vec_id < 10
+            ),
+            c AS (
+                SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv
+                FROM embeddings
+            ),
+            s AS (
+                SELECT query_id, neighbor_id,
+                       round(list_dot_product(qv, cv)
+                             / (sqrt(list_dot_product(qv, qv))
+                                * sqrt(list_dot_product(cv, cv))), 6)
+                           AS cosine,
+                       round(list_dot_product(qv, cv), 6) AS dot
+                FROM q, c WHERE query_id <> neighbor_id
+            ),
+            ra AS (
+                SELECT query_id, neighbor_id,
+                       row_number() OVER (PARTITION BY query_id
+                                          ORDER BY cosine DESC,
+                                                   neighbor_id) AS r
+                FROM s
+            ),
+            rb AS (
+                SELECT query_id, neighbor_id,
+                       row_number() OVER (PARTITION BY query_id
+                                          ORDER BY dot DESC,
+                                                   neighbor_id) AS r
+                FROM s
+            ),
+            u AS (
+                SELECT query_id, neighbor_id, r FROM ra WHERE r <= 10
+                UNION ALL
+                SELECT query_id, neighbor_id, r FROM rb WHERE r <= 10
+            ),
+            g AS (
+                SELECT query_id, neighbor_id,
+                       CAST(count(*) AS BIGINT) AS n_runs,
+                       CAST(sum({L} // (60 + r)) AS BIGINT) AS rrf_num
+                FROM u GROUP BY 1, 2
+            ),
+            f AS (
+                SELECT *, row_number() OVER (PARTITION BY query_id
+                                             ORDER BY rrf_num DESC,
+                                                      neighbor_id)
+                              AS fused_rank
+                FROM g
+            )
+            SELECT query_id, neighbor_id, n_runs, rrf_num,
+                   CAST(fused_rank AS BIGINT) AS fused_rank
+            FROM f WHERE fused_rank <= 10
         """,
     }

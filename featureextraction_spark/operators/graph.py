@@ -549,3 +549,60 @@ def tree_paths(
             )
         )
     raise RuntimeError(f"tree_paths did not converge in {max_iter} rounds")
+
+
+def bfs_hops(
+    edges: DataFrame,
+    seeds: DataFrame,
+    max_hops: int = 4,
+    src: str = "src",
+    dst: str = "dst",
+    node: str = "node",
+) -> DataFrame:
+    """Minimum-hop BFS distance from a seed set over an undirected
+    graph — the "how far from curated/flagged content" feature, and the
+    frontier-expansion primitive behind influence radii and taint
+    propagation.
+
+    Level-synchronous frontier BFS as join rounds: each hop is ONE
+    src-keyed equi-join of the current frontier against the edge table
+    plus an anti-join against the settled set, so a node is assigned
+    the FIRST (minimum) hop that reaches it and is never re-expanded —
+    total work is Σ|frontier|·deg, the textbook distributed BFS bound.
+    Every round localCheckpoints (the same O(1)-lineage discipline as
+    :func:`tree_paths`); an empty frontier short-circuits. Unreached
+    nodes are absent from the output (semantically ∞).
+
+    The oracle replay is a recursive CTE in UNION (dedup) mode with
+    ``min(hop)`` — identical semantics, proven at the driver gate.
+    """
+    e = (
+        edges.select(F.col(src).alias("__s"), F.col(dst).alias("__d"))
+        .unionByName(
+            edges.select(
+                F.col(dst).alias("__s"), F.col(src).alias("__d")
+            )
+        )
+        .distinct()
+    )
+    e = _checkpoint(e)
+    dist = _checkpoint(
+        seeds.select(F.col(node).alias("node"))
+        .distinct()
+        .withColumn("hop", F.lit(0).cast("long"))
+    )
+    frontier = dist.select("node")
+    for h in range(1, int(max_hops) + 1):
+        nxt = (
+            frontier.join(e, frontier["node"] == e["__s"])
+            .select(F.col("__d").alias("node"))
+            .distinct()
+            .join(dist.select("node"), "node", "left_anti")
+            .withColumn("hop", F.lit(h).cast("long"))
+        )
+        nxt = _checkpoint(nxt)
+        if nxt.isEmpty():
+            break
+        dist = _checkpoint(dist.unionByName(nxt))
+        frontier = nxt.select("node")
+    return dist

@@ -30,7 +30,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 _WS_RUN = "[ \\t\\n\\r\\f\\u000B]+"
@@ -165,4 +165,55 @@ def phrase_match(
     return chain.groupBy(id_col).agg(
         F.count(F.lit(1)).cast("long").alias("n_matches"),
         F.min("__p0").cast("long").alias("first_pos"),
+    )
+
+
+def rrf_fusion(
+    runs: list[DataFrame],
+    k: int = 60,
+    topn: int = 10,
+    rank_cap: int = 10,
+    query_col: str = "query_id",
+    doc_col: str = "neighbor_id",
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Reciprocal-rank fusion of N ranked retrieval runs (Cormack et
+    al., SIGIR'09): score(d) = Σ_runs 1/(k + rank_r(d)) — the standard
+    hybrid-search combiner (lexical + dense), robust to incomparable
+    raw scores because only ranks enter.
+
+    Kept exact: every contribution is pre-scaled by
+    ``L = lcm(k+1 … k+rank_cap)`` so ``rrf_num = Σ L/(k+rank)`` is an
+    exact BIGINT (each division is exact by construction) — same
+    vehicle family as the 2520-trick in ``ranking_metrics``. Ties break
+    by doc id.
+
+    Scale: one unionAll of the Q·rank_cap run tables, one
+    map-side-combinable (query, doc) aggregate, one query-partitioned
+    top-n window. Nothing touches the corpora.
+    """
+    import math
+
+    L = math.lcm(*range(k + 1, k + rank_cap + 1))
+    parts = [
+        r.select(
+            F.col(query_col).alias("query_id"),
+            F.col(doc_col).alias("neighbor_id"),
+            F.col(rank_col).cast("long").alias("__r"),
+        ).where(F.col("__r") <= rank_cap)
+        for r in runs
+    ]
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    g = u.groupBy("query_id", "neighbor_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_runs"),
+        F.sum(F.expr(f"{L} div ({k} + __r)")).cast("long").alias("rrf_num"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("rrf_num").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        g.withColumn("fused_rank", F.row_number().over(w).cast("long"))
+        .where(F.col("fused_rank") <= topn)
     )

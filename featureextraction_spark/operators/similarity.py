@@ -954,3 +954,40 @@ def ivfpq_topk(
             "query_id", "neighbor_id", "adc", F.col("rank").cast("long").alias("rank")
         )
     )
+
+
+def dot_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Exact top-k neighbors per query by RAW inner product (maximum
+    inner-product search, MIPS) — the scale-sensitive sibling of
+    :func:`cosine_topk` (recommender scores, un-normalized rerankers).
+    Same broadcast shape and deterministic (score desc, id asc) tie
+    order; self-matches excluded."""
+    from pyspark.sql import Window
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv")
+    )
+    scored = (
+        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .withColumn(
+            "dot", F.round(_dot(F.col("__qv"), F.col("__cv")), round_digits)
+        )
+        .drop("__qv", "__cv")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("dot").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+    )
