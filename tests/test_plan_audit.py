@@ -794,3 +794,104 @@ def test_pit_read_one_exchange_per_source_no_python(spark, tr_parquet):
     # as-of union window + scd2 window + dim-probe join: a handful of
     # entity-keyed exchanges, bounded and key-aligned — never data²
     assert count_exchanges(plan) <= 5, plan
+
+
+def test_autocorrelation_single_key_exchange(spark):
+    from featureextraction_spark.operators.rolling import autocorrelation
+
+    df = spark.createDataFrame(
+        [(i % 7, i, float(i % 13)) for i in range(300)],
+        "user_id long, ord long, value double",
+    )
+    out = autocorrelation(df, value="value", by="user_id", order=["ord"])
+    plan = plan_of(out)
+    # windows, leads and the final agg all ride ONE user_id hash exchange
+    assert count_exchanges(plan) == 1, plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_skyline_no_unpartitioned_window_over_data(spark):
+    from featureextraction_spark.operators.skyline import skyline_2d
+
+    df = spark.createDataFrame(
+        [(i, i % 97, (i * 7) % 89) for i in range(500)],
+        "id long, x long, y long",
+    )
+    plan = plan_of(skyline_2d(df, "x", "y", keep=["id"]))
+    # every window over the data table is __b-partitioned; the lone
+    # unpartitioned window runs over the <= n_buckets bucket aggregate
+    for ln in plan.splitlines():
+        if "windowspecdefinition" in ln and "__b" not in ln:
+            assert "__by" in ln or "__sufy" in ln, ln
+    assert "CartesianProduct" not in plan
+
+
+def test_interp_resample_single_key_exchange_family(spark):
+    from featureextraction_spark.operators.interpolate import interp_resample
+
+    df = spark.createDataFrame(
+        [(i % 5, i, (i * 37) % 1000, float(i % 11)) for i in range(200)],
+        "user_id long, event_id long, t long, value double",
+    )
+    out = interp_resample(
+        df, value="value", key="user_id", t_ms=F.col("t"),
+        order_id="event_id", grid_ms=100,
+    )
+    plan = plan_of(out)
+    # all windows are key-partitioned; no Python in the plan
+    for ln in plan.splitlines():
+        if "windowspecdefinition" in ln:
+            assert "user_id" in ln, ln
+    assert "BatchEvalPython" not in plan
+
+
+def test_markov_alphabet_is_inplan_broadcast(spark):
+    from featureextraction_spark.operators.transitions import (
+        markov_transitions,
+    )
+
+    df = spark.createDataFrame(
+        [(i % 9, i, "s%d" % (i % 4)) for i in range(300)],
+        "user_id long, ord long, s string",
+    )
+    out = markov_transitions(df, state="s", key="user_id", order=("ord",))
+    plan = plan_of(out)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_sorted_blocking_equi_join_no_nested_loop(spark):
+    from featureextraction_spark.operators.cache import (
+        release_persisted_intermediates,
+    )
+    from featureextraction_spark.operators.dedup import (
+        sorted_neighborhood_pairs,
+    )
+
+    df = spark.createDataFrame(
+        [(i, "k%03d" % (i % 50)) for i in range(300)], "id long, k string"
+    )
+    plan = plan_of(sorted_neighborhood_pairs(df, F.col("k"), "id", window=3))
+    # the neighborhood join is a hash equi-join on the rank bucket
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    release_persisted_intermediates()
+
+
+def test_rrf_fusion_one_agg_one_topn_window(spark):
+    from featureextraction_spark.operators.retrieval import rrf_fusion
+
+    runs = [
+        spark.createDataFrame(
+            [(q, (q * 13 + r * j) % 40, r) for q in range(4)
+             for r in range(1, 11)],
+            "query_id long, neighbor_id long, rank long",
+        )
+        for j in (1, 3)
+    ]
+    plan = plan_of(rrf_fusion(runs, k=60, topn=10, rank_cap=10))
+    for ln in plan.splitlines():
+        if "windowspecdefinition" in ln:
+            assert "query_id" in ln, ln
+    assert "BatchEvalPython" not in plan
