@@ -3031,6 +3031,44 @@ def q_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rrf_fusion([run_a, run_b], k=60, topn=10, rank_cap=10)
 
 
+def q_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user robust trend: Mann-Kendall S + Theil-Sen median slope
+    off ONE pairwise self-join sharing the user exchange; quantized
+    slopes use truncating integer div (identical in Spark and DuckDB,
+    negatives included) so no float slope reaches the hash gate."""
+    from featureextraction_spark.operators.trend import trend_stats
+
+    ev = _load(spark, sf_dir, "events")
+    ev = ev.withColumn("us", epoch_us(ev, "ts"))
+    out = trend_stats(
+        ev,
+        value="value",
+        key="user_id",
+        t_s=F.expr("us div 1000000"),
+        order_id="event_id",
+    )
+    return out.select(
+        "user_id", "n", "n_pairs", "n_slopes", "mk_s", "med2",
+        _hround6(F.col("theil_sen")).alias("theil_sen"),
+    )
+
+
+def q_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample Kolmogorov-Smirnov D between purchase and view
+    value distributions — rational d_num/d_den vehicles, support-table
+    collapse + two-phase cumsums, no single-partition window."""
+    from featureextraction_spark.operators.drift import ks_test
+
+    ev = _load(spark, sf_dir, "events")
+    return ks_test(
+        ev, value="value", group="event_type",
+        group_a="purchase", group_b="view", quant=100.0,
+    ).select(
+        "n_a", "n_b", "at_vq", "d_num", "d_den",
+        _hround6(F.col("d")).alias("d"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "lag_lead": q_lag_lead,
@@ -3191,6 +3229,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kanon": q_kanon,
         "bfs": q_bfs,
         "rrf": q_rrf,
+        "trend": q_trend,
+        "ks": q_ks,
     }
 
 
@@ -3461,6 +3501,7 @@ def oracle_sql() -> dict[str, str]:
     base.update(_round4y_oracle_sql())
     base.update(_round4z_oracle_sql())
     base.update(_round4aa_oracle_sql())
+    base.update(_round4ab_oracle_sql())
     # full-probe IVF is exhaustive by construction — the exact replay gates it
     base["ivf_topk_full"] = base["cosine_topk"]
     # full-probe IVF-PQ scans every list exactly once == the flat ADC scan
@@ -8471,5 +8512,112 @@ def _round4aa_oracle_sql() -> dict[str, str]:
             SELECT query_id, neighbor_id, n_runs, rrf_num,
                    CAST(fused_rank AS BIGINT) AS fused_rank
             FROM f WHERE fused_rank <= 10
+        """,
+    }
+
+
+def _round4ab_oracle_sql() -> dict[str, str]:
+    """Oracles for the robust-trend and KS drift reads."""
+    return {
+        "trend": """
+            WITH b0 AS (
+                SELECT user_id, epoch_us(ts) // 1000000 AS t,
+                       CAST(floor(CAST(value AS DOUBLE) * 1000.0 + 0.5)
+                            AS BIGINT) AS q,
+                       event_id
+                FROM events
+            ),
+            b AS (
+                SELECT user_id, t, q,
+                       row_number() OVER (PARTITION BY user_id
+                                          ORDER BY t, event_id) AS rn
+                FROM b0
+            ),
+            p AS (
+                SELECT a.user_id,
+                       CASE WHEN b2.q > a.q THEN 1
+                            WHEN b2.q < a.q THEN -1 ELSE 0 END AS sgn,
+                       CASE WHEN b2.t > a.t
+                            THEN ((b2.q - a.q) * 1000000) // (b2.t - a.t)
+                       END AS slope_q
+                FROM b a JOIN b b2
+                  ON a.user_id = b2.user_id AND a.rn < b2.rn
+            ),
+            mk AS (
+                SELECT user_id, CAST(count(*) AS BIGINT) AS n_pairs,
+                       CAST(sum(sgn) AS BIGINT) AS mk_s,
+                       CAST(count(slope_q) AS BIGINT) AS n_slopes
+                FROM p GROUP BY user_id
+            ),
+            s AS (SELECT user_id, slope_q FROM p
+                  WHERE slope_q IS NOT NULL),
+            r AS (
+                SELECT user_id, slope_q,
+                       row_number() OVER (PARTITION BY user_id
+                                          ORDER BY slope_q) AS sr,
+                       count(*) OVER (PARTITION BY user_id) AS m
+                FROM s
+            ),
+            med AS (
+                SELECT user_id,
+                       CAST(sum(CASE WHEN sr = (m+1)//2 THEN slope_q
+                                     ELSE 0 END)
+                            + sum(CASE WHEN sr = (m+2)//2 THEN slope_q
+                                       ELSE 0 END) AS BIGINT) AS med2
+                FROM r GROUP BY user_id
+            ),
+            n AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n
+                  FROM events GROUP BY user_id)
+            SELECT mk.user_id, n.n, mk.n_pairs, mk.n_slopes, mk.mk_s,
+                   med.med2,
+                   round(CAST(med.med2 AS DOUBLE)
+                         / CAST('2000000000' AS DOUBLE) + 1e-9, 6)
+                       AS theil_sen
+            FROM mk JOIN n USING (user_id) LEFT JOIN med USING (user_id)
+        """,
+        "ks": """
+            WITH base AS (
+                SELECT CAST(floor(CAST(value AS DOUBLE) * 100.0 + 0.5)
+                            AS BIGINT) AS vq,
+                       event_type AS g
+                FROM events
+                WHERE event_type IN ('purchase', 'view')
+            ),
+            per AS (
+                SELECT vq,
+                       CAST(sum(CASE WHEN g = 'purchase' THEN 1 ELSE 0 END)
+                            AS BIGINT) AS cnt_a,
+                       CAST(sum(CASE WHEN g = 'view' THEN 1 ELSE 0 END)
+                            AS BIGINT) AS cnt_b
+                FROM base GROUP BY vq
+            ),
+            t AS (SELECT CAST(sum(cnt_a) AS BIGINT) AS n_a,
+                         CAST(sum(cnt_b) AS BIGINT) AS n_b
+                  FROM per),
+            c AS (
+                SELECT vq,
+                       CAST(sum(cnt_a) OVER (ORDER BY vq) AS BIGINT) AS ca,
+                       CAST(sum(cnt_b) OVER (ORDER BY vq) AS BIGINT) AS cb
+                FROM per
+            ),
+            dev AS (
+                SELECT vq,
+                       abs(ca * (SELECT n_b FROM t)
+                           - cb * (SELECT n_a FROM t)) AS d
+                FROM c
+            ),
+            m AS (SELECT CAST(max(d) AS BIGINT) AS d_num FROM dev)
+            SELECT (SELECT n_a FROM t) AS n_a,
+                   (SELECT n_b FROM t) AS n_b,
+                   (SELECT CAST(min(vq) AS BIGINT) FROM dev, m
+                    WHERE dev.d = m.d_num) AS at_vq,
+                   m.d_num,
+                   CAST((SELECT n_a * n_b FROM t) AS BIGINT) AS d_den,
+                   CASE WHEN (SELECT n_a * n_b FROM t) > 0
+                        THEN round(CAST(m.d_num AS DOUBLE)
+                                   / CAST((SELECT n_a * n_b FROM t)
+                                          AS DOUBLE) + 1e-9, 6)
+                   END AS d
+            FROM m
         """,
     }

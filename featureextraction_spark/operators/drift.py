@@ -80,3 +80,87 @@ def histogram_drift(
         F.lit(0.0)
     ) + F.when(e_b > 0, (nb - e_b) * (nb - e_b) / e_b).otherwise(F.lit(0.0))
     return j.select("bin", "n_a", "n_b", chi2.alias("chi2"))
+
+
+def ks_test(
+    df: DataFrame,
+    value: str,
+    group: str,
+    group_a,
+    group_b,
+    quant: float = 100.0,
+) -> DataFrame:
+    """Exact two-sample Kolmogorov–Smirnov statistic between the value
+    distributions of two groups — the distribution-drift test that sees
+    SHAPE changes chi-squared binning smears away (train-vs-serve skew,
+    cohort shift).
+
+    D = max_v |F_a(v) − F_b(v)| over the merged quantized support,
+    kept rational: with inclusive cumulative counts c_a, c_b and totals
+    n_a, n_b,
+
+        d_num = max |c_a·n_b − c_b·n_a|        d_den = n_a·n_b
+
+    are exact BIGINTs (the hash vehicles); ``d`` is ONE closing
+    division. ``at_vq`` reports the smallest support point attaining
+    the max — where the CDFs diverge most.
+
+    Scale: the log collapses to its distinct-support table first (ONE
+    map-side-combinable groupBy, |support| ≤ value-domain/quant rows);
+    the two inclusive cumsums ride the two-phase range-partitioned pass
+    (:func:`..packing.with_global_cumsum` — no single-partition
+    window); totals and the final max are 1-row aggregates broadcast
+    in-plan.
+    """
+    from .packing import with_global_cumsum
+
+    vq = F.floor(F.col(value).cast("double") * F.lit(quant) + F.lit(0.5)).cast(
+        "long"
+    )
+    g = F.col(group)
+    base = df.select(vq.alias("vq"), g.alias("__g")).where(
+        g.isin([group_a, group_b])
+    )
+    per = base.groupBy("vq").agg(
+        F.sum(F.when(F.col("__g") == group_a, 1).otherwise(0))
+        .cast("long")
+        .alias("cnt_a"),
+        F.sum(F.when(F.col("__g") == group_b, 1).otherwise(0))
+        .cast("long")
+        .alias("cnt_b"),
+    )
+    cum = with_global_cumsum(per, ["vq"], "cnt_a", out_col="__ba")
+    cum = with_global_cumsum(cum, ["vq"], "cnt_b", out_col="__bb")
+    totals = per.groupBy().agg(
+        F.sum("cnt_a").cast("long").alias("n_a"),
+        F.sum("cnt_b").cast("long").alias("n_b"),
+    )
+    dev = cum.crossJoin(F.broadcast(totals)).select(
+        "vq",
+        "n_a",
+        "n_b",
+        F.abs(
+            (F.col("__ba") + F.col("cnt_a")) * F.col("n_b")
+            - (F.col("__bb") + F.col("cnt_b")) * F.col("n_a")
+        )
+        .cast("long")
+        .alias("__dev"),
+    )
+    best = dev.groupBy("n_a", "n_b").agg(
+        F.max("__dev").cast("long").alias("d_num"),
+        F.min_by("vq", F.struct(F.negate(F.col("__dev")), F.col("vq")))
+        .cast("long")
+        .alias("at_vq"),
+    )
+    return best.select(
+        "n_a",
+        "n_b",
+        "at_vq",
+        "d_num",
+        (F.col("n_a") * F.col("n_b")).cast("long").alias("d_den"),
+        F.when(
+            F.col("n_a") * F.col("n_b") > 0,
+            F.col("d_num").cast("double")
+            / (F.col("n_a") * F.col("n_b")).cast("double"),
+        ).alias("d"),
+    )
