@@ -3069,6 +3069,77 @@ def q_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_neighbor_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GraphSAGE-style 1-hop mean aggregation over the co-purchase
+    graph with part price as the node feature — one symmetrized edge
+    pass, feature join on the message source, destination groupBy;
+    isolated parts keep degree 0."""
+    from featureextraction_spark.operators.graph import neighbor_agg
+
+    li = _load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    edges = (
+        a.join(b, "l_orderkey")
+        .where(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .select(
+            F.col("a.l_partkey").alias("src"),
+            F.col("b.l_partkey").alias("dst"),
+        )
+        .distinct()
+    )
+    part = _load(spark, sf_dir, "part")
+    feats = part.select(
+        F.col("p_partkey").alias("node"),
+        F.floor(F.col("p_retailprice").cast("double") * 100.0 + 0.5)
+        .cast("long")
+        .alias("q"),
+    )
+    out = neighbor_agg(edges, feats)
+    return out.select(
+        "node", "self_q", "degree", "nbr_sum_q",
+        _hround6(F.col("nbr_mean")).alias("nbr_mean"),
+    )
+
+
+def q_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Variance-to-mean index of dispersion per event type — the
+    Poisson-vs-clumped burstiness screen; n·Σq²−(Σq)² and n·Σq exact
+    BIGINT vehicles, one map-combinable aggregate."""
+    from featureextraction_spark.operators.profiling import dispersion_index
+
+    ev = _load(spark, sf_dir, "events")
+    out = dispersion_index(ev, value="value", by="event_type", quant=10.0)
+    return out.select(
+        "grp", "n", "sum_q", "sum_q2", "disp_num", "disp_den",
+        _hround6(F.col("dispersion")).alias("dispersion"),
+    )
+
+
+def q_link_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fellegi-Sunter-style record-linkage scoring over the
+    sorted-neighborhood candidates: integer agreement weights on lang /
+    source / length-within-10%, exact BIGINT score, threshold match
+    flag — blocking feeds deciding, never all-pairs."""
+    from featureextraction_spark.operators.dedup import (
+        sorted_neighborhood_pairs,
+    )
+    from featureextraction_spark.operators.stringjoin import link_score
+
+    docs = _load(spark, sf_dir, "documents")
+    pairs = sorted_neighborhood_pairs(
+        docs, F.lower(F.substring("text", 1, 12)), "doc_id", window=3
+    ).select("a_id", "b_id")
+    return link_score(
+        pairs,
+        docs,
+        docs,
+        id_col="doc_id",
+        exact_fields=[("lang", 40, -10), ("source", 30, -5)],
+        length_field=("n_chars", 10, 20, -10),
+        threshold=50,
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "lag_lead": q_lag_lead,
@@ -3231,6 +3302,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rrf": q_rrf,
         "trend": q_trend,
         "ks": q_ks,
+        "neighbor_agg": q_neighbor_agg,
+        "dispersion": q_dispersion,
+        "link_score": q_link_score,
     }
 
 
@@ -3502,6 +3576,7 @@ def oracle_sql() -> dict[str, str]:
     base.update(_round4z_oracle_sql())
     base.update(_round4aa_oracle_sql())
     base.update(_round4ab_oracle_sql())
+    base.update(_round4ac_oracle_sql())
     # full-probe IVF is exhaustive by construction — the exact replay gates it
     base["ivf_topk_full"] = base["cosine_topk"]
     # full-probe IVF-PQ scans every list exactly once == the flat ADC scan
@@ -8619,5 +8694,119 @@ def _round4ab_oracle_sql() -> dict[str, str]:
                                           AS DOUBLE) + 1e-9, 6)
                    END AS d
             FROM m
+        """,
+    }
+
+
+def _round4ac_oracle_sql() -> dict[str, str]:
+    """Oracles for neighbor aggregation, dispersion and link scoring."""
+    return {
+        "neighbor_agg": """
+            WITH e0 AS (
+                SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+                FROM lineitem a JOIN lineitem b
+                  ON a.l_orderkey = b.l_orderkey
+                WHERE a.l_partkey < b.l_partkey
+            ),
+            e AS (
+                SELECT src AS s, dst AS d FROM e0
+                UNION
+                SELECT dst, src FROM e0
+            ),
+            f AS (
+                SELECT p_partkey AS node,
+                       CAST(floor(CAST(p_retailprice AS DOUBLE) * 100.0
+                                  + 0.5) AS BIGINT) AS q
+                FROM part
+            ),
+            m AS (
+                SELECT e.d AS node, CAST(count(*) AS BIGINT) AS degree,
+                       CAST(sum(f.q) AS BIGINT) AS nbr_sum_q
+                FROM e JOIN f ON f.node = e.s GROUP BY e.d
+            )
+            SELECT f.node, f.q AS self_q,
+                   CAST(coalesce(m.degree, 0) AS BIGINT) AS degree,
+                   CAST(coalesce(m.nbr_sum_q, 0) AS BIGINT) AS nbr_sum_q,
+                   CASE WHEN coalesce(m.degree, 0) > 0
+                        THEN round(CAST(m.nbr_sum_q AS DOUBLE)
+                                   / CAST(m.degree AS DOUBLE) + 1e-9, 6)
+                   END AS nbr_mean
+            FROM f LEFT JOIN m USING (node)
+        """,
+        "dispersion": """
+            WITH q AS (
+                SELECT event_type,
+                       CAST(floor(CAST(value AS DOUBLE) * 10.0 + 0.5)
+                            AS BIGINT) AS q
+                FROM events
+            ),
+            g AS (
+                SELECT event_type AS grp,
+                       CAST(count(*) AS BIGINT) AS n,
+                       CAST(sum(q) AS BIGINT) AS sum_q,
+                       CAST(sum(q * q) AS BIGINT) AS sum_q2
+                FROM q GROUP BY event_type
+            )
+            SELECT grp, n, sum_q, sum_q2,
+                   CAST(n * sum_q2 - sum_q * sum_q AS BIGINT) AS disp_num,
+                   CAST(n * sum_q AS BIGINT) AS disp_den,
+                   CASE WHEN n * sum_q <> 0
+                        THEN round(CAST(n * sum_q2 - sum_q * sum_q
+                                        AS DOUBLE)
+                                   / (CAST(n * sum_q AS DOUBLE)
+                                      * CAST('10' AS DOUBLE)) + 1e-9, 6)
+                   END AS dispersion
+            FROM g
+        """,
+        "link_score": """
+            WITH r AS (
+                SELECT doc_id, lower(substr(text, 1, 12)) AS k,
+                       row_number() OVER (
+                           ORDER BY lower(substr(text, 1, 12)), doc_id) - 1
+                           AS rnk
+                FROM documents
+            ),
+            p AS (
+                SELECT a.doc_id AS a_id, b.doc_id AS b_id
+                FROM r a JOIN r b ON b.rnk - a.rnk BETWEEN 1 AND 3
+            ),
+            d AS (
+                SELECT p.a_id, p.b_id,
+                       da.lang AS al, db.lang AS bl,
+                       da.source AS asrc, db.source AS bsrc,
+                       CAST(da.n_chars AS BIGINT) AS an,
+                       CAST(db.n_chars AS BIGINT) AS bn
+                FROM p
+                JOIN documents da ON da.doc_id = p.a_id
+                JOIN documents db ON db.doc_id = p.b_id
+            ),
+            s AS (
+                SELECT a_id, b_id,
+                       CASE WHEN al IS NOT NULL AND bl IS NOT NULL
+                                 AND al = bl THEN 1 ELSE 0 END AS agree_lang,
+                       CASE WHEN asrc IS NOT NULL AND bsrc IS NOT NULL
+                                 AND asrc = bsrc THEN 1 ELSE 0 END
+                           AS agree_source,
+                       CASE WHEN an IS NOT NULL AND bn IS NOT NULL
+                                 AND abs(an - bn) * 100 <= 10 * least(an, bn)
+                            THEN 1 ELSE 0 END AS agree_n_chars
+                FROM d
+            )
+            SELECT a_id, b_id,
+                   CAST(agree_lang AS BIGINT) AS agree_lang,
+                   CAST(agree_source AS BIGINT) AS agree_source,
+                   CAST(agree_n_chars AS BIGINT) AS agree_n_chars,
+                   CAST(CASE WHEN agree_lang = 1 THEN 40 ELSE -10 END
+                        + CASE WHEN agree_source = 1 THEN 30 ELSE -5 END
+                        + CASE WHEN agree_n_chars = 1 THEN 20 ELSE -10 END
+                        AS BIGINT) AS score,
+                   CAST(CASE WHEN CASE WHEN agree_lang = 1 THEN 40
+                                       ELSE -10 END
+                             + CASE WHEN agree_source = 1 THEN 30
+                                    ELSE -5 END
+                             + CASE WHEN agree_n_chars = 1 THEN 20
+                                    ELSE -10 END >= 50
+                             THEN 1 ELSE 0 END AS BIGINT) AS is_match
+            FROM s
         """,
     }

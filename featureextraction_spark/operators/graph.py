@@ -606,3 +606,52 @@ def bfs_hops(
         dist = _checkpoint(dist.unionByName(nxt))
         frontier = nxt.select("node")
     return dist
+
+
+def neighbor_agg(
+    edges: DataFrame,
+    features: DataFrame,
+    node_col: str = "node",
+    feat_col: str = "q",
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """One round of GNN-style neighborhood aggregation (the GraphSAGE /
+    message-passing mean aggregator, Hamilton NeurIPS'17): for every
+    node, the degree, exact integer sum and mean of its neighbors'
+    feature — the table you train graph-aware models on, and the
+    smoothing prior behind "you are the average of your neighbors".
+
+    ONE symmetrized edge pass: features equi-join onto the message
+    source, one map-side-combinable groupBy on the destination, then a
+    join back to the node's own feature. nbr_sum_q is the BIGINT hash
+    vehicle; nbr_mean the single closing division. Isolated nodes keep
+    their own feature with degree 0.
+    """
+    e = edges.select(
+        F.col(src).alias("__s"), F.col(dst).alias("__d")
+    ).unionByName(
+        edges.select(F.col(dst).alias("__s"), F.col(src).alias("__d"))
+    ).distinct()
+    f = features.select(
+        F.col(node_col).alias("node"), F.col(feat_col).cast("long").alias("__q")
+    )
+    msgs = e.join(f.withColumnRenamed("node", "__s"), "__s").groupBy(
+        F.col("__d").alias("node")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("degree"),
+        F.sum("__q").cast("long").alias("nbr_sum_q"),
+    )
+    out = f.join(msgs, "node", "left").na.fill(
+        {"degree": 0, "nbr_sum_q": 0}
+    )
+    return out.select(
+        "node",
+        F.col("__q").alias("self_q"),
+        "degree",
+        "nbr_sum_q",
+        F.when(
+            F.col("degree") > 0,
+            F.col("nbr_sum_q").cast("double") / F.col("degree").cast("double"),
+        ).alias("nbr_mean"),
+    )

@@ -420,3 +420,47 @@ def benford_profile(
             "ratio"
         ),
     )
+
+
+def dispersion_index(
+    df: DataFrame, value: str, by: str, quant: float = 10.0
+) -> DataFrame:
+    """Variance-to-mean ratio (index of dispersion) per group — the
+    burstiness / overdispersion screen: ≈1 for Poisson-like counts,
+    ≫1 for clumped arrivals, <1 for regular ones. Decides between
+    Poisson and negative-binomial assumptions before modeling.
+
+    Population form cleared of denominators so both vehicles are exact
+    BIGINTs under any partial aggregation:
+
+        disp_num = n·Σq² − (Σq)²      disp_den = n·Σq
+        dispersion = disp_num / (disp_den · quant)   (ONE closing div;
+        the quant factor converts back to value units)
+
+    The default 0.1-unit quantization keeps n·Σq² inside int64 for
+    ~1e6-row groups of values ≤ ~1e4 (squared moments need the coarse
+    grid — same budget note as ``autocorrelation``). One
+    map-side-combinable aggregate; output is |groups| rows.
+    """
+    q = F.floor(F.col(value).cast("double") * F.lit(quant) + F.lit(0.5)).cast(
+        "long"
+    )
+    g = df.select(F.col(by).alias("grp"), q.alias("__q")).groupBy("grp").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("__q").cast("long").alias("sum_q"),
+        F.sum(F.col("__q") * F.col("__q")).cast("long").alias("sum_q2"),
+    )
+    num = F.col("n") * F.col("sum_q2") - F.col("sum_q") * F.col("sum_q")
+    den = F.col("n") * F.col("sum_q")
+    return g.select(
+        "grp",
+        "n",
+        "sum_q",
+        "sum_q2",
+        num.cast("long").alias("disp_num"),
+        den.cast("long").alias("disp_den"),
+        F.when(
+            den != 0,
+            num.cast("double") / (den.cast("double") * F.lit(float(quant))),
+        ).alias("dispersion"),
+    )

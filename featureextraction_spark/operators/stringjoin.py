@@ -130,3 +130,77 @@ def edit_distance_pairs(
         .where(F.col("dist") <= max_dist)
         .select("id1", "id2", "dist", "len1", "len2")
     )
+
+
+def link_score(
+    pairs: DataFrame,
+    left_attrs: DataFrame,
+    right_attrs: DataFrame,
+    id_col: str,
+    exact_fields: list[tuple[str, int, int]],
+    length_field: tuple[str, int, int, int] | None = None,
+    threshold: int = 50,
+) -> DataFrame:
+    """Record-linkage scoring over candidate pairs — the decide step of
+    the Fellegi–Sunter model (JASA 1969) with fixed integer agreement /
+    disagreement weights standing in for the log-likelihood ratios
+    (kept integer so the score is an exact BIGINT hash vehicle; real
+    deployments fit the weights, the dataflow is identical).
+
+    ``pairs`` carries (a_id, b_id) candidates (e.g. from
+    :func:`..dedup.sorted_neighborhood_pairs`); attributes join on by
+    two id equi-joins. ``exact_fields`` is (field, w_agree,
+    w_disagree); ``length_field`` is (field, pct, w_agree, w_disagree)
+    scoring agreement when |la−lb|·100 ≤ pct·min(la,lb) — integer
+    arithmetic, no float ratio. NULL fields score the disagreement
+    weight (conservative).
+
+    Scale: candidates are n·w from blocking, attributes shuffle once
+    per side on the id — never the corpus against itself.
+    """
+    la = left_attrs.select(
+        F.col(id_col).alias("a_id"),
+        *[F.col(f).alias(f"__a_{f}") for f, _, _ in exact_fields],
+        *(
+            [F.col(length_field[0]).alias(f"__a_{length_field[0]}")]
+            if length_field
+            else []
+        ),
+    )
+    rb = right_attrs.select(
+        F.col(id_col).alias("b_id"),
+        *[F.col(f).alias(f"__b_{f}") for f, _, _ in exact_fields],
+        *(
+            [F.col(length_field[0]).alias(f"__b_{length_field[0]}")]
+            if length_field
+            else []
+        ),
+    )
+    d = pairs.join(la, "a_id").join(rb, "b_id")
+    score = F.lit(0)
+    agree_cols = []
+    for f, w_a, w_d in exact_fields:
+        agree = (
+            F.col(f"__a_{f}").isNotNull()
+            & F.col(f"__b_{f}").isNotNull()
+            & (F.col(f"__a_{f}") == F.col(f"__b_{f}"))
+        )
+        agree_cols.append(agree.cast("long").alias(f"agree_{f}"))
+        score = score + F.when(agree, F.lit(w_a)).otherwise(F.lit(w_d))
+    if length_field:
+        f, pct, w_a, w_d = length_field
+        a, b = F.col(f"__a_{f}").cast("long"), F.col(f"__b_{f}").cast("long")
+        agree = (
+            a.isNotNull()
+            & b.isNotNull()
+            & (F.abs(a - b) * 100 <= F.lit(int(pct)) * F.least(a, b))
+        )
+        agree_cols.append(agree.cast("long").alias(f"agree_{f}"))
+        score = score + F.when(agree, F.lit(w_a)).otherwise(F.lit(w_d))
+    return d.select(
+        "a_id",
+        "b_id",
+        *agree_cols,
+        score.cast("long").alias("score"),
+        (score >= F.lit(int(threshold))).cast("long").alias("is_match"),
+    )
