@@ -895,3 +895,57 @@ def test_rrf_fusion_one_agg_one_topn_window(spark):
         if "windowspecdefinition" in ln:
             assert "query_id" in ln, ln
     assert "BatchEvalPython" not in plan
+
+
+def test_neighbor_agg_hash_joins_and_partial_agg(spark):
+    from featureextraction_spark.operators.graph import neighbor_agg
+
+    edf = spark.createDataFrame(
+        [(i, (i * 7 + 1) % 50) for i in range(200) if i != (i * 7 + 1) % 50],
+        "src long, dst long",
+    )
+    fdf = spark.createDataFrame(
+        [(i, i * 3) for i in range(50)], "node long, q long"
+    )
+    plan = plan_of(neighbor_agg(edf, fdf))
+    # message join + self join are hash equi-joins, never nested loops
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    # the destination groupBy combines map-side before the exchange
+    assert "partial_" in plan, plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_dispersion_index_single_exchange_partial_agg(spark):
+    from featureextraction_spark.operators.profiling import dispersion_index
+
+    df = spark.createDataFrame(
+        [("g%d" % (i % 5), float(i % 97)) for i in range(500)],
+        "grp string, value double",
+    )
+    plan = plan_of(dispersion_index(df, value="value", by="grp"))
+    assert count_exchanges(plan) == 1, plan
+    assert "partial_" in plan, plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_link_score_equi_joins_no_python(spark):
+    from featureextraction_spark.operators.stringjoin import link_score
+
+    attrs = spark.createDataFrame(
+        [(i, "en" if i % 2 else "fr", "web", 100 + i) for i in range(100)],
+        "doc_id long, lang string, source string, n_chars long",
+    )
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(99)], "a_id long, b_id long"
+    )
+    plan = plan_of(
+        link_score(
+            pairs, attrs, attrs, id_col="doc_id",
+            exact_fields=[("lang", 40, -10), ("source", 30, -5)],
+            length_field=("n_chars", 10, 20, -10),
+        )
+    )
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "BatchEvalPython" not in plan
