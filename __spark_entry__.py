@@ -3140,6 +3140,98 @@ def q_link_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _copurchase_weighted_edges(spark: SparkSession, sf_dir: str, min_w: int = 2):
+    """Co-purchase part graph thinned to pairs sharing >= min_w distinct
+    orders — the weight threshold that turns the dense clique union into
+    a peelable sparse graph."""
+    li = _load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    return (
+        a.join(b, "l_orderkey")
+        .where(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .groupBy(
+            F.col("a.l_partkey").alias("src"),
+            F.col("b.l_partkey").alias("dst"),
+        )
+        .agg(F.countDistinct("l_orderkey").alias("w"))
+        .where(F.col("w") >= int(min_w))
+        .select("src", "dst")
+    )
+
+
+def q_gini_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CART stump split scan: per source, every candidate n_chars
+    threshold scored by exact-rational weighted Gini for predicting
+    lang='en'; cost_num/cost_den BIGINT vehicles, cost one IEEE
+    division."""
+    from featureextraction_spark.operators.splits import gini_split_scan
+
+    docs = _load(spark, sf_dir, "documents")
+    scan = gini_split_scan(
+        docs, feature="n_chars", label=(F.col("lang") == "en"), by="source"
+    )
+    return scan.select(
+        "grp", "threshold", "n_l", "pos_l", "neg_l", "n_r", "pos_r", "neg_r",
+        "cost_num", "cost_den", _hround6(F.col("cost")).alias("cost"),
+    )
+
+
+def q_gini_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winning stump per source: rank-1 over the split scan ordered by
+    the exact-division cost with threshold tiebreak (map-side
+    WindowGroupLimit ships <=1 row per partition)."""
+    from featureextraction_spark.operators.splits import (
+        best_gini_split,
+        gini_split_scan,
+    )
+
+    docs = _load(spark, sf_dir, "documents")
+    best = best_gini_split(
+        gini_split_scan(
+            docs, feature="n_chars", label=(F.col("lang") == "en"), by="source"
+        )
+    )
+    return best.select(
+        "grp", "threshold", "n_l", "pos_l", "neg_l", "n_r", "pos_r", "neg_r",
+        "cost_num", "cost_den", _hround6(F.col("cost")).alias("cost"),
+    )
+
+
+KCORE_K = 3
+KCORE_ROUNDS = 12
+
+
+def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-round k-core peeling of the weight-thresholded co-purchase
+    graph: per node the removal sweep (0 = survives the 3-core) and the
+    degree at removal / in the final core."""
+    from featureextraction_spark.operators.graph import kcore_peel
+
+    edges = _copurchase_weighted_edges(spark, sf_dir, min_w=2)
+    return kcore_peel(edges, k=KCORE_K, rounds=KCORE_ROUNDS)
+
+
+def q_ri_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit of four FK relations of the star
+    schema (incl. events.user_id -> customer, which really has
+    orphans): child rows, NULL keys, orphan rows/keys per relation."""
+    from featureextraction_spark.operators.profiling import referential_audit
+
+    orders = _load(spark, sf_dir, "orders")
+    customer = _load(spark, sf_dir, "customer")
+    lineitem = _load(spark, sf_dir, "lineitem")
+    part = _load(spark, sf_dir, "part")
+    events = _load(spark, sf_dir, "events")
+    return referential_audit(
+        [
+            ("orders->customer", orders, "o_custkey", customer, "c_custkey"),
+            ("lineitem->orders", lineitem, "l_orderkey", orders, "o_orderkey"),
+            ("lineitem->part", lineitem, "l_partkey", part, "p_partkey"),
+            ("events->customer", events, "user_id", customer, "c_custkey"),
+        ]
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "lag_lead": q_lag_lead,
@@ -3305,6 +3397,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "neighbor_agg": q_neighbor_agg,
         "dispersion": q_dispersion,
         "link_score": q_link_score,
+        "gini_split": q_gini_split,
+        "gini_best": q_gini_best,
+        "kcore": q_kcore,
+        "ri_audit": q_ri_audit,
     }
 
 
@@ -3577,6 +3673,7 @@ def oracle_sql() -> dict[str, str]:
     base.update(_round4aa_oracle_sql())
     base.update(_round4ab_oracle_sql())
     base.update(_round4ac_oracle_sql())
+    base.update(_round4ad_oracle_sql())
     # full-probe IVF is exhaustive by construction — the exact replay gates it
     base["ivf_topk_full"] = base["cosine_topk"]
     # full-probe IVF-PQ scans every list exactly once == the flat ADC scan
@@ -8809,4 +8906,173 @@ def _round4ac_oracle_sql() -> dict[str, str]:
                              THEN 1 ELSE 0 END AS BIGINT) AS is_match
             FROM s
         """,
+    }
+
+
+_GINI_SCAN_SQL = """
+    WITH v AS (
+        SELECT source AS grp,
+               CAST(floor(CAST(n_chars AS DOUBLE) * 1.0 + 0.5)
+                    AS BIGINT) AS threshold,
+               CAST(count(*) AS BIGINT) AS cnt,
+               CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS pos
+        FROM documents GROUP BY 1, 2
+    ),
+    s AS (
+        SELECT grp, threshold,
+               CAST(sum(cnt) OVER w AS BIGINT) AS n_l,
+               CAST(sum(pos) OVER w AS BIGINT) AS pos_l,
+               CAST(sum(cnt) OVER (PARTITION BY grp) AS BIGINT) AS n,
+               CAST(sum(pos) OVER (PARTITION BY grp) AS BIGINT) AS p
+        FROM v
+        WINDOW w AS (PARTITION BY grp ORDER BY threshold
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ),
+    scan AS (
+        SELECT grp, threshold, n_l, pos_l,
+               CAST(n_l - pos_l AS BIGINT) AS neg_l,
+               CAST(n - n_l AS BIGINT) AS n_r,
+               CAST(p - pos_l AS BIGINT) AS pos_r,
+               CAST((n - n_l) - (p - pos_l) AS BIGINT) AS neg_r,
+               CAST(pos_l * (n_l - pos_l) * (n - n_l)
+                    + (p - pos_l) * ((n - n_l) - (p - pos_l)) * n_l
+                    AS BIGINT) AS cost_num,
+               CAST(n_l * (n - n_l) AS BIGINT) AS cost_den,
+               CAST(pos_l * (n_l - pos_l) * (n - n_l)
+                    + (p - pos_l) * ((n - n_l) - (p - pos_l)) * n_l
+                    AS DOUBLE)
+                   / CAST(n_l * (n - n_l) AS DOUBLE) AS cost_raw
+        FROM s WHERE n > n_l
+    )
+"""
+
+
+def _kcore_oracle_sql(k: int, rounds: int) -> str:
+    """Unrolled fixed-round peeling — the same `rounds` synchronous
+    sweeps the Spark loop runs, one (degree, removal, edge-filter) CTE
+    triple per sweep; an already-converged sweep is a no-op on both
+    engines, so the unroll depth only has to be >= the Spark budget."""
+    parts = [
+        """e1 AS MATERIALIZED (
+            SELECT s, d FROM w UNION SELECT d, s FROM w
+        )""",
+        """a1 AS MATERIALIZED (
+            SELECT DISTINCT s AS node FROM e1
+        )""",
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f"""d{r} AS MATERIALIZED (
+                SELECT s AS node, CAST(count(*) AS BIGINT) AS deg
+                FROM e{r} GROUP BY s
+            )"""
+        )
+        # doomed = ALIVE nodes with alive-degree < k (zero-degree
+        # stragglers included — they vanish from d{r} but stay in a{r})
+        parts.append(
+            f"""r{r} AS MATERIALIZED (
+                SELECT a{r}.node,
+                       CAST(coalesce(d{r}.deg, 0) AS BIGINT) AS deg
+                FROM a{r} LEFT JOIN d{r} ON d{r}.node = a{r}.node
+                WHERE coalesce(d{r}.deg, 0) < {k}
+            )"""
+        )
+        parts.append(
+            f"""a{r + 1} AS MATERIALIZED (
+                SELECT node FROM a{r}
+                WHERE node NOT IN (SELECT node FROM r{r})
+            )"""
+        )
+        parts.append(
+            f"""e{r + 1} AS MATERIALIZED (
+                SELECT s, d FROM e{r}
+                WHERE s NOT IN (SELECT node FROM r{r})
+                  AND d NOT IN (SELECT node FROM r{r})
+            )"""
+        )
+    removed = "\nUNION ALL ".join(
+        f"SELECT node, CAST({r} AS BIGINT) AS removed_round, deg FROM r{r}"
+        for r in range(1, rounds + 1)
+    )
+    return f"""
+        WITH w AS MATERIALIZED (
+            SELECT a.l_partkey AS s, b.l_partkey AS d
+            FROM lineitem a JOIN lineitem b
+              ON a.l_orderkey = b.l_orderkey
+            WHERE a.l_partkey < b.l_partkey
+            GROUP BY 1, 2
+            HAVING count(DISTINCT a.l_orderkey) >= 2
+        ),
+        {", ".join(parts)},
+        dfin AS (
+            SELECT s AS node, CAST(count(*) AS BIGINT) AS deg
+            FROM e{rounds + 1} GROUP BY s
+        ),
+        removed AS ({removed})
+        SELECT a{rounds + 1}.node, CAST(0 AS BIGINT) AS removed_round,
+               CAST(coalesce(dfin.deg, 0) AS BIGINT) AS deg
+        FROM a{rounds + 1} LEFT JOIN dfin ON dfin.node = a{rounds + 1}.node
+        UNION ALL
+        SELECT node, removed_round, deg FROM removed
+    """
+
+
+def _round4ad_oracle_sql() -> dict[str, str]:
+    """Oracles for the Gini stump scan, k-core peeling and RI audit."""
+
+    def _ri_one(name: str, child: str, ckey: str, parent: str, pkey: str) -> str:
+        return f"""
+            SELECT '{name}' AS relation,
+                   (SELECT CAST(count(*) AS BIGINT) FROM {child})
+                       AS child_rows,
+                   (SELECT CAST(count(*) AS BIGINT) FROM {child}
+                    WHERE {ckey} IS NULL) AS null_key_rows,
+                   (SELECT CAST(coalesce(sum(c), 0) AS BIGINT) FROM (
+                        SELECT {ckey} AS k, count(*) AS c FROM {child}
+                        WHERE {ckey} IS NOT NULL GROUP BY 1
+                    ) kk WHERE kk.k NOT IN (
+                        SELECT {pkey} FROM {parent} WHERE {pkey} IS NOT NULL
+                    )) AS orphan_rows,
+                   (SELECT CAST(count(*) AS BIGINT) FROM (
+                        SELECT DISTINCT {ckey} AS k FROM {child}
+                        WHERE {ckey} IS NOT NULL
+                    ) kk WHERE kk.k NOT IN (
+                        SELECT {pkey} FROM {parent} WHERE {pkey} IS NOT NULL
+                    )) AS orphan_keys
+        """
+
+    return {
+        "gini_split": _GINI_SCAN_SQL
+        + """
+            SELECT grp, threshold, n_l, pos_l, neg_l, n_r, pos_r, neg_r,
+                   cost_num, cost_den,
+                   round(cost_raw + 1e-9, 6) AS cost
+            FROM scan
+        """,
+        "gini_best": _GINI_SCAN_SQL
+        + """
+            , ranked AS (
+                SELECT *, row_number() OVER (
+                    PARTITION BY grp ORDER BY cost_raw, threshold) AS rn
+                FROM scan
+            )
+            SELECT grp, threshold, n_l, pos_l, neg_l, n_r, pos_r, neg_r,
+                   cost_num, cost_den,
+                   round(cost_raw + 1e-9, 6) AS cost
+            FROM ranked WHERE rn = 1
+        """,
+        "kcore": _kcore_oracle_sql(KCORE_K, KCORE_ROUNDS),
+        "ri_audit": "\nUNION ALL\n".join(
+            [
+                _ri_one("orders->customer", "orders", "o_custkey",
+                        "customer", "c_custkey"),
+                _ri_one("lineitem->orders", "lineitem", "l_orderkey",
+                        "orders", "o_orderkey"),
+                _ri_one("lineitem->part", "lineitem", "l_partkey",
+                        "part", "p_partkey"),
+                _ri_one("events->customer", "events", "user_id",
+                        "customer", "c_custkey"),
+            ]
+        ),
     }

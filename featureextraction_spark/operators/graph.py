@@ -655,3 +655,88 @@ def neighbor_agg(
             F.col("nbr_sum_q").cast("double") / F.col("degree").cast("double"),
         ).alias("nbr_mean"),
     )
+
+
+def kcore_peel(
+    edges: DataFrame,
+    k: int,
+    rounds: int = 12,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Fixed-round k-core peeling (Seidman, Social Networks 1983; the
+    Matula–Beck degeneracy peel bounded to ``rounds`` synchronous
+    sweeps): repeatedly delete every node whose degree dropped below
+    ``k``. The surviving subgraph is the k-core — the standard
+    spam/bot-ring and "engaged-cohort" screen over interaction graphs,
+    and the densification filter before expensive graph features.
+
+    One row per node of the (symmetrized, deduplicated) input graph:
+    ``removed_round`` = the sweep that deleted it (1-based), or 0 for
+    survivors; ``deg`` = the node's ALIVE degree at the start of its
+    removal sweep (survivors: degree in the final graph). A node whose
+    last alive neighbor was peeled has alive-degree 0 and is doomed in
+    the next sweep like any other sub-k node — on a converged run every
+    survivor has deg >= k, the true k-core.
+
+    Semantics are FIXED-ROUND on purpose: both this and the SQL oracle
+    run exactly ``rounds`` sweeps, so results are engine-identical even
+    on graphs that have not converged — convergence is a property you
+    assert (an empty sweep short-circuits; every later sweep is a
+    no-op, so early exit ≡ full unroll).
+
+    Scale: each sweep is one map-combinable degree count + two anti
+    equi-joins, all keyed on node ids; ``localCheckpoint`` caps lineage
+    at O(1) per sweep. Synchronous peeling needs O(peel depth) rounds —
+    the power-law graphs this targets have small depth; raise
+    ``rounds`` for adversarial chains.
+    """
+    e0 = edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+    e = _checkpoint(
+        e0.unionByName(
+            e0.select(F.col("d").alias("s"), F.col("s").alias("d"))
+        ).distinct()
+    )
+    alive = _checkpoint(e.select(F.col("s").alias("node")).distinct())
+    removed: DataFrame | None = None
+    for r in range(1, int(rounds) + 1):
+        deg = e.groupBy(F.col("s").alias("node")).agg(
+            F.count(F.lit(1)).cast("long").alias("deg")
+        )
+        # left join onto the ALIVE set: a node whose last neighbor was
+        # peeled has zero alive edges, never shows in the degree table,
+        # and still must be doomed (deg 0 < k)
+        doomed = _checkpoint(
+            alive.join(deg, "node", "left")
+            .select(
+                "node",
+                F.coalesce(F.col("deg"), F.lit(0)).cast("long").alias("deg"),
+            )
+            .where(F.col("deg") < int(k))
+        )
+        if not doomed.take(1):
+            break
+        batch = doomed.select(
+            "node", F.lit(r).cast("long").alias("removed_round"), "deg"
+        )
+        removed = batch if removed is None else _checkpoint(
+            removed.unionByName(batch)
+        )
+        dn = doomed.select("node")
+        alive = _checkpoint(alive.join(dn, "node", "left_anti"))
+        e = _checkpoint(
+            e.join(dn.withColumnRenamed("node", "s"), "s", "left_anti")
+            .join(dn.withColumnRenamed("node", "d"), "d", "left_anti")
+            .select("s", "d")
+        )
+    fin = e.groupBy(F.col("s").alias("node")).agg(
+        F.count(F.lit(1)).cast("long").alias("deg")
+    )
+    survivors = alive.join(fin, "node", "left").select(
+        "node",
+        F.lit(0).cast("long").alias("removed_round"),
+        F.coalesce(F.col("deg"), F.lit(0)).cast("long").alias("deg"),
+    )
+    if removed is None:
+        return survivors
+    return survivors.unionByName(removed)

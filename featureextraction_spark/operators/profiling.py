@@ -464,3 +464,55 @@ def dispersion_index(
             num.cast("double") / (den.cast("double") * F.lit(float(quant))),
         ).alias("dispersion"),
     )
+
+
+def referential_audit(
+    relations: list[tuple[str, DataFrame, str, DataFrame, str]],
+) -> DataFrame:
+    """Referential-integrity audit over a set of FK relations — one row
+    per relation: child row count, NULL-key rows, orphan rows (child
+    keys absent from the parent) and distinct orphan keys. The
+    join-health gate you run before trusting any star-schema pipeline:
+    a training set silently loses rows at every inner join whose FK has
+    orphans, and this quantifies that loss up front.
+
+    ``relations`` is (name, child_df, child_key, parent_df,
+    parent_key). Scale: the child collapses to DISTINCT keys
+    (map-combinable count per key) BEFORE the anti join, so the join is
+    |distinct keys| vs |parent keys|, never row-level; each relation is
+    independent and unions into one tiny audit table.
+    """
+    outs = []
+    for name, child, ckey, parent, pkey in relations:
+        keyed = (
+            child.select(F.col(ckey).alias("__k"))
+            .groupBy("__k")
+            .agg(F.count(F.lit(1)).cast("long").alias("__rows"))
+        )
+        nn = keyed.where(F.col("__k").isNotNull())
+        orph = nn.join(
+            parent.select(F.col(pkey).alias("__k")).distinct(), "__k", "left_anti"
+        )
+        tot = keyed.agg(
+            F.sum("__rows").cast("long").alias("child_rows"),
+            F.sum(F.when(F.col("__k").isNull(), F.col("__rows")).otherwise(F.lit(0)))
+            .cast("long")
+            .alias("null_key_rows"),
+        )
+        ocnt = orph.agg(
+            F.coalesce(F.sum("__rows"), F.lit(0)).cast("long").alias("orphan_rows"),
+            F.count(F.lit(1)).cast("long").alias("orphan_keys"),
+        )
+        outs.append(
+            tot.crossJoin(ocnt).select(
+                F.lit(name).alias("relation"),
+                "child_rows",
+                "null_key_rows",
+                "orphan_rows",
+                "orphan_keys",
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out

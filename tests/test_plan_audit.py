@@ -949,3 +949,50 @@ def test_link_score_equi_joins_no_python(spark):
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "BatchEvalPython" not in plan
+
+
+def test_gini_split_scan_bounded_exchanges_no_python(spark):
+    from featureextraction_spark.operators.splits import (
+        best_gini_split,
+        gini_split_scan,
+    )
+
+    df = spark.createDataFrame(
+        [("g%d" % (i % 4), i % 50, i % 3 == 0) for i in range(400)],
+        "grp string, x long, y boolean",
+    )
+    scan = gini_split_scan(df, feature="x", label=F.col("y"), by="grp")
+    plan = plan_of(scan)
+    # per-value collapse (grp, threshold) + window repartition (grp): two
+    # exchanges total, the scan table never exceeds |distinct values|
+    assert count_exchanges(plan) <= 2, plan
+    assert "partial_" in plan, plan
+    assert "BatchEvalPython" not in plan
+    best_plan = plan_of(best_gini_split(scan))
+    # rank-1 goes through the map-side group limit, <=1 row per partition
+    assert "WindowGroupLimit" in best_plan, best_plan
+
+
+def test_kcore_peel_hash_joins_only(spark):
+    from featureextraction_spark.operators.graph import kcore_peel
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(50)], "src long, dst long"
+    )
+    plan = plan_of(kcore_peel(edges, k=2, rounds=2))
+    assert "CartesianProduct" not in plan, plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_referential_audit_collapses_keys_before_anti_join(spark):
+    from featureextraction_spark.operators.profiling import referential_audit
+
+    child = spark.createDataFrame(
+        [(i, i % 20) for i in range(200)], "id long, fk long"
+    )
+    parent = spark.createDataFrame([(i,) for i in range(15)], "pk long")
+    plan = plan_of(referential_audit([("c->p", child, "fk", parent, "pk")]))
+    # the anti join consumes the keyed aggregate, not raw child rows
+    assert "LeftAnti" in plan, plan
+    assert "partial_count" in plan or "partial_" in plan, plan
+    assert "BatchEvalPython" not in plan
