@@ -3232,6 +3232,82 @@ def q_ri_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch t² per event type: users hash-assigned to A/B by the
+    shared md5 contract, value quantized to 0.01 units; six exact
+    BIGINT sums + n-cleared variance numerators as hash vehicles,
+    t2/df_w closed in a fixed double tree."""
+    from featureextraction_spark.operators.evaluation import welch_t2
+    from featureextraction_spark.operators.sampling import _seed_hash
+
+    ev = _load(spark, sf_dir, "events")
+    units = ev.select(
+        F.col("event_type").alias("grp"),
+        F.when(_seed_hash("user_id", 7) % 2 == 0, "A").otherwise("B").alias(
+            "variant"
+        ),
+        F.floor(F.col("value").cast("double") * 100.0 + 0.5)
+        .cast("long")
+        .alias("q"),
+    )
+    out = welch_t2(units, q="q", by="grp", variant="variant")
+    return out.select(
+        "grp", "n_a", "s_a", "q2_a", "n_b", "s_b", "q2_b",
+        "var_num_a", "var_num_b",
+        _hround6(F.col("t2")).alias("t2"),
+        _hround6(F.col("df_w")).alias("df_w"),
+    )
+
+
+def q_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-scan pairwise Pearson over four lineitem measures: the
+    five integer sums + n-cleared cov/var BIGINT vehicles per pair,
+    sign + r-squared closed in a fixed double tree (sqrt-free)."""
+    from featureextraction_spark.operators.profiling import corr_matrix
+
+    li = _load(spark, sf_dir, "lineitem")
+    out = corr_matrix(
+        li,
+        [
+            ("l_quantity", 1.0),
+            ("l_extendedprice", 0.01),
+            ("l_discount", 100.0),
+            ("l_tax", 100.0),
+        ],
+    )
+    return out.select(
+        "col_x", "col_y", "n", "sum_x", "sum_y", "sum_xy",
+        "cov_num", "varx_num", "vary_num", "r_sign",
+        _hround6(F.col("r2")).alias("r2"),
+    )
+
+
+def q_ols2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bivariate OLS per return flag: extendedprice (dollars) on
+    quantity and discount (pct) — nine exact BIGINT sufficient stats,
+    Cramer's-rule betas closed in a fixed double tree."""
+    from featureextraction_spark.operators.regression import bivariate_ols
+
+    li = _load(spark, sf_dir, "lineitem")
+    out = bivariate_ols(
+        li,
+        y="l_extendedprice",
+        x1="l_quantity",
+        x2="l_discount",
+        by="l_returnflag",
+        qy=0.01,
+        q1=1.0,
+        q2=100.0,
+    )
+    return out.select(
+        "grp", "n", "s1", "s2", "sy", "s11", "s22", "s12", "s1y", "s2y",
+        "a11", "a12", "a22", "b1", "b2",
+        _hround6(F.col("beta1")).alias("beta1"),
+        _hround6(F.col("beta2")).alias("beta2"),
+        _hround6(F.col("intercept_q")).alias("intercept_q"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "lag_lead": q_lag_lead,
@@ -3401,6 +3477,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gini_best": q_gini_best,
         "kcore": q_kcore,
         "ri_audit": q_ri_audit,
+        "welch": q_welch,
+        "corr_matrix": q_corr_matrix,
+        "ols2": q_ols2,
     }
 
 
@@ -3674,6 +3753,7 @@ def oracle_sql() -> dict[str, str]:
     base.update(_round4ab_oracle_sql())
     base.update(_round4ac_oracle_sql())
     base.update(_round4ad_oracle_sql())
+    base.update(_round4ae_oracle_sql())
     # full-probe IVF is exhaustive by construction — the exact replay gates it
     base["ivf_topk_full"] = base["cosine_topk"]
     # full-probe IVF-PQ scans every list exactly once == the flat ADC scan
@@ -9075,4 +9155,197 @@ def _round4ad_oracle_sql() -> dict[str, str]:
                         "customer", "c_custkey"),
             ]
         ),
+    }
+
+
+def _round4ae_oracle_sql() -> dict[str, str]:
+    """Oracles for Welch t², the correlation matrix and bivariate OLS —
+    the double expressions mirror the Spark trees operation for
+    operation (casts of exact int64 then correctly-rounded IEEE ops)."""
+
+    def _corr_pair(a: str, b: str) -> str:
+        return f"""
+            SELECT '{a}' AS col_x, '{b}' AS col_y, n,
+                   s_{a} AS sum_x, s_{b} AS sum_y, sp_{a}_{b} AS sum_xy,
+                   CAST(n * sp_{a}_{b} - s_{a} * s_{b} AS BIGINT) AS cov_num,
+                   CAST(n * ss_{a} - s_{a} * s_{a} AS BIGINT) AS varx_num,
+                   CAST(n * ss_{b} - s_{b} * s_{b} AS BIGINT) AS vary_num,
+                   CAST(sign(CAST(n * sp_{a}_{b} - s_{a} * s_{b} AS DOUBLE))
+                        AS BIGINT) AS r_sign,
+                   CASE WHEN n * ss_{a} - s_{a} * s_{a} > 0
+                             AND n * ss_{b} - s_{b} * s_{b} > 0
+                        THEN round(
+                            CAST(n * sp_{a}_{b} - s_{a} * s_{b} AS DOUBLE)
+                            * CAST(n * sp_{a}_{b} - s_{a} * s_{b} AS DOUBLE)
+                            / (CAST(n * ss_{a} - s_{a} * s_{a} AS DOUBLE)
+                               * CAST(n * ss_{b} - s_{b} * s_{b} AS DOUBLE))
+                            + 1e-9, 6)
+                   END AS r2
+            FROM g
+        """
+
+    c = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    corr_sums = []
+    for name, quant in [
+        ("l_quantity", "1.0"),
+        ("l_extendedprice", "0.01"),
+        ("l_discount", "100.0"),
+        ("l_tax", "100.0"),
+    ]:
+        corr_sums.append(
+            f"CAST(sum(q_{name}) AS BIGINT) AS s_{name}, "
+            f"CAST(sum(q_{name} * q_{name}) AS BIGINT) AS ss_{name}"
+        )
+    corr_pairs_sums = ", ".join(
+        f"CAST(sum(q_{a} * q_{b}) AS BIGINT) AS sp_{a}_{b}"
+        for i, a in enumerate(c)
+        for b in c[i + 1 :]
+    )
+    corr_union = "\nUNION ALL\n".join(
+        _corr_pair(a, b) for i, a in enumerate(c) for b in c[i + 1 :]
+    )
+    return {
+        "welch": """
+            WITH u AS (
+                SELECT event_type AS grp,
+                       CASE WHEN ('0x' || substr(md5(
+                                CAST(user_id AS VARCHAR) || ':7'), 1, 15)
+                            )::BIGINT % 2 = 0
+                            THEN 'A' ELSE 'B' END AS variant,
+                       CAST(floor(CAST(value AS DOUBLE) * 100.0 + 0.5)
+                            AS BIGINT) AS q
+                FROM events
+            ),
+            g AS (
+                SELECT grp,
+                       CAST(sum(CASE WHEN variant = 'A' THEN 1 ELSE 0 END)
+                            AS BIGINT) AS n_a,
+                       CAST(sum(CASE WHEN variant = 'A' THEN q ELSE 0 END)
+                            AS BIGINT) AS s_a,
+                       CAST(sum(CASE WHEN variant = 'A' THEN q * q ELSE 0 END)
+                            AS BIGINT) AS q2_a,
+                       CAST(sum(CASE WHEN variant = 'B' THEN 1 ELSE 0 END)
+                            AS BIGINT) AS n_b,
+                       CAST(sum(CASE WHEN variant = 'B' THEN q ELSE 0 END)
+                            AS BIGINT) AS s_b,
+                       CAST(sum(CASE WHEN variant = 'B' THEN q * q ELSE 0 END)
+                            AS BIGINT) AS q2_b
+                FROM u GROUP BY grp
+            ),
+            v AS (
+                SELECT grp, n_a, s_a, q2_a, n_b, s_b, q2_b,
+                       CAST(n_a * q2_a - s_a * s_a AS BIGINT) AS var_num_a,
+                       CAST(n_b * q2_b - s_b * s_b AS BIGINT) AS var_num_b
+                FROM g
+            ),
+            w AS (
+                SELECT *,
+                       CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+                           - CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS d,
+                       CAST(var_num_a AS DOUBLE)
+                           / CAST(n_a * (n_a - 1) AS DOUBLE)
+                           / CAST(n_a AS DOUBLE) AS u_a,
+                       CAST(var_num_b AS DOUBLE)
+                           / CAST(n_b * (n_b - 1) AS DOUBLE)
+                           / CAST(n_b AS DOUBLE) AS u_b
+                FROM v
+            )
+            SELECT grp, n_a, s_a, q2_a, n_b, s_b, q2_b,
+                   var_num_a, var_num_b,
+                   CASE WHEN n_a > 1 AND n_b > 1 AND u_a + u_b > 0
+                        THEN round(d * d / (u_a + u_b) + 1e-9, 6)
+                   END AS t2,
+                   CASE WHEN n_a > 1 AND n_b > 1 AND u_a + u_b > 0
+                        THEN round((u_a + u_b) * (u_a + u_b)
+                                   / (u_a * u_a / CAST(n_a - 1 AS DOUBLE)
+                                      + u_b * u_b / CAST(n_b - 1 AS DOUBLE))
+                                   + 1e-9, 6)
+                   END AS df_w
+            FROM w
+        """,
+        "corr_matrix": f"""
+            WITH q AS (
+                SELECT
+                    CAST(floor(CAST(l_quantity AS DOUBLE) * 1.0 + 0.5)
+                         AS BIGINT) AS q_l_quantity,
+                    CAST(floor(CAST(l_extendedprice AS DOUBLE) * 0.01 + 0.5)
+                         AS BIGINT) AS q_l_extendedprice,
+                    CAST(floor(CAST(l_discount AS DOUBLE) * 100.0 + 0.5)
+                         AS BIGINT) AS q_l_discount,
+                    CAST(floor(CAST(l_tax AS DOUBLE) * 100.0 + 0.5)
+                         AS BIGINT) AS q_l_tax
+                FROM lineitem
+            ),
+            g AS (
+                SELECT CAST(count(*) AS BIGINT) AS n,
+                       {", ".join(corr_sums)},
+                       {corr_pairs_sums}
+                FROM q
+            )
+            {corr_union}
+        """,
+        "ols2": """
+            WITH q AS (
+                SELECT l_returnflag AS grp,
+                       CAST(floor(CAST(l_extendedprice AS DOUBLE) * 0.01
+                                  + 0.5) AS BIGINT) AS yq,
+                       CAST(floor(CAST(l_quantity AS DOUBLE) * 1.0 + 0.5)
+                            AS BIGINT) AS x1q,
+                       CAST(floor(CAST(l_discount AS DOUBLE) * 100.0 + 0.5)
+                            AS BIGINT) AS x2q
+                FROM lineitem
+            ),
+            g AS (
+                SELECT grp,
+                       CAST(count(*) AS BIGINT) AS n,
+                       CAST(sum(x1q) AS BIGINT) AS s1,
+                       CAST(sum(x2q) AS BIGINT) AS s2,
+                       CAST(sum(yq) AS BIGINT) AS sy,
+                       CAST(sum(x1q * x1q) AS BIGINT) AS s11,
+                       CAST(sum(x2q * x2q) AS BIGINT) AS s22,
+                       CAST(sum(x1q * x2q) AS BIGINT) AS s12,
+                       CAST(sum(x1q * yq) AS BIGINT) AS s1y,
+                       CAST(sum(x2q * yq) AS BIGINT) AS s2y
+                FROM q GROUP BY grp
+            ),
+            a AS (
+                SELECT grp, n, s1, s2, sy, s11, s22, s12, s1y, s2y,
+                       CAST(n * s11 - s1 * s1 AS BIGINT) AS a11,
+                       CAST(n * s12 - s1 * s2 AS BIGINT) AS a12,
+                       CAST(n * s22 - s2 * s2 AS BIGINT) AS a22,
+                       CAST(n * s1y - s1 * sy AS BIGINT) AS b1,
+                       CAST(n * s2y - s2 * sy AS BIGINT) AS b2
+                FROM g
+            ),
+            d AS (
+                SELECT *,
+                       CAST(a11 AS DOUBLE) * CAST(a22 AS DOUBLE)
+                           - CAST(a12 AS DOUBLE) * CAST(a12 AS DOUBLE)
+                           AS det
+                FROM a
+            ),
+            b AS (
+                SELECT *,
+                       (CAST(b1 AS DOUBLE) * CAST(a22 AS DOUBLE)
+                        - CAST(b2 AS DOUBLE) * CAST(a12 AS DOUBLE)) / det
+                           AS beta1_raw,
+                       (CAST(b2 AS DOUBLE) * CAST(a11 AS DOUBLE)
+                        - CAST(b1 AS DOUBLE) * CAST(a12 AS DOUBLE)) / det
+                           AS beta2_raw
+                FROM d
+            )
+            SELECT grp, n, s1, s2, sy, s11, s22, s12, s1y, s2y,
+                   a11, a12, a22, b1, b2,
+                   CASE WHEN det <> 0
+                        THEN round(beta1_raw + 1e-9, 6) END AS beta1,
+                   CASE WHEN det <> 0
+                        THEN round(beta2_raw + 1e-9, 6) END AS beta2,
+                   CASE WHEN det <> 0
+                        THEN round((CAST(sy AS DOUBLE)
+                                    - beta1_raw * CAST(s1 AS DOUBLE)
+                                    - beta2_raw * CAST(s2 AS DOUBLE))
+                                   / CAST(n AS DOUBLE) + 1e-9, 6)
+                   END AS intercept_q
+            FROM b
+        """,
     }

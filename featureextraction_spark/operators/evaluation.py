@@ -652,3 +652,79 @@ def contingency_table(df: DataFrame, a: str, b: str) -> DataFrame:
             F.col("dev_num").cast("double") / F.col("dev_den").cast("double"),
         ).alias("chi2_cell"),
     )
+
+
+def welch_t2(
+    df: DataFrame,
+    q: str = "q",
+    by: str = "grp",
+    variant: str = "variant",
+) -> DataFrame:
+    """Welch's unequal-variance two-sample test in squared form (t²) —
+    the continuous-metric sibling of :func:`ab_chi2`: does the mean of
+    a quantized metric differ between variants A and B, per group,
+    without assuming equal variances (Welch, Biometrika 1947).
+
+    ``df`` carries one row per unit with an integer metric ``q`` (the
+    caller quantizes), a group column and a variant column ('A'/'B').
+    One map-side-combinable aggregate per group produces the six exact
+    BIGINT hash vehicles (n, Σq, Σq² per side) plus the n-cleared
+    sample-variance numerators var_num = n·Σq² − (Σq)². The float
+    t2/df_w close over those exact integers in a FIXED expression tree
+    (casts of int64 < 2^53 are exact; each IEEE op is correctly
+    rounded) — bit-identical on any engine, no accumulation order.
+    int64 budget: n·Σq² needs n·q²·n ≤ 9.2e18 per cell — e.g. 1e6 rows
+    of |q| ≤ 3e6, coarser ``q`` grids beyond.
+
+    Degenerate cells (n ≤ 1 on either side, or zero pooled standard
+    error) yield NULL t2/df_w; the integer vehicles still gate them.
+    """
+    is_a = F.col(variant) == "A"
+    g = df.groupBy(F.col(by).alias("grp")).agg(
+        F.sum(F.when(is_a, 1).otherwise(0)).cast("long").alias("n_a"),
+        F.sum(F.when(is_a, F.col(q)).otherwise(0)).cast("long").alias("s_a"),
+        F.sum(F.when(is_a, F.col(q) * F.col(q)).otherwise(0))
+        .cast("long")
+        .alias("q2_a"),
+        F.sum(F.when(~is_a, 1).otherwise(0)).cast("long").alias("n_b"),
+        F.sum(F.when(~is_a, F.col(q)).otherwise(0)).cast("long").alias("s_b"),
+        F.sum(F.when(~is_a, F.col(q) * F.col(q)).otherwise(0))
+        .cast("long")
+        .alias("q2_b"),
+    )
+    n_a, s_a, q2_a = F.col("n_a"), F.col("s_a"), F.col("q2_a")
+    n_b, s_b, q2_b = F.col("n_b"), F.col("s_b"), F.col("q2_b")
+    vn_a = (n_a * q2_a - s_a * s_a).cast("long")
+    vn_b = (n_b * q2_b - s_b * s_b).cast("long")
+    g = g.select(
+        "grp", "n_a", "s_a", "q2_a", "n_b", "s_b", "q2_b",
+        vn_a.alias("var_num_a"), vn_b.alias("var_num_b"),
+    )
+    d = s_a.cast("double") / n_a.cast("double") - s_b.cast("double") / n_b.cast(
+        "double"
+    )
+    u_a = (
+        F.col("var_num_a").cast("double")
+        / (n_a * (n_a - 1)).cast("double")
+        / n_a.cast("double")
+    )
+    u_b = (
+        F.col("var_num_b").cast("double")
+        / (n_b * (n_b - 1)).cast("double")
+        / n_b.cast("double")
+    )
+    se2 = u_a + u_b
+    ok = (n_a > 1) & (n_b > 1)
+    return g.select(
+        "grp", "n_a", "s_a", "q2_a", "n_b", "s_b", "q2_b",
+        "var_num_a", "var_num_b",
+        F.when(ok & (se2 > 0), d * d / se2).alias("t2"),
+        F.when(
+            ok & (se2 > 0),
+            se2 * se2
+            / (
+                u_a * u_a / (n_a - 1).cast("double")
+                + u_b * u_b / (n_b - 1).cast("double")
+            ),
+        ).alias("df_w"),
+    )

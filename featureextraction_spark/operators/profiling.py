@@ -516,3 +516,72 @@ def referential_audit(
     for o in outs[1:]:
         out = out.unionByName(o)
     return out
+
+
+def corr_matrix(
+    df: DataFrame, cols: list[tuple[str, float]]
+) -> DataFrame:
+    """Pairwise Pearson correlation over K numeric columns in ONE scan —
+    the collinearity screen before feature selection: every sum the
+    K·(K−1)/2 pair statistics need (n, Σx, Σx², Σxy) accumulates in a
+    single map-side-combinable aggregate, then the tiny 1-row fold
+    explodes into one row per pair. Never K² passes over the data.
+
+    ``cols`` is (column, quant): each column lands on its own integer
+    grid (floor(x·quant + 0.5)), so Σ's are exact BIGINTs. Emitted per
+    pair: the five integer sums, the n-cleared BIGINT vehicles
+    cov_num = n·Σxy − Σx·Σy and var_num per side, the sign of the
+    correlation, and r² = cov_num² / (varx_num·vary_num) as a FIXED
+    double expression over the exact integers (r itself needs sqrt —
+    libm-dependent, deliberately excluded; sign + r² carry the same
+    information). int64 budget: n·Σxy ≤ 9.2e18 — quantize the widest
+    column coarsest first.
+    """
+    qc = {
+        c: F.floor(F.col(c).cast("double") * F.lit(float(s)) + F.lit(0.5)).cast(
+            "long"
+        )
+        for c, s in cols
+    }
+    names = [c for c, _ in cols]
+    aggs = [F.count(F.lit(1)).cast("long").alias("n")]
+    for c in names:
+        aggs.append(F.sum(qc[c]).cast("long").alias(f"s_{c}"))
+        aggs.append(F.sum(qc[c] * qc[c]).cast("long").alias(f"ss_{c}"))
+    pairs = [(a, b) for i, a in enumerate(names) for b in names[i + 1 :]]
+    for a, b in pairs:
+        aggs.append(F.sum(qc[a] * qc[b]).cast("long").alias(f"sp_{a}_{b}"))
+    g = df.agg(*aggs)
+    n = F.col("n")
+    rows = []
+    for a, b in pairs:
+        cov = (n * F.col(f"sp_{a}_{b}") - F.col(f"s_{a}") * F.col(f"s_{b}")).cast(
+            "long"
+        )
+        vx = (n * F.col(f"ss_{a}") - F.col(f"s_{a}") * F.col(f"s_{a}")).cast(
+            "long"
+        )
+        vy = (n * F.col(f"ss_{b}") - F.col(f"s_{b}") * F.col(f"s_{b}")).cast(
+            "long"
+        )
+        rows.append(
+            F.struct(
+                F.lit(a).alias("col_x"),
+                F.lit(b).alias("col_y"),
+                n.alias("n"),
+                F.col(f"s_{a}").alias("sum_x"),
+                F.col(f"s_{b}").alias("sum_y"),
+                F.col(f"sp_{a}_{b}").alias("sum_xy"),
+                cov.alias("cov_num"),
+                vx.alias("varx_num"),
+                vy.alias("vary_num"),
+                F.signum(cov.cast("double")).cast("long").alias("r_sign"),
+                F.when(
+                    (vx > 0) & (vy > 0),
+                    cov.cast("double")
+                    * cov.cast("double")
+                    / (vx.cast("double") * vy.cast("double")),
+                ).alias("r2"),
+            )
+        )
+    return g.select(F.explode(F.array(*rows)).alias("p")).select("p.*")

@@ -996,3 +996,44 @@ def test_referential_audit_collapses_keys_before_anti_join(spark):
     assert "LeftAnti" in plan, plan
     assert "partial_count" in plan or "partial_" in plan, plan
     assert "BatchEvalPython" not in plan
+
+
+def test_welch_t2_single_exchange_partial_agg(spark):
+    from featureextraction_spark.operators.evaluation import welch_t2
+
+    df = spark.createDataFrame(
+        [("g%d" % (i % 3), "A" if i % 2 else "B", i % 40) for i in range(300)],
+        "grp string, variant string, q long",
+    )
+    plan = plan_of(welch_t2(df))
+    assert count_exchanges(plan) == 1, plan
+    assert "partial_" in plan, plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_corr_matrix_is_one_scan_one_fold(spark):
+    from featureextraction_spark.operators.profiling import corr_matrix
+
+    df = spark.createDataFrame(
+        [(float(i), float(i * 2), float(i % 7)) for i in range(200)],
+        "a double, b double, c double",
+    )
+    plan = plan_of(corr_matrix(df, [("a", 1.0), ("b", 1.0), ("c", 1.0)]))
+    # all K(K-1)/2 pair sums ride ONE aggregate over ONE scan
+    assert plan.count("Scan ") <= 1, plan
+    assert "partial_" in plan, plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_bivariate_ols_single_exchange_partial_agg(spark):
+    from featureextraction_spark.operators.regression import bivariate_ols
+
+    df = spark.createDataFrame(
+        [("g%d" % (i % 3), float(i % 90), float(i % 11), float(i % 5))
+         for i in range(300)],
+        "grp string, y double, x1 double, x2 double",
+    )
+    plan = plan_of(bivariate_ols(df, y="y", x1="x1", x2="x2", by="grp"))
+    assert count_exchanges(plan) == 1, plan
+    assert "partial_" in plan, plan
+    assert "BatchEvalPython" not in plan
