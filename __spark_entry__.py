@@ -3308,6 +3308,18 @@ def q_ols2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_canonical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The keep-one apply step: near-dup clusters (same exact-Jaccard
+    pair set as dedup_clusters) resolved to canonical docs — longest
+    n_chars wins, ties to the smallest id, singletons self-canonical."""
+    from featureextraction_spark.operators.dedup import canonical_pick
+    from featureextraction_spark.operators.graph import dedup_clusters
+
+    docs = _load(spark, sf_dir, "documents")
+    pairs = dedup_ops.ngram_jaccard_pairs(docs, threshold=0.35)
+    return canonical_pick(docs, dedup_clusters(pairs))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "lag_lead": q_lag_lead,
@@ -3480,6 +3492,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "welch": q_welch,
         "corr_matrix": q_corr_matrix,
         "ols2": q_ols2,
+        "canonical_docs": q_canonical_docs,
     }
 
 
@@ -3754,6 +3767,32 @@ def oracle_sql() -> dict[str, str]:
     base.update(_round4ac_oracle_sql())
     base.update(_round4ad_oracle_sql())
     base.update(_round4ae_oracle_sql())
+    # the keep-one apply step replays dedup_clusters' closure, then ranks
+    # members by (n_chars desc, doc_id) inside each cluster
+    base["canonical_docs"] = f"""
+        WITH comp AS ({base["dedup_clusters"]}),
+        whole AS (
+            SELECT d.doc_id,
+                   coalesce(c.cluster_id, d.doc_id) AS cluster_id,
+                   CAST(coalesce(c.cluster_size, 1) AS BIGINT)
+                       AS cluster_size,
+                   d.n_chars
+            FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id
+        ),
+        r AS (
+            SELECT *, row_number() OVER (
+                PARTITION BY cluster_id
+                ORDER BY n_chars DESC, doc_id) AS rn
+            FROM whole
+        ),
+        canon AS (
+            SELECT cluster_id, doc_id AS canon_id FROM r WHERE rn = 1
+        )
+        SELECT w.doc_id, w.cluster_id, w.cluster_size, c.canon_id,
+               CAST(CASE WHEN w.doc_id = c.canon_id THEN 1 ELSE 0 END
+                    AS BIGINT) AS is_canon
+        FROM whole w JOIN canon c ON c.cluster_id = w.cluster_id
+    """
     # full-probe IVF is exhaustive by construction — the exact replay gates it
     base["ivf_topk_full"] = base["cosine_topk"]
     # full-probe IVF-PQ scans every list exactly once == the flat ADC scan

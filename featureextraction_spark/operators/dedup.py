@@ -1001,3 +1001,66 @@ def sorted_neighborhood_pairs(
         & (F.col("rank_b") - F.col("rank_a") <= F.lit(int(window)))
     )
     return pairs.select("a_id", "b_id", "rank_a", "rank_b", "key_a", "key_b")
+
+
+def canonical_pick(
+    docs: DataFrame,
+    clusters: DataFrame,
+    id_col: str = "doc_id",
+    score_col: str = "n_chars",
+) -> DataFrame:
+    """The keep-one APPLY step after near-dup clustering: every document
+    gets its cluster's canonical representative — the highest-``score_col``
+    member (ties to the smallest id), singletons canonicalize to
+    themselves. Downstream keeps ``is_canon = 1`` rows and rewrites
+    references through ``canon_id``; this is the step that turns cluster
+    STATISTICS into an actual deduplicated corpus (Lee et al. ACL'22
+    keep-longest convention).
+
+    ``clusters`` is :func:`..graph.dedup_clusters` output (doc_id,
+    cluster_id, cluster_size) covering only documents that appear in
+    near-dup pairs; the left join + coalesce folds the singleton
+    majority back in without ever materializing their clusters.
+
+    Scale: one id equi-join, one cluster-keyed rank-1 (map-side
+    WindowGroupLimit — <=1 row per cluster per partition reaches the
+    shuffle), one cluster-keyed join back. Window skew is the largest
+    cluster, already bounded by the pair-generation caps upstream.
+    """
+    from pyspark.sql import Window
+
+    full = (
+        docs.select(
+            F.col(id_col).alias("doc_id"), F.col(score_col).alias("__score")
+        )
+        .join(
+            clusters.select("doc_id", "cluster_id", "cluster_size"),
+            "doc_id",
+            "left",
+        )
+        .select(
+            "doc_id",
+            F.coalesce(F.col("cluster_id"), F.col("doc_id")).alias(
+                "cluster_id"
+            ),
+            F.coalesce(F.col("cluster_size"), F.lit(1))
+            .cast("long")
+            .alias("cluster_size"),
+            "__score",
+        )
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("__score").desc(), F.col("doc_id")
+    )
+    canon = (
+        full.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .select("cluster_id", F.col("doc_id").alias("canon_id"))
+    )
+    return full.join(canon, "cluster_id").select(
+        "doc_id",
+        "cluster_id",
+        "cluster_size",
+        "canon_id",
+        (F.col("doc_id") == F.col("canon_id")).cast("long").alias("is_canon"),
+    )

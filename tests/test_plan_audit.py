@@ -1037,3 +1037,18 @@ def test_bivariate_ols_single_exchange_partial_agg(spark):
     assert count_exchanges(plan) == 1, plan
     assert "partial_" in plan, plan
     assert "BatchEvalPython" not in plan
+
+
+def test_canonical_pick_rank1_via_group_limit(spark):
+    from featureextraction_spark.operators.dedup import canonical_pick
+
+    docs = spark.createDataFrame(
+        [(i, i % 97) for i in range(300)], "doc_id long, n_chars long"
+    )
+    clusters = spark.createDataFrame(
+        [(i, i % 40, 2) for i in range(80)],
+        "doc_id long, cluster_id long, cluster_size long",
+    )
+    plan = plan_of(canonical_pick(docs, clusters))
+    assert "WindowGroupLimit" in plan, plan
+    assert "BatchEvalPython" not in plan

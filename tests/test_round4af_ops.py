@@ -141,3 +141,33 @@ def test_bivariate_ols_recovers_planted_coefficients(spark):
     assert abs(got["p"].intercept_q - 7) < 1.6
     assert abs(got["q"].beta1 - 1) < 0.05 and abs(got["q"].beta2 - 5) < 0.05
     assert got["col"].beta1 is None and got["col"].beta2 is None
+
+
+def test_canonical_pick_vs_naive(spark):
+    from featureextraction_spark.operators.dedup import canonical_pick
+
+    docs = spark.createDataFrame(
+        [(i, 100 + (i * 37) % 50) for i in range(20)],
+        "doc_id long, n_chars long",
+    )
+    # clusters: {0,1,2} and {5,6}; 6 ties 5 on score handled by id;
+    # everything else singleton
+    clusters = spark.createDataFrame(
+        [(0, 0, 3), (1, 0, 3), (2, 0, 3), (5, 5, 2), (6, 5, 2)],
+        "doc_id long, cluster_id long, cluster_size long",
+    )
+    got = {
+        r.doc_id: (r.cluster_id, r.cluster_size, r.canon_id, r.is_canon)
+        for r in canonical_pick(docs, clusters).collect()
+    }
+    score = {i: 100 + (i * 37) % 50 for i in range(20)}
+    assert set(got) == set(range(20))
+    c0 = max([0, 1, 2], key=lambda i: (score[i], -i))
+    c5 = max([5, 6], key=lambda i: (score[i], -i))
+    for i in range(20):
+        if i in (0, 1, 2):
+            assert got[i] == (0, 3, c0, int(i == c0))
+        elif i in (5, 6):
+            assert got[i] == (5, 2, c5, int(i == c5))
+        else:
+            assert got[i] == (i, 1, i, 1)
