@@ -3320,6 +3320,92 @@ def q_canonical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return canonical_pick(docs, dedup_clusters(pairs))
 
 
+PAGERANK_ROUNDS = 5
+
+
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-round quantized PageRank over the weight-thresholded
+    co-purchase graph (the kcore graph): five synchronous integer
+    power-iteration steps, rank_q the BIGINT hash vehicle, the float
+    rank one closing division."""
+    from featureextraction_spark.operators.graph import pagerank_fixed
+
+    edges = _copurchase_weighted_edges(spark, sf_dir, min_w=2)
+    out = pagerank_fixed(edges, rounds=PAGERANK_ROUNDS)
+    return out.select(
+        "node", "outdeg", "rank_q", _hround6(F.col("rank")).alias("pr")
+    )
+
+
+def q_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrent users per event type: one activity interval per
+    (type, user) = [first event, last event], swept by the +1/−1
+    delta sort — exact BIGINT counts and µs timestamps."""
+    from featureextraction_spark.operators.intervals import max_concurrency
+
+    ev = _load(spark, sf_dir, "events")
+    us = epoch_us(ev, "ts")
+    iv = ev.groupBy("event_type", "user_id").agg(
+        F.min(us).cast("long").alias("start_us"),
+        F.max(us).cast("long").alias("end_us"),
+    )
+    return max_concurrency(iv, by="event_type", id_col="user_id")
+
+
+def q_forecast_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive (season=7 days) forecast skill per event type over
+    the daily event-count series: exact BIGINT absolute-error sums,
+    MAE/MASE as closing divisions through the nudged rounding."""
+    from featureextraction_spark.operators.cohorts import DAY_US
+    from featureextraction_spark.operators.forecast import forecast_eval
+
+    ev = _load(spark, sf_dir, "events")
+    daily = (
+        ev.select(
+            F.col("event_type").alias("grp"),
+            epoch_us(ev, "ts").alias("__us"),
+        )
+        .withColumn("day", F.expr(f"CAST(__us div {86400000000} AS BIGINT)"))
+        .groupBy("grp", "day")
+        .agg(F.count(F.lit(1)).cast("long").alias("y"))
+    )
+    assert DAY_US == 86400000000
+    out = forecast_eval(daily, by="grp", day="day", y="y", season=7)
+    return out.select(
+        "grp",
+        "n_days",
+        "n_eval",
+        "sae",
+        "n_naive",
+        "sae_naive",
+        _hround6(F.col("mae")).alias("mae"),
+        _hround6(F.col("mase")).alias("mase"),
+    )
+
+
+def q_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading ease + Flesch–Kincaid grade per document: the
+    vowel-group syllable heuristic, BIGINT formula numerators as hash
+    vehicles, the two float scores closing divisions."""
+    from featureextraction_spark.functions.textstats import (
+        readability_features,
+    )
+
+    docs = _load(spark, sf_dir, "documents")
+    out = readability_features(docs)
+    return out.select(
+        "doc_id",
+        "words",
+        "sentences",
+        "syllables",
+        "flesch_num",
+        "fk_num",
+        "rd_den",
+        _hround6(F.col("flesch")).alias("flesch"),
+        _hround6(F.col("fk_grade")).alias("fk_grade"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "lag_lead": q_lag_lead,
@@ -3493,6 +3579,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corr_matrix": q_corr_matrix,
         "ols2": q_ols2,
         "canonical_docs": q_canonical_docs,
+        "pagerank": q_pagerank,
+        "concurrency": q_concurrency,
+        "forecast_eval": q_forecast_eval,
+        "readability": q_readability,
     }
 
 
@@ -3767,6 +3857,7 @@ def oracle_sql() -> dict[str, str]:
     base.update(_round4ac_oracle_sql())
     base.update(_round4ad_oracle_sql())
     base.update(_round4ae_oracle_sql())
+    base.update(_round4af_oracle_sql())
     # the keep-one apply step replays dedup_clusters' closure, then ranks
     # members by (n_chars desc, doc_id) inside each cluster
     base["canonical_docs"] = f"""
@@ -9386,5 +9477,200 @@ def _round4ae_oracle_sql() -> dict[str, str]:
                                    / CAST(n AS DOUBLE) + 1e-9, 6)
                    END AS intercept_q
             FROM b
+        """,
+    }
+
+
+def _pagerank_oracle_sql(rounds: int) -> str:
+    """Unrolled fixed-round integer PageRank — one (contribution,
+    rank-update) CTE pair per synchronous step, the exact `div`/`//`
+    arithmetic of ``graph.pagerank_fixed``; base_q = 150000 =
+    ((20-17)*1e6) div 20."""
+    parts = [
+        """e AS MATERIALIZED (
+            SELECT s, d FROM w UNION SELECT d, s FROM w
+        )""",
+        """od AS MATERIALIZED (
+            SELECT s AS node, CAST(count(*) AS BIGINT) AS outdeg
+            FROM e GROUP BY s
+        )""",
+        """r0 AS MATERIALIZED (
+            SELECT node, CAST(1000000 AS BIGINT) AS rank_q FROM od
+        )""",
+    ]
+    for i in range(1, rounds + 1):
+        parts.append(
+            f"""c{i} AS MATERIALIZED (
+                SELECT e.d AS node,
+                       CAST(sum(r{i - 1}.rank_q // od.outdeg) AS BIGINT)
+                           AS in_q
+                FROM e
+                JOIN r{i - 1} ON r{i - 1}.node = e.s
+                JOIN od ON od.node = e.s
+                GROUP BY e.d
+            )"""
+        )
+        parts.append(
+            f"""r{i} AS MATERIALIZED (
+                SELECT od.node,
+                       CAST(150000 + (17 * coalesce(c{i}.in_q,
+                                CAST(0 AS BIGINT))) // 20 AS BIGINT)
+                           AS rank_q
+                FROM od LEFT JOIN c{i} ON c{i}.node = od.node
+            )"""
+        )
+    return f"""
+        WITH w AS MATERIALIZED (
+            SELECT a.l_partkey AS s, b.l_partkey AS d
+            FROM lineitem a JOIN lineitem b
+              ON a.l_orderkey = b.l_orderkey
+            WHERE a.l_partkey < b.l_partkey
+            GROUP BY 1, 2
+            HAVING count(DISTINCT a.l_orderkey) >= 2
+        ),
+        {", ".join(parts)}
+        SELECT od.node, od.outdeg, r{rounds}.rank_q,
+               round(CAST(r{rounds}.rank_q AS DOUBLE)
+                     / CAST(1000000 AS DOUBLE) + 1e-9, 6) AS pr
+        FROM r{rounds} JOIN od ON od.node = r{rounds}.node
+    """
+
+
+def _round4af_oracle_sql() -> dict[str, str]:
+    """Oracles for fixed-round PageRank, the concurrency sweep-line,
+    seasonal-naive forecast skill and the readability scores."""
+    return {
+        "pagerank": _pagerank_oracle_sql(PAGERANK_ROUNDS),
+        "concurrency": """
+            WITH iv AS (
+                SELECT event_type,
+                       user_id,
+                       CAST(min(epoch_us(ts)) AS BIGINT) AS s_us,
+                       CAST(max(epoch_us(ts)) AS BIGINT) AS e_us
+                FROM events GROUP BY 1, 2
+            ),
+            d AS (
+                SELECT event_type, s_us AS t, 1 AS delta, 0 AS tie, user_id
+                FROM iv
+                UNION ALL
+                SELECT event_type, e_us, -1, 1, user_id FROM iv
+            ),
+            r AS (
+                SELECT event_type, t,
+                       CAST(sum(delta) OVER (
+                            PARTITION BY event_type
+                            ORDER BY t, tie, user_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                       ) AS BIGINT) AS run
+                FROM d
+            ),
+            m AS (
+                SELECT event_type, max(run) AS mx FROM r GROUP BY event_type
+            ),
+            p AS (
+                SELECT r.event_type,
+                       CAST(min(r.t) AS BIGINT) AS peak_us,
+                       CAST(min(m.mx) AS BIGINT) AS max_concurrent
+                FROM r JOIN m ON m.event_type = r.event_type
+                            AND r.run = m.mx
+                GROUP BY r.event_type
+            ),
+            n AS (
+                SELECT event_type, CAST(count(*) AS BIGINT) AS n_intervals
+                FROM iv GROUP BY event_type
+            )
+            SELECT n.event_type, n.n_intervals, p.max_concurrent, p.peak_us
+            FROM n JOIN p ON p.event_type = n.event_type
+        """,
+        "forecast_eval": """
+            WITH daily AS (
+                SELECT event_type AS grp,
+                       epoch_us(ts) // 86400000000 AS day,
+                       CAST(count(*) AS BIGINT) AS y
+                FROM events GROUP BY 1, 2
+            ),
+            s AS (
+                SELECT b.grp, b.day, b.y, f.y AS f, p.y AS p
+                FROM daily b
+                LEFT JOIN daily f ON f.grp = b.grp AND f.day = b.day - 7
+                LEFT JOIN daily p ON p.grp = b.grp AND p.day = b.day - 1
+            ),
+            a AS (
+                SELECT grp,
+                       CAST(count(*) AS BIGINT) AS n_days,
+                       CAST(count(f) AS BIGINT) AS n_eval,
+                       CAST(coalesce(sum(abs(y - f)), 0) AS BIGINT) AS sae,
+                       CAST(count(p) AS BIGINT) AS n_naive,
+                       CAST(coalesce(sum(abs(y - p)), 0) AS BIGINT)
+                           AS sae_naive
+                FROM s GROUP BY grp
+            )
+            SELECT grp, n_days, n_eval, sae, n_naive, sae_naive,
+                   CASE WHEN n_eval > 0
+                        THEN round(CAST(sae AS DOUBLE)
+                                   / CAST(n_eval AS DOUBLE) + 1e-9, 6)
+                   END AS mae,
+                   CASE WHEN n_eval > 0 AND sae_naive > 0
+                        THEN round(CAST(sae AS DOUBLE)
+                                       * CAST(n_naive AS DOUBLE)
+                                   / (CAST(n_eval AS DOUBLE)
+                                      * CAST(sae_naive AS DOUBLE))
+                                   + 1e-9, 6)
+                   END AS mase
+            FROM a
+        """,
+        "readability": f"""
+            WITH base AS (
+                SELECT doc_id,
+                       greatest(CAST(len(regexp_extract_all(
+                            coalesce(text, ''), '[.!?]+')) AS BIGINT),
+                            1) AS sentences,
+                       regexp_extract_all(lower(coalesce(text, '')),
+                            {_TOKENS_RE}) AS ts
+                FROM documents
+            ),
+            tok AS (
+                SELECT doc_id, unnest(ts) AS w FROM base
+            ),
+            syl AS (
+                SELECT doc_id,
+                       CAST(count(*) AS BIGINT) AS words,
+                       CAST(sum(greatest(len(regexp_extract_all(
+                            w, '[aeiouy]+')), 1)) AS BIGINT) AS syllables
+                FROM tok GROUP BY doc_id
+            ),
+            agg AS (
+                SELECT b.doc_id, b.sentences,
+                       CAST(coalesce(s.words, 0) AS BIGINT) AS words,
+                       CAST(coalesce(s.syllables, 0) AS BIGINT) AS syllables
+                FROM base b LEFT JOIN syl s ON s.doc_id = b.doc_id
+            )
+            SELECT doc_id, words, sentences, syllables,
+                   CASE WHEN words > 0 THEN CAST(
+                        206835 * sentences * words - 1015 * words * words
+                        - 84600 * syllables * sentences AS BIGINT)
+                   END AS flesch_num,
+                   CASE WHEN words > 0 THEN CAST(
+                        390 * words * words + 11800 * syllables * sentences
+                        - 15590 * sentences * words AS BIGINT)
+                   END AS fk_num,
+                   CASE WHEN words > 0
+                        THEN CAST(1000 * sentences * words AS BIGINT)
+                   END AS rd_den,
+                   CASE WHEN words > 0 THEN round(
+                        CAST(206835 * sentences * words
+                             - 1015 * words * words
+                             - 84600 * syllables * sentences AS DOUBLE)
+                        / CAST(1000 * sentences * words AS DOUBLE)
+                        + 1e-9, 6)
+                   END AS flesch,
+                   CASE WHEN words > 0 THEN round(
+                        CAST(390 * words * words
+                             + 11800 * syllables * sentences
+                             - 15590 * sentences * words AS DOUBLE)
+                        / CAST(1000 * sentences * words AS DOUBLE)
+                        + 1e-9, 6)
+                   END AS fk_grade
+            FROM agg
         """,
     }

@@ -844,3 +844,91 @@ def bpe_merge_table(
         "rank long, left string, right string, merged string, "
         "pair_count long",
     )
+
+
+def readability_features(
+    df: DataFrame, id_col: str = "doc_id", text: str = "text"
+) -> DataFrame:
+    """Flesch reading ease + Flesch–Kincaid grade per document (Flesch
+    1948; Kincaid 1975 — the navy-manual recalibration), the classic
+    audience-level screen in corpus quality scoring.
+
+    Heuristic counts, all deterministic and cross-engine portable:
+
+    - words      = whitespace tokens (the shared ``TOKEN_REGEX``)
+    - sentences  = maximal ``[.!?]+`` runs, floored at 1
+    - syllables  = per word, ``max(1, vowel-group runs)`` — the standard
+      [aeiouy]+ grouping heuristic (no dictionary, no libm)
+
+    The formulas ride exact BIGINT vehicles (coefficients in
+    thousandths, cleared by the S·W denominator):
+
+        flesch·1000 = 206835 − 1015·W/S − 84600·Syl/W
+        flesch_num  = 206835·S·W − 1015·W² − 84600·Syl·S
+        fk·1000     = 390·W/S + 11800·Syl/W − 15590
+        fk_num      = 390·W² + 11800·Syl·S − 15590·S·W
+        den         = 1000·S·W
+
+    so the hash gate compares integers; the float columns are single
+    closing divisions. Empty documents (0 words) emit NULL metrics.
+
+    Scale: sentence/word counts are doc-local expressions on the scan;
+    syllables need the one token explode every text operator here pays,
+    collapsed by a map-combinable groupBy(doc). int64 budget: terms are
+    ~2e5·W·S — safe beyond 10⁶-word documents.
+    """
+    toks = F.regexp_extract_all(
+        F.lower(F.coalesce(F.col(text), F.lit(""))), F.lit(TOKEN_REGEX), 0
+    )
+    base = df.select(
+        F.col(id_col),
+        F.greatest(
+            F.regexp_count(
+                F.coalesce(F.col(text), F.lit("")), F.lit(r"[.!?]+")
+            ),
+            F.lit(1),
+        ).cast("long").alias("sentences"),
+        F.explode_outer(toks).alias("__tok"),
+    )
+    agg = base.groupBy(id_col, "sentences").agg(
+        F.count("__tok").cast("long").alias("words"),
+        F.coalesce(
+            F.sum(
+                # explode_outer emits one NULL token for empty docs;
+                # greatest() skips NULLs, so guard or it counts a syllable
+                F.when(
+                    F.col("__tok").isNotNull(),
+                    F.greatest(
+                        F.regexp_count(F.col("__tok"), F.lit("[aeiouy]+")),
+                        F.lit(1),
+                    ),
+                )
+            ),
+            F.lit(0),
+        ).cast("long").alias("syllables"),
+    )
+    s = F.col("sentences")
+    w = F.col("words")
+    syl = F.col("syllables")
+    f_num = (
+        F.lit(206835) * s * w - F.lit(1015) * w * w - F.lit(84600) * syl * s
+    ).cast("long")
+    g_num = (
+        F.lit(390) * w * w + F.lit(11800) * syl * s - F.lit(15590) * s * w
+    ).cast("long")
+    den = (F.lit(1000) * s * w).cast("long")
+    return agg.select(
+        id_col,
+        "words",
+        "sentences",
+        "syllables",
+        F.when(w > 0, f_num).alias("flesch_num"),
+        F.when(w > 0, g_num).alias("fk_num"),
+        F.when(w > 0, den).alias("rd_den"),
+        F.when(w > 0, f_num.cast("double") / den.cast("double")).alias(
+            "flesch"
+        ),
+        F.when(w > 0, g_num.cast("double") / den.cast("double")).alias(
+            "fk_grade"
+        ),
+    )
