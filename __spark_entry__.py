@@ -3406,6 +3406,72 @@ def q_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-lang Spearman rank correlation (average ranks) between doc
+    size and whitespace-token count — the monotone-association audit;
+    doubled ranks keep every sufficient statistic BIGINT-exact, rho is
+    one fixed num/(sqrt*sqrt) double tree."""
+    from featureextraction_spark.functions.textstats import token_count
+    from featureextraction_spark.operators.regression import spearman_corr
+
+    docs = _load(spark, sf_dir, "documents")
+    d = docs.select(
+        "lang",
+        F.col("n_chars").cast("double").alias("x"),
+        token_count(F.col("text")).cast("double").alias("y"),
+    )
+    out = spearman_corr(d, x="x", y="y", by="lang")
+    return out.select(
+        "grp", "n", "rho_num", "dx", "dy",
+        _hround6(F.col("rho")).alias("rho"),
+    )
+
+
+def q_link_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structural link prediction on the co-purchase part graph:
+    common-neighbor / Jaccard / resource-allocation scores for
+    non-adjacent pairs sharing >= 2 neighbors; ra_q the fixed-point
+    BIGINT vehicle (log-free RA replaces Adamic-Adar by design)."""
+    from featureextraction_spark.operators.graph import link_prediction_scores
+
+    edges = _copurchase_weighted_edges(spark, sf_dir, min_w=2)
+    out = link_prediction_scores(edges, min_cn=2)
+    return out.select(
+        "u", "v", "cn", "deg_u", "deg_v", "ra_q",
+        _hround6(F.col("jaccard")).alias("jaccard"),
+        _hround6(F.col("ra")).alias("ra"),
+    )
+
+
+def q_cross_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lead-lag cross-correlation (lags -3..+3 days) between the daily
+    click and purchase count series — does one stream anticipate the
+    other; integer daily counts make n-cleared moments exact BIGINTs,
+    ccf one fixed double expression."""
+    from featureextraction_spark.operators.rolling import cross_correlation
+
+    ev = _load(spark, sf_dir, "events")
+    base = ev.select("event_type", epoch_us(ev, "ts").alias("__us")).withColumn(
+        "t", F.expr("CAST(__us div 86400000000 AS BIGINT)")
+    )
+    x = (
+        base.where(F.col("event_type") == "click")
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).cast("long").alias("xq"))
+    )
+    y = (
+        base.where(F.col("event_type") == "purchase")
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).cast("long").alias("yq"))
+    )
+    out = cross_correlation(x, y, t="t", xv="xq", yv="yq", max_lag=3)
+    return out.select(
+        "lag", "n", "ccf_num", "dx", "dy",
+        _hround6(F.col("ccf")).alias("ccf"),
+    )
+
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "lag_lead": q_lag_lead,
@@ -3583,7 +3649,143 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "concurrency": q_concurrency,
         "forecast_eval": q_forecast_eval,
         "readability": q_readability,
+        "spearman": q_spearman,
+        "link_pred": q_link_pred,
+        "cross_corr": q_cross_corr,
     }
+
+
+def _round4ag_oracle_sql() -> dict[str, str]:
+    """Oracles for the rank-correlation / link-prediction / CCF reads."""
+    tokens_re = "'[^ \\t\\n\\r\\f\\x0B]+'"
+    peers_x = ("count(*) OVER (PARTITION BY grp ORDER BY xq "
+               "RANGE BETWEEN CURRENT ROW AND CURRENT ROW)")
+    peers_y = ("count(*) OVER (PARTITION BY grp ORDER BY yq "
+               "RANGE BETWEEN CURRENT ROW AND CURRENT ROW)")
+    return {
+        "spearman": f"""
+            WITH d AS (
+                SELECT lang AS grp,
+                       CAST(n_chars AS BIGINT) AS xq,
+                       CAST(length(regexp_extract_all(text, {tokens_re}))
+                            AS BIGINT) AS yq
+                FROM documents
+            ),
+            r AS (
+                SELECT grp,
+                       CAST(2 * rank() OVER (PARTITION BY grp ORDER BY xq)
+                            + {peers_x} - 1 AS BIGINT) AS rx,
+                       CAST(2 * rank() OVER (PARTITION BY grp ORDER BY yq)
+                            + {peers_y} - 1 AS BIGINT) AS ry
+                FROM d
+            ),
+            g AS (
+                SELECT grp, CAST(count(*) AS BIGINT) AS n,
+                       CAST(sum(rx) AS BIGINT) AS srx,
+                       CAST(sum(ry) AS BIGINT) AS sry,
+                       CAST(sum(rx * ry) AS BIGINT) AS sxy,
+                       CAST(sum(rx * rx) AS BIGINT) AS sxx,
+                       CAST(sum(ry * ry) AS BIGINT) AS syy
+                FROM r GROUP BY grp
+            )
+            SELECT grp, n,
+                   CAST(n * sxy - srx * sry AS BIGINT) AS rho_num,
+                   CAST(n * sxx - srx * srx AS BIGINT) AS dx,
+                   CAST(n * syy - sry * sry AS BIGINT) AS dy,
+                   CASE WHEN n * sxx - srx * srx > 0
+                             AND n * syy - sry * sry > 0
+                        THEN round(CAST(n * sxy - srx * sry AS DOUBLE)
+                                   / (sqrt(CAST(n * sxx - srx * srx AS DOUBLE))
+                                      * sqrt(CAST(n * syy - sry * sry
+                                                  AS DOUBLE))) + 1e-9, 6)
+                   END AS rho
+            FROM g
+        """,
+        "link_pred": """
+            WITH e AS MATERIALIZED (
+                SELECT a.l_partkey AS u, b.l_partkey AS v
+                FROM lineitem a JOIN lineitem b
+                  ON a.l_orderkey = b.l_orderkey
+                WHERE a.l_partkey < b.l_partkey
+                GROUP BY 1, 2
+                HAVING count(DISTINCT a.l_orderkey) >= 2
+            ),
+            sym AS (
+                SELECT u AS z, v AS p FROM e
+                UNION ALL
+                SELECT v AS z, u AS p FROM e
+            ),
+            deg AS (
+                SELECT p AS node, CAST(count(*) AS BIGINT) AS degree
+                FROM sym GROUP BY p
+            ),
+            w AS (
+                SELECT s1.p AS u, s2.p AS v, d.degree AS deg_z
+                FROM sym s1
+                JOIN sym s2 ON s1.z = s2.z AND s1.p < s2.p
+                JOIN deg d ON d.node = s1.z
+            ),
+            cand AS (
+                SELECT u, v, CAST(count(*) AS BIGINT) AS cn,
+                       CAST(sum(CAST(1000000000000 AS BIGINT) // deg_z)
+                            AS BIGINT) AS ra_q
+                FROM w GROUP BY u, v
+            ),
+            ne AS (
+                SELECT c.u, c.v, c.cn, c.ra_q
+                FROM cand c LEFT JOIN e ON e.u = c.u AND e.v = c.v
+                WHERE e.u IS NULL AND c.cn >= 2
+            )
+            SELECT ne.u, ne.v, ne.cn,
+                   du.degree AS deg_u, dv.degree AS deg_v, ne.ra_q,
+                   round(CAST(ne.cn AS DOUBLE)
+                         / CAST(du.degree + dv.degree - ne.cn AS DOUBLE)
+                         + 1e-9, 6) AS jaccard,
+                   round(CAST(ne.ra_q AS DOUBLE)
+                         / CAST(1000000000000 AS DOUBLE) + 1e-9, 6) AS ra
+            FROM ne
+            JOIN deg du ON du.node = ne.u
+            JOIN deg dv ON dv.node = ne.v
+        """,
+        "cross_corr": """
+            WITH x AS (
+                SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS t,
+                       CAST(count(*) AS BIGINT) AS xv
+                FROM events WHERE event_type = 'click' GROUP BY 1
+            ),
+            y AS (
+                SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS t,
+                       CAST(count(*) AS BIGINT) AS yv
+                FROM events WHERE event_type = 'purchase' GROUP BY 1
+            ),
+            l AS (SELECT CAST(range AS BIGINT) AS lag FROM range(-3, 4)),
+            j AS (
+                SELECT l.lag, x.xv, y.yv
+                FROM x CROSS JOIN l JOIN y ON y.t = x.t + l.lag
+            ),
+            g AS (
+                SELECT lag, CAST(count(*) AS BIGINT) AS n,
+                       CAST(sum(xv) AS BIGINT) AS sx,
+                       CAST(sum(yv) AS BIGINT) AS sy,
+                       CAST(sum(xv * yv) AS BIGINT) AS sxy,
+                       CAST(sum(xv * xv) AS BIGINT) AS sxx,
+                       CAST(sum(yv * yv) AS BIGINT) AS syy
+                FROM j GROUP BY lag
+            )
+            SELECT lag, n,
+                   CAST(n * sxy - sx * sy AS BIGINT) AS ccf_num,
+                   CAST(n * sxx - sx * sx AS BIGINT) AS dx,
+                   CAST(n * syy - sy * sy AS BIGINT) AS dy,
+                   CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+                        THEN round(CAST(n * sxy - sx * sy AS DOUBLE)
+                                   / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                                      * sqrt(CAST(n * syy - sy * sy
+                                                  AS DOUBLE))) + 1e-9, 6)
+                   END AS ccf
+            FROM g
+        """,
+    }
+
 
 
 def oracle_sql() -> dict[str, str]:
@@ -3858,6 +4060,7 @@ def oracle_sql() -> dict[str, str]:
     base.update(_round4ad_oracle_sql())
     base.update(_round4ae_oracle_sql())
     base.update(_round4af_oracle_sql())
+    base.update(_round4ag_oracle_sql())
     # the keep-one apply step replays dedup_clusters' closure, then ranks
     # members by (n_chars desc, doc_id) inside each cluster
     base["canonical_docs"] = f"""

@@ -825,3 +825,80 @@ def pagerank_fixed(
         "rank_q",
         (F.col("rank_q").cast("double") / F.lit(float(scale))).alias("rank"),
     )
+
+
+def link_prediction_scores(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    min_cn: int = 2,
+    ra_scale: int = 1_000_000_000_000,
+) -> DataFrame:
+    """Neighborhood link-prediction scores for NON-edges: for every
+    vertex pair (u < v) that shares >= ``min_cn`` common neighbors but
+    has no edge, the three classic structural scores
+
+        cn       common-neighbor count                (Newman 2001)
+        jaccard  cn / (deg_u + deg_v − cn)            (Liben-Nowell
+                                                       & Kleinberg 2003)
+        ra       Σ_z 1/deg(z)  over common neighbors  (Zhou, Lü & Zhang
+                                                       2009, resource
+                                                       allocation)
+
+    Logarithm-free by design (Adamic–Adar's 1/ln deg is deliberately
+    replaced by RA, its stronger log-free sibling, per Zhou et al.) so
+    every score has an exact integer vehicle: ``cn`` is a count,
+    Jaccard a ratio of BIGINTs, and RA is fixed-point —
+    ``ra_q = Σ (ra_scale div deg_z)``, exact integer division per
+    term, order-independent under any partial aggregation (floats
+    would make Σ 1/deg accumulation-order dependent). The float
+    ``ra = ra_q / ra_scale`` and Jaccard are single closing divisions.
+
+    Scale: wedge enumeration through the shared neighbor z costs
+    Σ_z deg(z)² rows — the triangle-counting budget
+    (:func:`triangle_counts`); the weight-thresholding that sparsifies
+    the graph upstream (min_w in the co-purchase builder) is the knob
+    that bounds it, and a hot-vertex cap (drop z with deg above a
+    percentile) is the standard escape hatch at 100×. Everything is
+    hash equi-joins + one groupBy(pair); the degree table is |V| rows,
+    joined (not collected).
+    """
+    e = _canonical_edges(edges, src, dst)
+    deg = _degrees(e)
+    sym = e.select(F.col("a").alias("z"), F.col("b").alias("p")).unionAll(
+        e.select(F.col("b").alias("z"), F.col("a").alias("p"))
+    )
+    degz = deg.select(
+        F.col("node").alias("z"), F.col("degree").alias("__deg_z")
+    )
+    s1 = sym.select("z", F.col("p").alias("u"))
+    s2 = sym.select("z", F.col("p").alias("v"))
+    wedges = (
+        s1.join(s2, "z")
+        .where(F.col("u") < F.col("v"))
+        .join(degz, "z")
+    )
+    cand = wedges.groupBy("u", "v").agg(
+        F.count(F.lit(1)).cast("long").alias("cn"),
+        F.sum(F.expr(f"CAST({int(ra_scale)} AS BIGINT) div __deg_z"))
+        .cast("long")
+        .alias("ra_q"),
+    )
+    non_edges = cand.join(
+        e.select(F.col("a").alias("u"), F.col("b").alias("v")),
+        ["u", "v"],
+        "left_anti",
+    )
+    du = deg.select(F.col("node").alias("u"), F.col("degree").alias("deg_u"))
+    dv = deg.select(F.col("node").alias("v"), F.col("degree").alias("deg_v"))
+    out = (
+        non_edges.where(F.col("cn") >= int(min_cn))
+        .join(du, "u")
+        .join(dv, "v")
+    )
+    jac_den = F.col("deg_u") + F.col("deg_v") - F.col("cn")
+    return out.select(
+        "u", "v", "cn", "deg_u", "deg_v", "ra_q",
+        (F.col("cn").cast("double") / jac_den.cast("double")).alias("jaccard"),
+        (F.col("ra_q").cast("double") / F.lit(float(ra_scale))).alias("ra"),
+    )

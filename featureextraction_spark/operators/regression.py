@@ -103,3 +103,91 @@ def bivariate_ols(
         F.when(ok, beta2).alias("beta2"),
         F.when(ok, b0q).alias("intercept_q"),
     )
+
+
+def spearman_corr(
+    df: DataFrame,
+    x: str,
+    y: str,
+    by: str,
+    qx: float = 1.0,
+    qy: float = 1.0,
+) -> DataFrame:
+    """Per-group Spearman rank correlation with exact average ranks —
+    the monotone-association audit that survives outliers and any
+    monotone rescaling (where Pearson needs the relationship linear).
+
+    Ranks stay integer by doubling: with ``rank()`` the tie-group start
+    position and ``c`` the tie count (peers under a RANGE CURRENT ROW
+    frame), the average rank is ``p + (c−1)/2``, so
+
+        R2 = 2·p + c − 1            (exact BIGINT, = 2·avg_rank)
+
+    and Spearman's rho is the Pearson correlation of (R2x, R2y) — the
+    common factor 2 cancels. The tie-corrected sufficient statistics
+    n, ΣR2x, ΣR2y, ΣR2xR2y, ΣR2x², ΣR2y² are exact BIGINTs, the
+    n-cleared moments
+
+        rho_num = n·Σxy − Σx·Σy,   dx = n·Σx² − (Σx)²,   dy likewise
+
+    exact integer hash vehicles, and the closing
+    ``rho = rho_num / (sqrt(dx)·sqrt(dy))`` a fixed double tree over
+    int64 < 2^53 (sqrt IEEE-correctly-rounded) — bit-portable across
+    engines. NULL rho for constant columns (dx·dy = 0).
+
+    Scale: ONE HashPartitioning(by) exchange serves both rank windows
+    and the final groupBy (two per-key sorts, no second shuffle); the
+    RANGE-frame peer count rides the same sorts. Per-group work is the
+    sort, O(n_k log n_k). int64 budget: R2 ≤ 2n, so ΣR2x·R2y ≤ 4n³ —
+    exact up to ~1.3M rows per group; beyond that, pre-bucket the
+    values (ranks of coarser buckets) or lift to DECIMAL(38).
+
+    Public-knowledge semantics (Spearman 1904, average-rank tie
+    handling); no reference counterpart (the reference fits are OLS —
+    ``src/preparation/features.py`` — mirrored by ``contour_ols``).
+    """
+    from pyspark.sql import Window
+
+    def _q(c: str, s: float):
+        return F.floor(
+            F.col(c).cast("double") * F.lit(float(s)) + F.lit(0.5)
+        ).cast("long")
+
+    d = df.select(
+        F.col(by).alias("grp"), _q(x, qx).alias("__xq"), _q(y, qy).alias("__yq")
+    )
+    wx = Window.partitionBy("grp").orderBy("__xq")
+    wy = Window.partitionBy("grp").orderBy("__yq")
+    peers_x = wx.rangeBetween(Window.currentRow, Window.currentRow)
+    peers_y = wy.rangeBetween(Window.currentRow, Window.currentRow)
+    r = d.select(
+        "grp",
+        (
+            2 * F.rank().over(wx) + F.count(F.lit(1)).over(peers_x) - 1
+        ).cast("long").alias("__rx"),
+        (
+            2 * F.rank().over(wy) + F.count(F.lit(1)).over(peers_y) - 1
+        ).cast("long").alias("__ry"),
+    )
+    g = r.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("__rx").cast("long").alias("srx"),
+        F.sum("__ry").cast("long").alias("sry"),
+        F.sum(F.col("__rx") * F.col("__ry")).cast("long").alias("sxy"),
+        F.sum(F.col("__rx") * F.col("__rx")).cast("long").alias("sxx"),
+        F.sum(F.col("__ry") * F.col("__ry")).cast("long").alias("syy"),
+    )
+    n = F.col("n")
+    num = (n * F.col("sxy") - F.col("srx") * F.col("sry")).cast("long")
+    dx = (n * F.col("sxx") - F.col("srx") * F.col("srx")).cast("long")
+    dy = (n * F.col("syy") - F.col("sry") * F.col("sry")).cast("long")
+    g = g.select(
+        "grp", "n", num.alias("rho_num"), dx.alias("dx"), dy.alias("dy")
+    )
+    rho = F.col("rho_num").cast("double") / (
+        F.sqrt(F.col("dx").cast("double")) * F.sqrt(F.col("dy").cast("double"))
+    )
+    return g.select(
+        "grp", "n", "rho_num", "dx", "dy",
+        F.when((F.col("dx") > 0) & (F.col("dy") > 0), rho).alias("rho"),
+    )

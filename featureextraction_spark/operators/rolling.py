@@ -289,3 +289,82 @@ def autocorrelation(
             F.col("acf_num").cast("double") / F.col("acf_den").cast("double"),
         ).alias("acf"),
     )
+
+
+def cross_correlation(
+    x: DataFrame,
+    y: DataFrame,
+    t: str = "t",
+    xv: str = "xq",
+    yv: str = "yq",
+    max_lag: int = 3,
+) -> DataFrame:
+    """Lead–lag cross-correlation between two integer-valued series on a
+    shared integer time grid — "do purchases follow clicks, and by how
+    many days?". For each lag k in [−max_lag, +max_lag] it computes the
+    Pearson correlation of (x_t, y_{t+k}) over the days where BOTH sides
+    exist; positive k means y lags x (x leads).
+
+    Bit-portability contract (the ``corr_matrix`` / ``ols2`` one): the
+    caller supplies exact BIGINT values (counts, or pre-quantized
+    floats), so per lag the sufficient statistics n, Σx, Σy, Σxy, Σx²,
+    Σy² are exact BIGINTs and the n-cleared moments
+
+        ccf_num = n·Σxy − Σx·Σy
+        dx      = n·Σx² − (Σx)²
+        dy      = n·Σy² − (Σy)²
+
+    are exact integer hash vehicles. The closing
+
+        ccf = ccf_num / (sqrt(dx) · sqrt(dy))
+
+    is a FIXED double expression tree — int64 < 2^53 casts exactly and
+    sqrt is IEEE-correctly-rounded on both engines — so the float
+    reproduces bit-for-bit cross-engine. NULL when either side is
+    constant over the overlap (dx·dy = 0) or the overlap is empty.
+
+    Scale: the lag fan-out replicates the X side (2·max_lag + 1)×, then
+    ONE equi-join on the shifted grid key and ONE tiny groupBy(lag).
+    The series are pre-aggregated (one row per grid cell), so both
+    inputs are |grid| rows, not |events| — at 100 TB the daily grid is
+    ~10⁴ rows regardless of input size; everything upstream is a
+    map-side-combinable count. int64 budget: n·Σxy ≤ 9.2e18 — e.g. a
+    10-year daily grid (n≈3.7e3) with per-cell values ≤ 8e5.
+
+    Public-knowledge semantics (Box–Jenkins CCF); no reference
+    counterpart (the reference pipeline is per-image).
+    """
+    spark = x.sparkSession
+    lags = spark.range(2 * max_lag + 1).select(
+        (F.col("id") - F.lit(max_lag)).cast("long").alias("lag")
+    )
+    xl = (
+        x.select(F.col(t).cast("long").alias("__tx"), F.col(xv).alias("__x"))
+        .crossJoin(F.broadcast(lags))
+        .withColumn("__ty", F.col("__tx") + F.col("lag"))
+    )
+    yr = y.select(F.col(t).cast("long").alias("__ty"), F.col(yv).alias("__y"))
+    j = xl.join(yr, "__ty")
+    g = j.groupBy("lag").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("__x").cast("long").alias("sx"),
+        F.sum("__y").cast("long").alias("sy"),
+        F.sum(F.col("__x") * F.col("__y")).cast("long").alias("sxy"),
+        F.sum(F.col("__x") * F.col("__x")).cast("long").alias("sxx"),
+        F.sum(F.col("__y") * F.col("__y")).cast("long").alias("syy"),
+    )
+    n = F.col("n")
+    num = (n * F.col("sxy") - F.col("sx") * F.col("sy")).cast("long")
+    dx = (n * F.col("sxx") - F.col("sx") * F.col("sx")).cast("long")
+    dy = (n * F.col("syy") - F.col("sy") * F.col("sy")).cast("long")
+    g = g.select(
+        "lag", "n",
+        num.alias("ccf_num"), dx.alias("dx"), dy.alias("dy"),
+    )
+    ccf = F.col("ccf_num").cast("double") / (
+        F.sqrt(F.col("dx").cast("double")) * F.sqrt(F.col("dy").cast("double"))
+    )
+    return g.select(
+        "lag", "n", "ccf_num", "dx", "dy",
+        F.when((F.col("dx") > 0) & (F.col("dy") > 0), ccf).alias("ccf"),
+    )
