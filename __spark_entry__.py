@@ -3472,6 +3472,53 @@ def q_cross_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+def q_ari(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adjusted Rand Index between the language-ID heuristic partition
+    and the trusted lang partition — the label-permutation-invariant
+    twin of q_kappa; n/sij/sa/sb BIGINT-exact, ARI one fixed double
+    tree over them."""
+    from featureextraction_spark.operators.evaluation import (
+        adjusted_rand_index,
+    )
+
+    docs = _load(spark, sf_dir, "documents")
+    labeled = language_id(docs).select(
+        "lang",
+        F.coalesce(F.col("lang_pred"), F.lit("unknown")).alias("lang_pred"),
+    )
+    out = adjusted_rand_index(labeled, "lang", "lang_pred")
+    return out.select(
+        "n", "sij", "sa", "sb", _hround6(F.col("ari")).alias("ari")
+    )
+
+
+def q_tv_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Total-variation source-mix drift of each hash split vs the
+    corpus — the log-free split-stratification audit; tv_num/tv_den
+    exact BIGINT, TV one closing division."""
+    from featureextraction_spark.operators.drift import tv_distance
+    from featureextraction_spark.operators.sampling import hash_split
+
+    docs = _load(spark, sf_dir, "documents")
+    s = hash_split(docs, "doc_id")
+    out = tv_distance(s, part="split", cat="source")
+    return out.select(
+        "split", "n_rows", "tv_num", "tv_den",
+        _hround6(F.col("tv")).alias("tv"),
+    )
+
+
+def q_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out 10-NN cosine majority-vote label prediction for
+    the first 200 vectors — the embedding-quality probe; every output
+    column integer (votes/hit BIGINT), no float in the hash gate."""
+    from featureextraction_spark.operators.similarity import knn_classify
+
+    emb = _load(spark, sf_dir, "embeddings")
+    return knn_classify(emb.filter(F.col("vec_id") < 200), emb, k=10)
+
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "lag_lead": q_lag_lead,
@@ -3652,6 +3699,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spearman": q_spearman,
         "link_pred": q_link_pred,
         "cross_corr": q_cross_corr,
+        "ari": q_ari,
+        "tv_split": q_tv_split,
+        "knn_classify": q_knn_classify,
     }
 
 
@@ -3783,6 +3833,154 @@ def _round4ag_oracle_sql() -> dict[str, str]:
                                                   AS DOUBLE))) + 1e-9, 6)
                    END AS ccf
             FROM g
+        """,
+    }
+
+
+
+def _round4ah_oracle_sql() -> dict[str, str]:
+    """Oracles for the ARI / TV-drift / kNN-classification reads."""
+    dim_vals = ",\n                ".join(
+        f"('{w}', '{lang}')"
+        for lang, ws in sorted(STOPWORDS.items())
+        for w in ws
+    )
+    td = "(CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE))"
+    ab = "(CAST(sa AS DOUBLE) * CAST(sb AS DOUBLE))"
+    ari_num = f"CAST(2 AS DOUBLE) * ({td} * CAST(sij AS DOUBLE) - {ab})"
+    ari_den = f"{td} * CAST(sa + sb AS DOUBLE) - CAST(2 AS DOUBLE) * {ab}"
+    return {
+        "ari": f"""
+            WITH dim(word, cand_lang) AS (VALUES
+                {dim_vals}
+            ),
+            toks AS (
+                SELECT doc_id,
+                       unnest(regexp_extract_all(lower(text), {_TOKENS_RE}))
+                           AS word
+                FROM documents
+            ),
+            hits AS (
+                SELECT doc_id, cand_lang, count(*) AS hits
+                FROM toks JOIN dim USING (word) GROUP BY 1, 2
+            ),
+            best AS (
+                SELECT doc_id, cand_lang AS lang_pred
+                FROM (SELECT doc_id, cand_lang,
+                             row_number() OVER (PARTITION BY doc_id
+                                                ORDER BY hits DESC,
+                                                         cand_lang) AS rn
+                      FROM hits)
+                WHERE rn = 1
+            ),
+            lab AS (
+                SELECT d.lang AS a, coalesce(b.lang_pred, 'unknown') AS b
+                FROM documents d LEFT JOIN best b USING (doc_id)
+            ),
+            cells AS (
+                SELECT a, b, CAST(count(*) AS BIGINT) AS c
+                FROM lab GROUP BY 1, 2
+            ),
+            s AS (
+                SELECT CAST(sum(c * (c - 1)) AS BIGINT) AS sij,
+                       CAST(sum(c) AS BIGINT) AS n
+                FROM cells
+            ),
+            rs AS (
+                SELECT CAST(sum(r * (r - 1)) AS BIGINT) AS sa
+                FROM (SELECT CAST(sum(c) AS BIGINT) AS r
+                      FROM cells GROUP BY a)
+            ),
+            cs AS (
+                SELECT CAST(sum(cc * (cc - 1)) AS BIGINT) AS sb
+                FROM (SELECT CAST(sum(c) AS BIGINT) AS cc
+                      FROM cells GROUP BY b)
+            )
+            SELECT n, sij, sa, sb,
+                   CASE WHEN {ari_den} <> 0
+                        THEN round(({ari_num}) / ({ari_den}) + 1e-9, 6)
+                   END AS ari
+            FROM s, rs, cs
+        """,
+        "tv_split": """
+            WITH s AS (
+                SELECT doc_id, source,
+                       CASE WHEN u < 0.8 THEN 'train'
+                            WHEN u < 0.9 THEN 'valid'
+                            ELSE 'test' END AS split
+                FROM (SELECT doc_id, source,
+                             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+                                                       || ':42'), 1, 15))::BIGINT
+                                  AS DOUBLE) / 1152921504606846976.0 AS u
+                      FROM documents)
+            ),
+            cell AS (
+                SELECT split, source, CAST(count(*) AS BIGINT) AS npc
+                FROM s GROUP BY 1, 2
+            ),
+            sp AS (SELECT split, CAST(sum(npc) AS BIGINT) AS np
+                   FROM cell GROUP BY 1),
+            cat AS (SELECT source, CAST(sum(npc) AS BIGINT) AS nc
+                    FROM cell GROUP BY 1),
+            tot AS (SELECT CAST(sum(npc) AS BIGINT) AS n FROM cell),
+            grid AS (
+                SELECT sp.split, sp.np, cat.source, cat.nc,
+                       coalesce(c.npc, 0) AS npc
+                FROM sp CROSS JOIN cat
+                LEFT JOIN cell c
+                  ON c.split = sp.split AND c.source = cat.source
+            )
+            SELECT g.split, CAST(max(g.np) AS BIGINT) AS n_rows,
+                   CAST(sum(abs(g.npc * t.n - g.nc * g.np)) AS BIGINT)
+                       AS tv_num,
+                   CAST(2 * max(g.np) * max(t.n) AS BIGINT) AS tv_den,
+                   round(CAST(sum(abs(g.npc * t.n - g.nc * g.np)) AS DOUBLE)
+                         / CAST(2 * max(g.np) * max(t.n) AS DOUBLE)
+                         + 1e-9, 6) AS tv
+            FROM grid g CROSS JOIN tot t
+            GROUP BY g.split
+        """,
+        "knn_classify": """
+            WITH q AS (
+                SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv, label
+                FROM embeddings WHERE vec_id < 200
+            ),
+            c AS (
+                SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv,
+                       label AS nb_label
+                FROM embeddings
+            ),
+            scored AS (
+                SELECT query_id, neighbor_id, nb_label,
+                       round(list_dot_product(qv, cv)
+                             / (sqrt(list_dot_product(qv, qv))
+                                * sqrt(list_dot_product(cv, cv))), 6)
+                           AS cosine
+                FROM q, c WHERE query_id <> neighbor_id
+            ),
+            ranked AS (
+                SELECT *, row_number() OVER (PARTITION BY query_id
+                                             ORDER BY cosine DESC,
+                                                      neighbor_id) AS rank
+                FROM scored
+            ),
+            votes AS (
+                SELECT query_id, nb_label,
+                       CAST(count(*) AS BIGINT) AS votes
+                FROM ranked WHERE rank <= 10 GROUP BY 1, 2
+            ),
+            pred AS (
+                SELECT query_id, nb_label AS pred, votes
+                FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                                   ORDER BY votes DESC,
+                                                            nb_label) AS rn
+                      FROM votes)
+                WHERE rn = 1
+            )
+            SELECT p.query_id, q.label, p.pred, p.votes,
+                   CAST(CASE WHEN p.pred = q.label THEN 1 ELSE 0 END
+                        AS BIGINT) AS hit
+            FROM pred p JOIN q ON q.query_id = p.query_id
         """,
     }
 
@@ -4061,6 +4259,7 @@ def oracle_sql() -> dict[str, str]:
     base.update(_round4ae_oracle_sql())
     base.update(_round4af_oracle_sql())
     base.update(_round4ag_oracle_sql())
+    base.update(_round4ah_oracle_sql())
     # the keep-one apply step replays dedup_clusters' closure, then ranks
     # members by (n_chars desc, doc_id) inside each cluster
     base["canonical_docs"] = f"""

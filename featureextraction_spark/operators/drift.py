@@ -164,3 +164,54 @@ def ks_test(
             / (F.col("n_a") * F.col("n_b")).cast("double"),
         ).alias("d"),
     )
+
+
+def tv_distance(df: DataFrame, part: str, cat: str) -> DataFrame:
+    """Total-variation distance between each partition's categorical
+    mix and the full-corpus mix — "did the split / day / shard drift
+    from the corpus?". TV is THE log-free divergence: unlike KL/PSI it
+    needs no libm and no smoothing for empty cells, and
+
+        TV(p) = ½ Σ_c |n_pc/N_p − N_c/N|
+
+    clears to the exact integer form
+
+        tv_num(p) = Σ_c |n_pc·N − N_c·N_p|,   tv_den(p) = 2·N_p·N
+
+    — every cell term a BIGINT (exact while N·max(N_c) < 2^63, i.e.
+    corpora to ~3e9 rows; beyond, pre-divide counts by a power of two),
+    order-independent under any partial aggregation, so tv_num/tv_den
+    are portable hash vehicles and the float TV is ONE closing
+    division. Categories absent from a partition contribute |0 − N_c·N_p|
+    — the full (partition × category) grid is materialized from the two
+    marginal DIM tables, never from the row table.
+
+    Scale: one groupBy(part, cat) over the rows; everything after runs
+    on the cell table (|parts|·|cats| rows). The corpus total joins in
+    as a broadcast 1-row frame — no collect, no second scan.
+    """
+    cells = df.groupBy(
+        F.col(part).alias("__p"), F.col(cat).alias("__c")
+    ).agg(F.count(F.lit(1)).cast("long").alias("__npc"))
+    sp = cells.groupBy("__p").agg(F.sum("__npc").cast("long").alias("__np"))
+    ct = cells.groupBy("__c").agg(F.sum("__npc").cast("long").alias("__nc"))
+    tot = cells.agg(F.sum("__npc").cast("long").alias("__n"))
+    grid = sp.crossJoin(ct).join(cells, ["__p", "__c"], "left").select(
+        "__p", "__np", "__nc",
+        F.coalesce(F.col("__npc"), F.lit(0)).cast("long").alias("__npc"),
+    )
+    j = grid.crossJoin(F.broadcast(tot))
+    out = j.groupBy("__p").agg(
+        F.max("__np").cast("long").alias("n_rows"),
+        F.sum(
+            F.abs(F.col("__npc") * F.col("__n") - F.col("__nc") * F.col("__np"))
+        )
+        .cast("long")
+        .alias("tv_num"),
+        (F.lit(2) * F.max("__np") * F.max("__n")).cast("long").alias("tv_den"),
+    )
+    return out.select(
+        F.col("__p").alias(part), "n_rows", "tv_num", "tv_den",
+        (F.col("tv_num").cast("double") / F.col("tv_den").cast("double"))
+        .alias("tv"),
+    )

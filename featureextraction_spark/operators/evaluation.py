@@ -728,3 +728,65 @@ def welch_t2(
             ),
         ).alias("df_w"),
     )
+
+
+def adjusted_rand_index(df: DataFrame, a: str, b: str) -> DataFrame:
+    """Adjusted Rand Index between two partitions of the same rows —
+    the label-permutation-INVARIANT agreement audit (Hubert & Arabie
+    1985). Cohen's kappa (:func:`cohens_kappa`) needs the two labelings
+    to share a vocabulary; ARI compares them as PARTITIONS, counting
+    co-clustered pairs, so it also scores clusterings whose label ids
+    mean nothing (near-dup clusters vs exact-dup groups, fold
+    assignments, hash splits).
+
+    Pair counts stay integer by clearing the C(·,2) halves: with
+    contingency cells n_ij, row sums a_i, column sums b_j and
+    S = Σ n_ij(n_ij−1), A = Σ a_i(a_i−1), B = Σ b_j(b_j−1),
+    T = n(n−1),
+
+        ARI = 2·(T·S − A·B) / (T·(A + B) − 2·A·B)
+
+    (the classic form with every C(x,2) doubled; the ½ factors cancel).
+    n, S, A, B are exact BIGINT hash vehicles; the closing ratio is a
+    FIXED double expression tree over them — T·S and A·B can exceed
+    int64 on billion-row inputs, and identical IEEE multiply/subtract
+    trees reproduce bit-for-bit on both engines, which int64 overflow
+    would not. NULL when the denominator is 0 (both partitions trivial:
+    all-singletons or one block).
+
+    Scale: one groupBy(a,b) over the rows plus two marginal aggregates
+    of the CELL table (|cells| rows, not |rows|), all
+    map-side-combinable; the four scalars meet in a 1-row broadcast
+    join. Nothing quadratic anywhere — the pair counting is implicit in
+    the n(n−1) algebra.
+    """
+    cells = df.groupBy(
+        F.col(a).alias("__a"), F.col(b).alias("__b")
+    ).agg(F.count(F.lit(1)).cast("long").alias("__c"))
+    s = cells.agg(
+        F.sum(F.col("__c") * (F.col("__c") - 1)).cast("long").alias("sij"),
+        F.sum("__c").cast("long").alias("n"),
+    )
+    ra = (
+        cells.groupBy("__a")
+        .agg(F.sum("__c").cast("long").alias("__r"))
+        .agg(F.sum(F.col("__r") * (F.col("__r") - 1)).cast("long").alias("sa"))
+    )
+    cb = (
+        cells.groupBy("__b")
+        .agg(F.sum("__c").cast("long").alias("__col"))
+        .agg(
+            F.sum(F.col("__col") * (F.col("__col") - 1))
+            .cast("long")
+            .alias("sb")
+        )
+    )
+    g = s.crossJoin(F.broadcast(ra)).crossJoin(F.broadcast(cb))
+    td = F.col("n").cast("double") * (F.col("n") - 1).cast("double")
+    ab = F.col("sa").cast("double") * F.col("sb").cast("double")
+    num = F.lit(2.0) * (td * F.col("sij").cast("double") - ab)
+    den = td * (F.col("sa") + F.col("sb")).cast("double") - F.lit(2.0) * ab
+    return g.select(
+        "n", "sij", "sa", "sb",
+        F.when(den != 0.0, num / den).alias("ari"),
+    )

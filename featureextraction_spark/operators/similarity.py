@@ -991,3 +991,59 @@ def dot_topk(
         scored.withColumn("rank", F.row_number().over(w).cast("long"))
         .where(F.col("rank") <= k)
     )
+
+
+def knn_classify(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """k-nearest-neighbor majority-vote classification over an
+    embedding column — the standard embedding-quality probe (Cover &
+    Hart 1967): if cosine neighborhoods predict labels, the space
+    clusters by class. Self-matches are excluded by
+    :func:`cosine_topk`, so querying the corpus with itself is exact
+    leave-one-out evaluation.
+
+    Determinism end-to-end: neighbor sets rank on (rounded cosine desc,
+    id asc) — the :func:`cosine_topk` contract — and the vote breaks
+    ties on (votes desc, label asc), so `pred` is a pure function of
+    the data on every engine. `votes` is the BIGINT hash vehicle; no
+    float leaves the ranking.
+
+    Scale: rides whatever neighbor engine produced the top-k — swap
+    :func:`cosine_topk` for :func:`ivf_topk` / :func:`ivfpq_topk` above
+    broadcastable corpora (identical downstream vote); the vote itself
+    is one groupBy(query, label) + a k-row-per-query window.
+    """
+    from pyspark.sql import Window
+
+    nn = cosine_topk(queries, corpus, k=k, id_col=id_col, vec_col=vec_col)
+    nn = nn.join(
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(label_col).alias("__nb_label"),
+        ),
+        "neighbor_id",
+    )
+    votes = nn.groupBy("query_id", "__nb_label").agg(
+        F.count(F.lit(1)).cast("long").alias("votes")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("votes").desc(), F.col("__nb_label").asc()
+    )
+    pred = (
+        votes.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .select("query_id", F.col("__nb_label").alias("pred"), "votes")
+    )
+    truth = queries.select(
+        F.col(id_col).alias("query_id"), F.col(label_col).alias("label")
+    )
+    return pred.join(truth, "query_id").select(
+        "query_id", "label", "pred", "votes",
+        (F.col("pred") == F.col("label")).cast("long").alias("hit"),
+    )
