@@ -3519,6 +3519,118 @@ def q_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+def q_kmv_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (k-minimum-values) distinct-user estimate per event type,
+    k=32, next to the exact count — the 4th mergeable sketch; state and
+    kth_hash BIGINT-exact, the estimate one closing double division."""
+    from featureextraction_spark.operators.sketches import (
+        kmv_estimate,
+        kmv_sketch,
+    )
+
+    ev = _load(spark, sf_dir, "events")
+    state = kmv_sketch(ev, "user_id", k=32, group="event_type")
+    est = kmv_estimate(state, k=32, group="event_type")
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("long").alias("exact_distinct")
+    )
+    return est.join(F.broadcast(exact), "event_type").select(
+        "event_type", "n_kept", "kth_hash",
+        _hround6(F.col("kmv_estimate")).alias("kmv_estimate"),
+        "exact_distinct",
+    )
+
+
+def q_join_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-explosion audit of clicks×purchases per user BEFORE running
+    the join: per-key multiplicities, predicted pair counts, exact total
+    output cardinality — all BIGINT, count tables only, zero joined rows
+    materialized."""
+    from featureextraction_spark.operators.profiling import (
+        join_explosion_audit,
+    )
+
+    ev = _load(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click")
+    purchases = ev.filter(F.col("event_type") == "purchase")
+    return join_explosion_audit(clicks, purchases, "user_id", top_n=20)
+
+
+def q_ship_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape (shipping priority): BUILDING-segment orders not
+    yet shipped by 1998-03-15, top-10 open orders by revenue. The
+    3-table join plan Catalyst should pick: filtered customer dim
+    broadcast, orders⋈lineitem shuffled on the key, filters pushed to
+    every scan. Revenue is the exact integer vehicle rev_e4 =
+    Σ cents·(100−disc_pct) (BIGINT); the float is one closing /1e4."""
+    cust = _load(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = _load(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-03-15")
+    )
+    li = _load(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-03-15")
+    )
+    rev_e4 = (
+        F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+        * (F.lit(100) - F.round(F.col("l_discount") * 100, 0).cast("long"))
+    )
+    j = li.join(orders, li.l_orderkey == orders.o_orderkey).join(
+        F.broadcast(cust), orders.o_custkey == cust.c_custkey
+    )
+    agg = j.groupBy("l_orderkey", "o_orderdate", "o_orderpriority").agg(
+        F.sum(rev_e4).cast("long").alias("rev_e4")
+    )
+    top = agg.orderBy(F.col("rev_e4").desc(), F.col("l_orderkey").asc()).limit(10)
+    return top.select(
+        "l_orderkey",
+        epoch_us(top, "o_orderdate").alias("o_orderdate_us"),
+        "o_orderpriority",
+        "rev_e4",
+        _hround6(F.col("rev_e4").cast("double") / F.lit(10000.0)).alias("revenue"),
+    )
+
+
+def q_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape (local-supplier revenue): 6-table star join —
+    lineitem⋈orders⋈customer⋈supplier⋈nation⋈region, the
+    same-nation residual c_nationkey = s_nationkey, ASIA + one order
+    year. The join-reordering / multi-broadcast showcase: region,
+    nation, supplier, customer all broadcast; lineitem⋈orders is the
+    only shuffle. Same integer rev_e4 vehicle as q_ship_priority."""
+    sf = lambda n: _load(spark, sf_dir, n)  # noqa: E731
+    rev_e4 = (
+        F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+        * (F.lit(100) - F.round(F.col("l_discount") * 100, 0).cast("long"))
+    )
+    orders = sf("orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01"))
+    )
+    j = (
+        sf("lineitem")
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(sf("customer")), F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(sf("supplier")),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(sf("nation")), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(sf("region")), F.col("n_regionkey") == F.col("r_regionkey"))
+        .filter(F.col("r_name") == "ASIA")
+    )
+    agg = j.groupBy("n_name").agg(
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+        F.sum(rev_e4).cast("long").alias("rev_e4"),
+    )
+    return agg.select(
+        "n_name", "n_lines", "rev_e4",
+        _hround6(F.col("rev_e4").cast("double") / F.lit(10000.0)).alias("revenue"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "lag_lead": q_lag_lead,
@@ -3702,6 +3814,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ari": q_ari,
         "tv_split": q_tv_split,
         "knn_classify": q_knn_classify,
+        "kmv_card": q_kmv_card,
+        "join_explode": q_join_explode,
+        "ship_priority": q_ship_priority,
+        "regional_revenue": q_regional_revenue,
     }
 
 
@@ -3986,6 +4102,122 @@ def _round4ah_oracle_sql() -> dict[str, str]:
 
 
 
+def _round4ai_oracle_sql() -> dict[str, str]:
+    """Oracles for the KMV sketch, join-explosion audit, and the two
+    TPC-H-shaped warehouse joins (Q3/Q5)."""
+    h60 = (
+        "('0x' || substr(md5(CAST(user_id AS VARCHAR) || ':0'), 1, 15))"
+        "::BIGINT"
+    )
+    e4 = (
+        "CAST(round(l_extendedprice * 100) AS BIGINT)"
+        " * (100 - CAST(round(l_discount * 100) AS BIGINT))"
+    )
+    return {
+        "kmv_card": f"""
+            WITH h AS (
+                SELECT DISTINCT event_type, {h60} AS h FROM events
+            ),
+            r AS (
+                SELECT event_type, h,
+                       row_number() OVER (PARTITION BY event_type
+                                          ORDER BY h) AS rn
+                FROM h
+            ),
+            st AS (
+                SELECT event_type,
+                       CAST(max(rn) AS BIGINT) AS n_kept,
+                       CAST(max(h) AS BIGINT) AS kth_hash
+                FROM r WHERE rn <= 32 GROUP BY 1
+            ),
+            ex AS (
+                SELECT event_type,
+                       CAST(count(DISTINCT user_id) AS BIGINT)
+                           AS exact_distinct
+                FROM events GROUP BY 1
+            )
+            SELECT st.event_type, st.n_kept, st.kth_hash,
+                   round(CASE WHEN st.n_kept < 32
+                              THEN CAST(st.n_kept AS DOUBLE)
+                              ELSE CAST(31 AS DOUBLE)
+                                   * CAST(1152921504606846976 AS DOUBLE)
+                                   / CAST(st.kth_hash AS DOUBLE)
+                         END + 1e-9, 6) AS kmv_estimate,
+                   ex.exact_distinct
+            FROM st JOIN ex USING (event_type)
+        """,
+        "join_explode": """
+            WITH nl AS (
+                SELECT user_id AS k, CAST(count(*) AS BIGINT) AS nl
+                FROM events WHERE event_type = 'click' GROUP BY 1
+            ),
+            nr AS (
+                SELECT user_id AS k, CAST(count(*) AS BIGINT) AS nr
+                FROM events WHERE event_type = 'purchase' GROUP BY 1
+            ),
+            pk AS (
+                SELECT k, nl, nr, CAST(nl * nr AS BIGINT) AS pairs
+                FROM nl JOIN nr USING (k)
+            ),
+            tot AS (
+                SELECT CAST(sum(pairs) AS BIGINT) AS total_pairs,
+                       CAST(count(*) AS BIGINT) AS matched_keys,
+                       CAST(max(pairs) AS BIGINT) AS max_pairs
+                FROM pk
+            ),
+            rk AS (
+                SELECT *, CAST(row_number() OVER (ORDER BY pairs DESC, k)
+                               AS BIGINT) AS rank
+                FROM pk
+            )
+            SELECT rk.k AS user_id, rk.rank, rk.nl, rk.nr, rk.pairs,
+                   t.total_pairs, t.matched_keys, t.max_pairs
+            FROM rk CROSS JOIN tot t WHERE rk.rank <= 20
+        """,
+        "ship_priority": f"""
+            WITH j AS (
+                SELECT l.l_orderkey, o.o_orderdate, o.o_orderpriority,
+                       {e4} AS e4
+                FROM lineitem l
+                JOIN orders o ON l.l_orderkey = o.o_orderkey
+                JOIN customer c ON o.o_custkey = c.c_custkey
+                WHERE c.c_mktsegment = 'BUILDING'
+                  AND o.o_orderdate < TIMESTAMP '1998-03-15'
+                  AND l.l_shipdate > TIMESTAMP '1998-03-15'
+            ),
+            a AS (
+                SELECT l_orderkey, o_orderdate, o_orderpriority,
+                       CAST(sum(e4) AS BIGINT) AS rev_e4
+                FROM j GROUP BY 1, 2, 3
+            )
+            SELECT l_orderkey,
+                   epoch_us(o_orderdate) AS o_orderdate_us,
+                   o_orderpriority, rev_e4,
+                   round(CAST(rev_e4 AS DOUBLE) / CAST(10000 AS DOUBLE)
+                         + 1e-9, 6) AS revenue
+            FROM a ORDER BY rev_e4 DESC, l_orderkey LIMIT 10
+        """,
+        "regional_revenue": f"""
+            SELECT n.n_name,
+                   CAST(count(*) AS BIGINT) AS n_lines,
+                   CAST(sum({e4}) AS BIGINT) AS rev_e4,
+                   round(CAST(sum({e4}) AS DOUBLE) / CAST(10000 AS DOUBLE)
+                         + 1e-9, 6) AS revenue
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                           AND c.c_nationkey = s.s_nationkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            JOIN region r ON n.n_regionkey = r.r_regionkey
+            WHERE r.r_name = 'ASIA'
+              AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o.o_orderdate < TIMESTAMP '1997-01-01'
+            GROUP BY 1
+        """,
+    }
+
+
 def oracle_sql() -> dict[str, str]:
     win = "PARTITION BY user_id ORDER BY ts, event_id"
     cum = f"{win} ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"
@@ -4260,6 +4492,7 @@ def oracle_sql() -> dict[str, str]:
     base.update(_round4af_oracle_sql())
     base.update(_round4ag_oracle_sql())
     base.update(_round4ah_oracle_sql())
+    base.update(_round4ai_oracle_sql())
     # the keep-one apply step replays dedup_clusters' closure, then ranks
     # members by (n_chars desc, doc_id) inside each cluster
     base["canonical_docs"] = f"""

@@ -585,3 +585,70 @@ def corr_matrix(
             )
         )
     return g.select(F.explode(F.array(*rows)).alias("p")).select("p.*")
+
+
+def join_explosion_audit(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    top_n: int = 20,
+) -> DataFrame:
+    """Predict a join's output size BEFORE running it — the 100-TB
+    guardrail against the accidental many-to-many explosion (the classic
+    production incident: a "unique" key that isn't, and an innocent join
+    that emits 10^12 rows and takes the cluster down).
+
+    Per join key: left multiplicity ``nl``, right multiplicity ``nr``,
+    predicted pair count ``pairs = nl·nr``; plus, stamped on every row,
+    the join-wide totals — ``total_pairs = Σ nl·nr`` (the exact inner
+    join output cardinality), matched key count, and the max single-key
+    multiplicity product. Returns the ``top_n`` most explosive keys
+    (pairs desc, key asc — deterministic), each with its integer share
+    vehicle ``pairs / total_pairs`` left to the caller as two exact
+    BIGINTs.
+
+    Scale: the row tables collapse to per-key COUNT tables first (two
+    map-side-combinable groupBys, output |keys| rows each), so the audit
+    never materializes a single joined row; the count-table equi-join
+    shuffles |keys|, not |rows|. The totals ride a 1-row broadcast join;
+    the global top-k is the skew-proof two-phase salted plan (per-salt
+    top-k over |keys|/n_salts-row windows, then a final rank over the
+    ≤ n_salts·top_n survivors — never a single-partition sort of the
+    full key table). Exact while Σ nl·nr < 2^63 — beyond that the join
+    was never going to run anyway.
+    """
+    nl = left.groupBy(F.col(key).alias("k")).agg(
+        F.count(F.lit(1)).cast("long").alias("nl")
+    )
+    nr = right.groupBy(F.col(key).alias("k")).agg(
+        F.count(F.lit(1)).cast("long").alias("nr")
+    )
+    per_key = nl.join(nr, "k").select(
+        "k", "nl", "nr", (F.col("nl") * F.col("nr")).cast("long").alias("pairs")
+    )
+    totals = per_key.agg(
+        F.sum("pairs").cast("long").alias("total_pairs"),
+        F.count(F.lit(1)).cast("long").alias("matched_keys"),
+        F.max("pairs").cast("long").alias("max_pairs"),
+    )
+    from .sampling import _seed_hash
+
+    n_salts = 16
+    order = [F.col("pairs").desc(), F.col("k").asc()]
+    w1 = Window.partitionBy("__salt").orderBy(*order)
+    survivors = (
+        per_key.withColumn("__salt", F.pmod(_seed_hash("k", 0), F.lit(n_salts)))
+        .withColumn("__r1", F.row_number().over(w1))
+        .where(F.col("__r1") <= top_n)
+        .drop("__salt", "__r1")
+    )
+    # final rank over <= n_salts*top_n rows — bounded, single partition OK
+    w = Window.orderBy(*order)
+    top = (
+        survivors.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= top_n)
+    )
+    return top.crossJoin(F.broadcast(totals)).select(
+        F.col("k").alias(key), "rank", "nl", "nr", "pairs",
+        "total_pairs", "matched_keys", "max_pairs",
+    )

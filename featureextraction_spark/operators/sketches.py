@@ -357,3 +357,68 @@ def hist_quantile_estimate(
         F.col("cnt").alias("bin_cnt"),
         F.round(est + F.lit(1e-9), 6).alias("est_q"),
     )
+
+
+# ------------------------------------------------------------------ KMV
+
+KMV_SPACE = float(1 << 60)  # hash space size as an exactly-representable double
+
+
+def kmv_sketch(
+    items: DataFrame,
+    col: str,
+    k: int = 32,
+    group: str | None = None,
+) -> DataFrame:
+    """K-Minimum-Values distinct-count sketch (Bar-Yossef et al. 2002):
+    the k smallest DISTINCT 60-bit hashes of ``items[col]``, per
+    ``group`` (or globally). The fourth mergeable sketch next to
+    CMS/HLL/Bloom, and the one whose state is also a uniform SAMPLE of
+    the distinct values — set operations (union/intersection estimates)
+    come free by merging states, which HLL registers cannot give.
+
+    Returns the STATE table (group?, rn, h): mergeable by unioning two
+    states and re-keeping the k smallest (idempotent — hashes are a pure
+    function of the value, so shared values collapse on distinct).
+
+    Exactness contract: ``h`` is the repo's md5-60-bit ``_seed_hash``,
+    so the state is bit-identical on any engine; no float touches the
+    sketch until :func:`kmv_estimate`'s single closing division.
+
+    Scale: one map-combinable distinct over (group, h), then ONE
+    window — Spark 4 plans ``rn ≤ k`` as a map-side WindowGroupLimit
+    (partial per-task top-k before the exchange), so the sort input per
+    group is ~k·n_tasks rows, never the full distinct-hash table.
+    """
+    keys = [group] if group else []
+    h = items.select(*keys, _seed_hash(col, 0).alias("h")).distinct()
+    w = Window.partitionBy(*[F.col(c) for c in keys]).orderBy(F.col("h").asc())
+    return (
+        h.withColumn("rn", F.row_number().over(w).cast("long"))
+        .where(F.col("rn") <= k)
+        .select(*keys, "rn", "h")
+    )
+
+
+def kmv_estimate(state: DataFrame, k: int, group: str | None = None) -> DataFrame:
+    """Per-group cardinality from a :func:`kmv_sketch` state table.
+
+    With u_(k) = kth_hash / 2^60 the k-th smallest of n uniform draws,
+    the standard unbiased estimator is ``(k−1) / u_(k)``; below k kept
+    hashes the state IS the distinct set, so the count is exact. The
+    estimate is one double expression ``(k−1) · 2^60 / kth_hash`` from
+    exact integers — identical op order on both engines (caller
+    nudge-rounds for the hash gate). ``n_kept``/``kth_hash`` are the
+    BIGINT-exact hash vehicles.
+    """
+    keys = [group] if group else []
+    agg = state.groupBy(*keys).agg(
+        F.max("rn").cast("long").alias("n_kept"),
+        F.max("h").cast("long").alias("kth_hash"),
+    )
+    est = F.when(
+        F.col("n_kept") < k, F.col("n_kept").cast("double")
+    ).otherwise(
+        F.lit(float(k - 1)) * F.lit(KMV_SPACE) / F.col("kth_hash").cast("double")
+    )
+    return agg.select(*keys, "n_kept", "kth_hash", est.alias("kmv_estimate"))
