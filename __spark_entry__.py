@@ -3631,6 +3631,67 @@ def q_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cube_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE(lang, source) coverage matrix over documents — all four
+    grouping levels in ONE Expand+aggregate scan; n and Σ n_chars exact
+    BIGINT, grouping() flags disambiguate subtotal rows."""
+    from featureextraction_spark.operators.olap import cube_counts
+
+    docs = _load(spark, sf_dir, "documents")
+    return cube_counts(
+        docs.select("lang", "source", "n_chars"), "lang", "source", "n_chars"
+    )
+
+
+def q_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape (promo revenue share) by ship month: lineitem ⋈
+    broadcast part, promo_e4/total_e4 exact BIGINT rationals, the share
+    one closing division — the conditional-aggregation join pattern."""
+    li = _load(spark, sf_dir, "lineitem")
+    part = _load(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev_e4 = (
+        F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+        * (F.lit(100) - F.round(F.col("l_discount") * 100, 0).cast("long"))
+    )
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey).select(
+        (F.year("l_shipdate") * 100 + F.month("l_shipdate"))
+        .cast("long")
+        .alias("ship_month"),
+        rev_e4.alias("__e4"),
+        (F.col("p_type") == "PROMO").alias("__promo"),
+    )
+    agg = j.groupBy("ship_month").agg(
+        F.sum(F.when(F.col("__promo"), F.col("__e4")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("promo_e4"),
+        F.sum("__e4").cast("long").alias("total_e4"),
+    )
+    return agg.select(
+        "ship_month", "promo_e4", "total_e4",
+        _hround6(
+            F.lit(100.0)
+            * F.col("promo_e4").cast("double")
+            / F.col("total_e4").cast("double")
+        ).alias("promo_pct"),
+    )
+
+
+def q_dist_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise-cosine geometry profile of the embedding corpus over a
+    deterministic hash sample — 21 width-0.1 bins on the integer-
+    quantized cosine; counts/total BIGINT, share one closing division."""
+    from featureextraction_spark.operators.similarity import (
+        pair_distance_profile,
+    )
+
+    emb = _load(spark, sf_dir, "embeddings")
+    out = pair_distance_profile(emb, sample_mod=3)
+    return out.select(
+        "bin", "lo_q6", "n_pairs", "total_pairs",
+        _hround6(F.col("share")).alias("share"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "lag_lead": q_lag_lead,
@@ -3818,6 +3879,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_explode": q_join_explode,
         "ship_priority": q_ship_priority,
         "regional_revenue": q_regional_revenue,
+        "cube_counts": q_cube_counts,
+        "promo_share": q_promo_share,
+        "dist_profile": q_dist_profile,
     }
 
 
@@ -4218,6 +4282,72 @@ def _round4ai_oracle_sql() -> dict[str, str]:
     }
 
 
+def _round4aj_oracle_sql() -> dict[str, str]:
+    """Oracles for the CUBE coverage matrix, the Q14-shaped promo
+    share, and the embedding pairwise-cosine geometry profile."""
+    e4 = (
+        "CAST(round(l_extendedprice * 100) AS BIGINT)"
+        " * (100 - CAST(round(l_discount * 100) AS BIGINT))"
+    )
+    return {
+        "cube_counts": """
+            SELECT lang, source,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(n_chars) AS BIGINT) AS sum_v,
+                   CAST(grouping(lang) AS BIGINT) AS g1_total,
+                   CAST(grouping(source) AS BIGINT) AS g2_total
+            FROM documents GROUP BY CUBE(lang, source)
+        """,
+        "promo_share": f"""
+            WITH j AS (
+                SELECT CAST(year(l_shipdate) * 100 + month(l_shipdate)
+                            AS BIGINT) AS ship_month,
+                       {e4} AS e4,
+                       p.p_type = 'PROMO' AS promo
+                FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+            )
+            SELECT ship_month,
+                   CAST(coalesce(sum(e4) FILTER (promo), 0) AS BIGINT)
+                       AS promo_e4,
+                   CAST(sum(e4) AS BIGINT) AS total_e4,
+                   round(CAST(100 AS DOUBLE)
+                         * CAST(coalesce(sum(e4) FILTER (promo), 0)
+                                AS DOUBLE)
+                         / CAST(sum(e4) AS DOUBLE) + 1e-9, 6) AS promo_pct
+            FROM j GROUP BY 1
+        """,
+        "dist_profile": """
+            WITH s AS (
+                SELECT vec_id AS id, embedding::DOUBLE[] AS v
+                FROM embeddings
+                WHERE ('0x' || substr(md5(CAST(vec_id AS VARCHAR) || ':7'),
+                                      1, 15))::BIGINT % 3 = 0
+            ),
+            pairs AS (
+                SELECT CAST(floor(list_dot_product(a.v, b.v)
+                                  / (sqrt(list_dot_product(a.v, a.v))
+                                     * sqrt(list_dot_product(b.v, b.v)))
+                                  * CAST(1000000 AS DOUBLE)
+                                  + CAST('0.5' AS DOUBLE)) AS BIGINT) AS q
+                FROM s a JOIN s b ON a.id < b.id
+            ),
+            hist AS (
+                SELECT CAST((q + 1000000) // 100000 AS BIGINT) AS bin,
+                       CAST(count(*) AS BIGINT) AS n_pairs
+                FROM pairs GROUP BY 1
+            ),
+            tot AS (SELECT CAST(sum(n_pairs) AS BIGINT) AS total_pairs
+                    FROM hist)
+            SELECT h.bin,
+                   CAST(h.bin * 100000 - 1000000 AS BIGINT) AS lo_q6,
+                   h.n_pairs, t.total_pairs,
+                   round(CAST(h.n_pairs AS DOUBLE)
+                         / CAST(t.total_pairs AS DOUBLE) + 1e-9, 6) AS share
+            FROM hist h CROSS JOIN tot t
+        """,
+    }
+
+
 def oracle_sql() -> dict[str, str]:
     win = "PARTITION BY user_id ORDER BY ts, event_id"
     cum = f"{win} ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"
@@ -4493,6 +4623,7 @@ def oracle_sql() -> dict[str, str]:
     base.update(_round4ag_oracle_sql())
     base.update(_round4ah_oracle_sql())
     base.update(_round4ai_oracle_sql())
+    base.update(_round4aj_oracle_sql())
     # the keep-one apply step replays dedup_clusters' closure, then ranks
     # members by (n_chars desc, doc_id) inside each cluster
     base["canonical_docs"] = f"""

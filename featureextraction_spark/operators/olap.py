@@ -59,3 +59,27 @@ def pivot_counts(
     for v in values:
         sel.append(F.coalesce(F.col(f"`{v}`"), F.lit(0)).cast("long").alias(f"n_{v}"))
     return wide.select(*sel)
+
+
+def cube_counts(
+    df: DataFrame,
+    g1: str,
+    g2: str,
+    value: str,
+) -> DataFrame:
+    """CUBE(g1, g2): all four grouping levels — (g1,g2), g1 subtotals,
+    g2 subtotals, grand total — in ONE pass. Where :func:`rollup_counts`
+    gives the drill-down hierarchy, CUBE adds the cross-slice (per-g2
+    totals across all g1), the shape a curation dashboard wants for a
+    lang × source coverage matrix. Spark plans it as a single Expand
+    (4 rows per input row) + one map-side-combinable aggregate — the
+    input is scanned ONCE, never four times; grouping() flags (exact
+    integers) disambiguate real NULL keys from subtotal rows.
+    ``value`` must be an exact integer column (sum is a BIGINT vehicle).
+    """
+    return df.cube(g1, g2).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(value).cast("long").alias("sum_v"),
+        F.grouping(g1).cast("long").alias("g1_total"),
+        F.grouping(g2).cast("long").alias("g2_total"),
+    )

@@ -1047,3 +1047,64 @@ def knn_classify(
         "query_id", "label", "pred", "votes",
         (F.col("pred") == F.col("label")).cast("long").alias("hit"),
     )
+
+
+def pair_distance_profile(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample_mod: int = 5,
+    n_bins_half: int = 10,
+    seed: int = 7,
+) -> DataFrame:
+    """Pairwise-cosine distribution profile of an embedding corpus —
+    the geometry health-check run before tuning any dedup/ANN threshold
+    (a hub-dominated or collapsed space shows up here first: mass piled
+    near 1.0 means near-duplicate saturation, mass at 0 means healthy
+    spread).
+
+    All pairs of a DETERMINISTIC hash sample (ids with
+    ``hash60(id:seed) % sample_mod == 0`` — content-addressed, no RNG,
+    grows O(N/sample_mod)), binned on the integer-quantized cosine:
+    ``bin = (quantize_q6(cos) + 1e6) div 1e5`` — clamp-free because
+    cosine is already in [−1, 1]; 2·n_bins_half buckets of width 0.1
+    plus bin 2·n_bins_half for cos ≈ 1.0 exactly. Counts and the total
+    are exact BIGINTs; each bin's share is one closing division.
+
+    Scale: the sample (s = N/sample_mod rows) broadcasts; the s²/2 pair
+    stream never materializes — it flows straight into a ≤ 21-row
+    map-side-combinable aggregate. Size sample_mod so s stays in the
+    10-50k range (10⁸–10⁹ cheap dot products across the cluster); for
+    corpus-scale all-pairs work use the LSH/IVF engines instead — this
+    operator is a PROFILE, not a join.
+    """
+    from ..operators.rolling import quantize_q6
+    from ..operators.sampling import _seed_hash
+
+    s = emb.filter(
+        F.pmod(_seed_hash(id_col, seed), F.lit(sample_mod)) == 0
+    ).select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"))
+    b = s.select(
+        F.col("__id").alias("__id2"), F.col("__v").alias("__v2")
+    )
+    pairs = s.crossJoin(F.broadcast(b)).where(F.col("__id") < F.col("__id2"))
+    width_q = 1_000_000 // n_bins_half
+    binned = pairs.select(
+        quantize_q6(
+            cosine_similarity_col(F.col("__v"), F.col("__v2"))
+        ).alias("__q")
+    ).select(
+        F.expr(f"CAST((__q + 1000000) div {width_q} AS BIGINT)").alias("bin")
+    )
+    hist = binned.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs")
+    )
+    tot = hist.agg(F.sum("n_pairs").cast("long").alias("total_pairs"))
+    return hist.crossJoin(F.broadcast(tot)).select(
+        "bin",
+        ((F.col("bin") * width_q) - 1_000_000).cast("long").alias("lo_q6"),
+        "n_pairs",
+        "total_pairs",
+        (F.col("n_pairs").cast("double") / F.col("total_pairs").cast("double"))
+        .alias("share"),
+    )
