@@ -3692,6 +3692,119 @@ def q_dist_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_IVM_CUTOFF = "1999-01-01"
+
+
+def q_ivm_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental join-view maintenance, externally gated: the stored
+    pre-cutoff orders⋈lineitem view plus the delta-rule terms
+    (ΔL⋈R₀ ∪ L₀⋈ΔR ∪ ΔL⋈ΔR) must equal the from-scratch join the
+    oracle computes — proving the day's maintenance never re-joins the
+    base tables. Monthly rollup; rev_e4 exact BIGINT."""
+    from featureextraction_spark.operators.joins import incremental_join_delta
+
+    orders = _load(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    li = _load(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o_orderkey"),
+        "l_shipdate",
+        (
+            F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+            * (F.lit(100) - F.round(F.col("l_discount") * 100, 0).cast("long"))
+        ).alias("rev_e4"),
+    )
+    cut = F.lit(_IVM_CUTOFF)
+    view0 = orders.filter(F.col("o_orderdate") < cut).join(
+        li.filter(F.col("l_shipdate") < cut), "o_orderkey"
+    )
+    delta = incremental_join_delta(
+        orders.filter(F.col("o_orderdate") < cut),
+        orders.filter(F.col("o_orderdate") >= cut),
+        li.filter(F.col("l_shipdate") < cut),
+        li.filter(F.col("l_shipdate") >= cut),
+        "o_orderkey",
+    )
+    full = view0.unionByName(delta)
+    return (
+        full.groupBy(
+            (F.year("o_orderdate") * 100 + F.month("o_orderdate"))
+            .cast("long")
+            .alias("order_month")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+            F.sum("rev_e4").cast("long").alias("rev_e4"),
+        )
+    )
+
+
+def q_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape (idle high-balance customers): strictly-above-
+    average balance via the integer cross-multiply cents·n > Σcents
+    (no division, no float threshold), anti-join against recent orders,
+    per-nation rollup — the scalar-broadcast + anti-join pattern."""
+    cust = _load(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_nationkey",
+        F.floor(F.col("c_acctbal") * F.lit(100.0) + F.lit(0.5))
+        .cast("long")
+        .alias("cents"),
+    )
+    pos = cust.filter(F.col("cents") > 0)
+    tot = pos.agg(
+        F.sum("cents").cast("long").alias("sum_cents"),
+        F.count(F.lit(1)).cast("long").alias("n_pos"),
+    )
+    rich = cust.crossJoin(F.broadcast(tot)).filter(
+        F.col("cents") * F.col("n_pos") > F.col("sum_cents")
+    )
+    recent = _load(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit(_IVM_CUTOFF)
+    ).select(F.col("o_custkey").alias("c_custkey"))
+    idle = rich.join(recent, "c_custkey", "left_anti")
+    nation = _load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nationkey"), "n_name"
+    )
+    return (
+        idle.join(F.broadcast(nation), "c_nationkey")
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_idle"),
+            F.sum("cents").cast("long").alias("sum_idle_cents"),
+        )
+    )
+
+
+def q_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape (large-volume orders): HAVING-filtered per-order
+    quantity totals joined back to orders+customer, distributed top-20
+    via TakeOrdered — integer quantities, fully deterministic order."""
+    li = _load(spark, sf_dir, "lineitem")
+    totals = (
+        li.groupBy(F.col("l_orderkey").alias("o_orderkey"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+            F.sum(F.floor(F.col("l_quantity") + F.lit(0.5)).cast("long"))
+            .cast("long")
+            .alias("total_qty"),
+        )
+        .filter(F.col("total_qty") > 150)
+    )
+    orders = _load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    j = totals.join(orders, "o_orderkey")
+    top = j.orderBy(
+        F.col("total_qty").desc(), F.col("o_orderkey").asc()
+    ).limit(20)
+    return top.select(
+        "o_orderkey",
+        "o_custkey",
+        epoch_us(top, "o_orderdate").alias("o_orderdate_us"),
+        "n_lines",
+        "total_qty",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "lag_lead": q_lag_lead,
@@ -3882,6 +3995,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cube_counts": q_cube_counts,
         "promo_share": q_promo_share,
         "dist_profile": q_dist_profile,
+        "ivm_join": q_ivm_join,
+        "idle_customers": q_idle_customers,
+        "big_orders": q_big_orders,
     }
 
 
@@ -4348,6 +4464,72 @@ def _round4aj_oracle_sql() -> dict[str, str]:
     }
 
 
+def _round4ak_oracle_sql() -> dict[str, str]:
+    """Oracles for the incremental-join view, idle-customer anti-join,
+    and large-volume-order (Q18) reads — all computed FROM SCRATCH, so
+    the incremental/filtered Spark plans are externally gated against
+    the direct definition."""
+    e4 = (
+        "CAST(round(l_extendedprice * 100) AS BIGINT)"
+        " * (100 - CAST(round(l_discount * 100) AS BIGINT))"
+    )
+    return {
+        "ivm_join": f"""
+            SELECT CAST(year(o_orderdate) * 100 + month(o_orderdate)
+                        AS BIGINT) AS order_month,
+                   CAST(count(*) AS BIGINT) AS n_lines,
+                   CAST(sum({e4}) AS BIGINT) AS rev_e4
+            FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+            GROUP BY 1
+        """,
+        "idle_customers": f"""
+            WITH c AS (
+                SELECT c_custkey, c_nationkey,
+                       CAST(floor(c_acctbal * CAST(100 AS DOUBLE)
+                                  + CAST('0.5' AS DOUBLE)) AS BIGINT)
+                           AS cents
+                FROM customer
+            ),
+            tot AS (
+                SELECT CAST(sum(cents) AS BIGINT) AS sum_cents,
+                       CAST(count(*) AS BIGINT) AS n_pos
+                FROM c WHERE cents > 0
+            ),
+            idle AS (
+                SELECT c.c_nationkey, c.cents
+                FROM c CROSS JOIN tot t
+                WHERE c.cents * t.n_pos > t.sum_cents
+                  AND NOT EXISTS (
+                      SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderdate >= TIMESTAMP '{_IVM_CUTOFF}'
+                  )
+            )
+            SELECT n.n_name,
+                   CAST(count(*) AS BIGINT) AS n_idle,
+                   CAST(sum(i.cents) AS BIGINT) AS sum_idle_cents
+            FROM idle i JOIN nation n ON i.c_nationkey = n.n_nationkey
+            GROUP BY 1
+        """,
+        "big_orders": """
+            WITH t AS (
+                SELECT l_orderkey AS o_orderkey,
+                       CAST(count(*) AS BIGINT) AS n_lines,
+                       CAST(sum(CAST(floor(l_quantity
+                                           + CAST('0.5' AS DOUBLE))
+                                     AS BIGINT)) AS BIGINT) AS total_qty
+                FROM lineitem GROUP BY 1
+            )
+            SELECT o.o_orderkey, o.o_custkey,
+                   epoch_us(o.o_orderdate) AS o_orderdate_us,
+                   t.n_lines, t.total_qty
+            FROM t JOIN orders o USING (o_orderkey)
+            WHERE t.total_qty > 150
+            ORDER BY t.total_qty DESC, o.o_orderkey LIMIT 20
+        """,
+    }
+
+
 def oracle_sql() -> dict[str, str]:
     win = "PARTITION BY user_id ORDER BY ts, event_id"
     cum = f"{win} ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"
@@ -4624,6 +4806,7 @@ def oracle_sql() -> dict[str, str]:
     base.update(_round4ah_oracle_sql())
     base.update(_round4ai_oracle_sql())
     base.update(_round4aj_oracle_sql())
+    base.update(_round4ak_oracle_sql())
     # the keep-one apply step replays dedup_clusters' closure, then ranks
     # members by (n_chars desc, doc_id) inside each cluster
     base["canonical_docs"] = f"""

@@ -60,3 +60,38 @@ def all_pairs(
         F.col(id_col).alias("b_id"), *[F.col(c).alias(f"b_{c}") for c in payload]
     )
     return a.join(b, F.col("a_id") < F.col("b_id"))
+
+
+def incremental_join_delta(
+    left_old: DataFrame,
+    left_delta: DataFrame,
+    right_old: DataFrame,
+    right_delta: DataFrame,
+    on: Sequence[str] | str,
+) -> DataFrame:
+    """Incremental view maintenance for an inner equi-join over
+    INSERT-ONLY deltas: the rows that must be ADDED to a stored
+    ``left_old ⋈ right_old`` view when batches ``left_delta`` /
+    ``right_delta`` arrive —
+
+        Δview = ΔL ⋈ R₀  ∪  L₀ ⋈ ΔR  ∪  ΔL ⋈ ΔR
+
+    (the classic delta-rule factoring; each joined pair involving a new
+    row appears in exactly one term, so the union needs no dedup). The
+    100-TB point: the stored view is NEVER re-joined — the day's
+    maintenance cost is two delta-sized joins against the base tables
+    plus a delta×delta join, not |L|·|R| work over again.
+
+    Scale: all three terms are key equi-joins (shuffle on the key, or
+    broadcast when a delta is small — AQE picks this up at runtime from
+    the delta's actual size; deltas are the small side by construction).
+    Correct for bag semantics; updates/deletes need the signed-count
+    extension (not modeled here — pair with the CDC compactor to reduce
+    upserts to insert-only snapshots first).
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    return (
+        left_delta.join(right_old, keys)
+        .unionByName(left_old.join(right_delta, keys))
+        .unionByName(left_delta.join(right_delta, keys))
+    )
