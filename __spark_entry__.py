@@ -3805,6 +3805,35 @@ def q_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hardest-negative mining for the first 150 anchors: nearest
+    same-label and nearest other-label neighbor per anchor, margin and
+    violation flag — ranks on rounded cosine, margin a difference of
+    exact 1e-6 multiples, violation BIGINT."""
+    from featureextraction_spark.operators.similarity import (
+        hard_negative_mining,
+    )
+
+    emb = _load(spark, sf_dir, "embeddings")
+    return hard_negative_mining(emb.filter(F.col("vec_id") < 150), emb)
+
+
+def q_neyman_alloc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neyman-optimal labeling-budget allocation across sources by
+    n_chars variance — integer moments, overflow-safe scaled variance,
+    exact integer sqrt, BIGINT budget split; share one division."""
+    from featureextraction_spark.operators.sampling import neyman_allocation
+
+    docs = _load(spark, sf_dir, "documents")
+    out = neyman_allocation(
+        docs, stratum="source", value="n_chars", total_budget=1000
+    )
+    return out.select(
+        "source", "n_rows", "var_q", "sigma_q", "alloc_num", "total_alloc",
+        "n_target", _hround6(F.col("share")).alias("share"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "lag_lead": q_lag_lead,
@@ -3998,6 +4027,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivm_join": q_ivm_join,
         "idle_customers": q_idle_customers,
         "big_orders": q_big_orders,
+        "hard_negatives": q_hard_negatives,
+        "neyman_alloc": q_neyman_alloc,
     }
 
 
@@ -4530,6 +4561,102 @@ def _round4ak_oracle_sql() -> dict[str, str]:
     }
 
 
+def _round4al_oracle_sql() -> dict[str, str]:
+    """Oracles for hard-negative mining and Neyman budget allocation."""
+    return {
+        "hard_negatives": """
+            WITH a AS (
+                SELECT vec_id AS anchor_id, embedding::DOUBLE[] AS av,
+                       label AS anchor_label
+                FROM embeddings WHERE vec_id < 150
+            ),
+            c AS (
+                SELECT vec_id AS other_id, embedding::DOUBLE[] AS cv,
+                       label AS olabel
+                FROM embeddings
+            ),
+            scored AS (
+                SELECT anchor_id, anchor_label, other_id,
+                       olabel = anchor_label AS same,
+                       round(list_dot_product(av, cv)
+                             / (sqrt(list_dot_product(av, av))
+                                * sqrt(list_dot_product(cv, cv))), 6)
+                           AS cosine
+                FROM a, c WHERE anchor_id <> other_id
+            ),
+            best AS (
+                SELECT *, row_number() OVER (
+                           PARTITION BY anchor_id, same
+                           ORDER BY cosine DESC, other_id) AS rn
+                FROM scored
+            ),
+            pos AS (
+                SELECT anchor_id, anchor_label, other_id AS pos_id,
+                       cosine AS pos_cos
+                FROM best WHERE same AND rn = 1
+            ),
+            neg AS (
+                SELECT anchor_id, other_id AS neg_id, cosine AS neg_cos
+                FROM best WHERE NOT same AND rn = 1
+            )
+            SELECT p.anchor_id, p.anchor_label, p.pos_id, p.pos_cos,
+                   n.neg_id, n.neg_cos,
+                   p.pos_cos - n.neg_cos AS margin,
+                   CAST(CASE WHEN p.pos_cos <= n.neg_cos THEN 1 ELSE 0 END
+                        AS BIGINT) AS is_violation
+            FROM pos p JOIN neg n USING (anchor_id)
+        """,
+        "neyman_alloc": """
+            WITH g AS (
+                SELECT source,
+                       CAST(count(*) AS BIGINT) AS n_rows,
+                       CAST(sum(n_chars) AS BIGINT) AS sum_x,
+                       CAST(sum(n_chars * n_chars) AS BIGINT) AS sum_x2
+                FROM documents GROUP BY 1
+            ),
+            vq AS (
+                SELECT *,
+                       CAST(CASE WHEN n_rows > 1 THEN
+                           (n_rows * sum_x2 - sum_x * sum_x)
+                               // (n_rows * (n_rows - 1)) * 10000
+                           + ((n_rows * sum_x2 - sum_x * sum_x)
+                               % (n_rows * (n_rows - 1))) * 10000
+                               // (n_rows * (n_rows - 1))
+                       ELSE 0 END AS BIGINT) AS var_q
+                FROM g
+            ),
+            sq AS (
+                SELECT *,
+                       CAST(CASE
+                           WHEN (m + 1) * (m + 1) <= var_q THEN m + 1
+                           WHEN m * m > var_q THEN m - 1
+                           ELSE m END AS BIGINT) AS sigma_q
+                FROM (SELECT *, CAST(floor(sqrt(CAST(var_q AS DOUBLE)))
+                                     AS BIGINT) AS m
+                      FROM vq)
+            ),
+            al AS (
+                SELECT source, n_rows, var_q, sigma_q,
+                       CAST(n_rows * sigma_q AS BIGINT) AS alloc_num
+                FROM sq
+            ),
+            tot AS (SELECT CAST(sum(alloc_num) AS BIGINT) AS total_alloc
+                    FROM al)
+            SELECT a.source, a.n_rows, a.var_q, a.sigma_q, a.alloc_num,
+                   t.total_alloc,
+                   CAST(CASE WHEN t.total_alloc > 0
+                        THEN 1000 * a.alloc_num // t.total_alloc
+                        ELSE 0 END AS BIGINT) AS n_target,
+                   CASE WHEN t.total_alloc > 0
+                        THEN round(CAST(a.alloc_num AS DOUBLE)
+                                   / CAST(t.total_alloc AS DOUBLE)
+                                   + 1e-9, 6)
+                   END AS share
+            FROM al a CROSS JOIN tot t
+        """,
+    }
+
+
 def oracle_sql() -> dict[str, str]:
     win = "PARTITION BY user_id ORDER BY ts, event_id"
     cum = f"{win} ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"
@@ -4807,6 +4934,7 @@ def oracle_sql() -> dict[str, str]:
     base.update(_round4ai_oracle_sql())
     base.update(_round4aj_oracle_sql())
     base.update(_round4ak_oracle_sql())
+    base.update(_round4al_oracle_sql())
     # the keep-one apply step replays dedup_clusters' closure, then ranks
     # members by (n_chars desc, doc_id) inside each cluster
     base["canonical_docs"] = f"""

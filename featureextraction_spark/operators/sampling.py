@@ -335,3 +335,91 @@ def systematic_sample(
     return ranked.where(
         F.pmod(F.col("__rk"), F.lit(every_k)) == F.lit(offset % every_k)
     ).drop("__rk")
+
+
+def _isqrt(x: F.Column) -> F.Column:
+    """Exact integer sqrt of a non-negative BIGINT column: floor(sqrt)
+    via IEEE double sqrt, then a ±1 integer correction — sqrt is
+    correctly rounded on every engine, but floor of it can land one off
+    near perfect squares once x exceeds ~2^44; the integer comparisons
+    pin the true value regardless of which side the float landed on."""
+    m = F.floor(F.sqrt(x.cast("double"))).cast("long")
+    return (
+        F.when((m + 1) * (m + 1) <= x, m + 1)
+        .when(m * m > x, m - 1)
+        .otherwise(m)
+    )
+
+
+def neyman_allocation(
+    df: DataFrame,
+    stratum: str,
+    value: str,
+    total_budget: int = 1000,
+    var_scale: int = 10_000,
+) -> DataFrame:
+    """Neyman-optimal sample allocation across strata (Neyman 1934):
+    labeling/eval budget per stratum ∝ N_h · S_h — big, high-variance
+    strata get more budget, uniform strata less. The standard design
+    step for building an eval set over a heterogeneous corpus
+    (per-source labeling budgets, stratified quality audits).
+
+    Everything that crosses the hash gate is integer-exact:
+
+    - per-stratum moment sums n, Σx, Σx² (one map-combinable pass over
+      an integer ``value`` column);
+    - ``var_q = (n·Σx² − (Σx)²)·var_scale div (n·(n−1))`` — the sample
+      variance in 1/var_scale units, integer floor division (0 for
+      single-row strata: no within-stratum signal);
+    - ``sigma_q = isqrt(var_q)`` — EXACT integer sqrt (float sqrt with
+      a ±1 integer correction, portable at any magnitude);
+    - ``alloc_num = n·sigma_q`` and the budget split ``n_target =
+      total_budget·alloc_num div Σ alloc_num`` — pure BIGINT
+      arithmetic; the float ``share`` is one closing division.
+
+    Requires n·Σx² < 2^63 (~10^9 rows/stratum at 32-bit values; above,
+    pre-scale ``value`` — the allocation is scale-invariant).
+
+    Scale: one groupBy onto |strata| rows; the Σ alloc_num total joins
+    back as a 1-row broadcast. Row order never matters.
+    """
+    v = F.col(value).cast("long")
+    g = df.groupBy(F.col(stratum)).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum(v).cast("long").alias("sum_x"),
+        F.sum(v * v).cast("long").alias("sum_x2"),
+    )
+    # floor(raw·scale / den) WITHOUT the raw·scale product ever
+    # materializing (it overflows int64 on big strata): split into
+    # (raw div den)·scale + ((raw mod den)·scale) div den — exact.
+    g = g.withColumn(
+        "var_q",
+        F.expr(
+            f"""CASE WHEN n_rows > 1 THEN
+                  (n_rows * sum_x2 - sum_x * sum_x)
+                      div (n_rows * (n_rows - 1)) * {var_scale}L
+                  + ((n_rows * sum_x2 - sum_x * sum_x)
+                      % (n_rows * (n_rows - 1))) * {var_scale}L
+                      div (n_rows * (n_rows - 1))
+                ELSE 0L END"""
+        ).cast("long"),
+    )
+    g = g.withColumn("sigma_q", _isqrt(F.col("var_q")).cast("long"))
+    g = g.withColumn(
+        "alloc_num", (F.col("n_rows") * F.col("sigma_q")).cast("long")
+    )
+    tot = g.agg(F.sum("alloc_num").cast("long").alias("total_alloc"))
+    out = g.crossJoin(F.broadcast(tot))
+    return out.select(
+        stratum, "n_rows", "var_q", "sigma_q", "alloc_num", "total_alloc",
+        F.expr(
+            f"CASE WHEN total_alloc > 0 THEN "
+            f"CAST({total_budget}L * alloc_num div total_alloc AS BIGINT) "
+            f"ELSE 0L END"
+        ).alias("n_target"),
+        F.when(
+            F.col("total_alloc") > 0,
+            F.col("alloc_num").cast("double")
+            / F.col("total_alloc").cast("double"),
+        ).alias("share"),
+    )

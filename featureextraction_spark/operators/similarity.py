@@ -1108,3 +1108,79 @@ def pair_distance_profile(
         (F.col("n_pairs").cast("double") / F.col("total_pairs").cast("double"))
         .alias("share"),
     )
+
+
+def hard_negative_mining(
+    anchors: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Hardest-negative mining for contrastive training (Schroff FaceNet
+    CVPR'15 semi-hard sampling, done exactly): for each anchor, the most
+    cosine-similar corpus row with a DIFFERENT label (the hard negative)
+    and the most similar with the SAME label (the positive), plus the
+    margin between them. Margin ≤ 0 flags anchors whose nearest neighbor
+    crosses the class boundary — exactly the pairs a contrastive loss
+    learns most from, and exactly what a curation pass exports.
+
+    Determinism: both ranks order on (rounded cosine desc, id asc) — the
+    :func:`cosine_topk` contract; the margin is a difference of two
+    already-rounded values (exact multiples of 10^-round_digits), so no
+    fresh float boundary is introduced. Self-matches excluded.
+
+    Scale: the anchor batch broadcasts and the corpus STREAMS past it
+    (the :func:`cosine_topk` shape — corpus-side scan, no corpus
+    shuffle); mine in anchor batches of ~10k. Above broadcastable
+    anchor batches, run the same downstream ranks over
+    :func:`ivf_topk` candidates — the rank/join logic is
+    engine-agnostic. The two ranks share ONE window exchange keyed on
+    the anchor id.
+    """
+    from pyspark.sql import Window
+
+    a = anchors.select(
+        F.col(id_col).alias("anchor_id"),
+        F.col(vec_col).alias("__av"),
+        F.col(label_col).alias("anchor_label"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("other_id"),
+        F.col(vec_col).alias("__cv"),
+        F.col(label_col).alias("__olabel"),
+    )
+    scored = (
+        c.join(F.broadcast(a), F.col("anchor_id") != F.col("other_id"))
+        .withColumn(
+            "cosine",
+            F.round(
+                cosine_similarity_col(F.col("__av"), F.col("__cv")),
+                round_digits,
+            ),
+        )
+        .withColumn("__same", F.col("__olabel") == F.col("anchor_label"))
+    )
+    w = Window.partitionBy("anchor_id", "__same").orderBy(
+        F.col("cosine").desc(), F.col("other_id").asc()
+    )
+    best = scored.withColumn("__rn", F.row_number().over(w)).where(
+        F.col("__rn") == 1
+    )
+    pos = best.where(F.col("__same")).select(
+        "anchor_id",
+        "anchor_label",
+        F.col("other_id").alias("pos_id"),
+        F.col("cosine").alias("pos_cos"),
+    )
+    neg = best.where(~F.col("__same")).select(
+        "anchor_id",
+        F.col("other_id").alias("neg_id"),
+        F.col("cosine").alias("neg_cos"),
+    )
+    return pos.join(neg, "anchor_id").select(
+        "anchor_id", "anchor_label", "pos_id", "pos_cos", "neg_id", "neg_cos",
+        (F.col("pos_cos") - F.col("neg_cos")).alias("margin"),
+        (F.col("pos_cos") <= F.col("neg_cos")).cast("long").alias("is_violation"),
+    )
