@@ -3834,6 +3834,19 @@ def q_neyman_alloc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_neyman_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply step of the Neyman design: draw the actual variance-
+    proportional stratified sample — content-addressed per-stratum
+    ranks capped at each stratum's n_target; all-integer output."""
+    from featureextraction_spark.operators.sampling import neyman_sample
+
+    docs = _load(spark, sf_dir, "documents")
+    return neyman_sample(
+        docs, stratum="source", value="n_chars", id_col="doc_id",
+        total_budget=1000,
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "lag_lead": q_lag_lead,
@@ -4029,6 +4042,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "big_orders": q_big_orders,
         "hard_negatives": q_hard_negatives,
         "neyman_alloc": q_neyman_alloc,
+        "neyman_sample": q_neyman_sample,
     }
 
 
@@ -4653,6 +4667,62 @@ def _round4al_oracle_sql() -> dict[str, str]:
                                    + 1e-9, 6)
                    END AS share
             FROM al a CROSS JOIN tot t
+        """,
+        "neyman_sample": """
+            WITH g AS (
+                SELECT source,
+                       CAST(count(*) AS BIGINT) AS n_rows,
+                       CAST(sum(n_chars) AS BIGINT) AS sum_x,
+                       CAST(sum(n_chars * n_chars) AS BIGINT) AS sum_x2
+                FROM documents GROUP BY 1
+            ),
+            vq AS (
+                SELECT *,
+                       CAST(CASE WHEN n_rows > 1 THEN
+                           (n_rows * sum_x2 - sum_x * sum_x)
+                               // (n_rows * (n_rows - 1)) * 10000
+                           + ((n_rows * sum_x2 - sum_x * sum_x)
+                               % (n_rows * (n_rows - 1))) * 10000
+                               // (n_rows * (n_rows - 1))
+                       ELSE 0 END AS BIGINT) AS var_q
+                FROM g
+            ),
+            sq AS (
+                SELECT *,
+                       CAST(CASE
+                           WHEN (m + 1) * (m + 1) <= var_q THEN m + 1
+                           WHEN m * m > var_q THEN m - 1
+                           ELSE m END AS BIGINT) AS sigma_q
+                FROM (SELECT *, CAST(floor(sqrt(CAST(var_q AS DOUBLE)))
+                                     AS BIGINT) AS m
+                      FROM vq)
+            ),
+            al AS (
+                SELECT source, n_rows,
+                       CAST(n_rows * sigma_q AS BIGINT) AS alloc_num
+                FROM sq
+            ),
+            tot AS (SELECT CAST(sum(alloc_num) AS BIGINT) AS total_alloc
+                    FROM al),
+            quota AS (
+                SELECT a.source,
+                       CAST(CASE WHEN t.total_alloc > 0
+                            THEN 1000 * a.alloc_num // t.total_alloc
+                            ELSE 0 END AS BIGINT) AS n_target
+                FROM al a CROSS JOIN tot t
+            ),
+            ranked AS (
+                SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars,
+                       CAST(row_number() OVER (
+                           PARTITION BY source
+                           ORDER BY ('0x' || substr(md5(
+                               CAST(doc_id AS VARCHAR) || ':77'), 1, 15)
+                               )::BIGINT, doc_id) AS BIGINT) AS draw_rank
+                FROM documents
+            )
+            SELECT r.doc_id, r.source, r.n_chars, r.draw_rank, q.n_target
+            FROM ranked r JOIN quota q USING (source)
+            WHERE r.draw_rank <= q.n_target
         """,
     }
 

@@ -423,3 +423,39 @@ def neyman_allocation(
             / F.col("total_alloc").cast("double"),
         ).alias("share"),
     )
+
+
+def neyman_sample(
+    df: DataFrame,
+    stratum: str,
+    value: str,
+    id_col: str,
+    total_budget: int = 1000,
+    var_scale: int = 10_000,
+    seed: int = 77,
+) -> DataFrame:
+    """APPLY step for :func:`neyman_allocation`: actually draw the
+    variance-proportional stratified sample. Rows rank within their
+    stratum by the content-addressed 60-bit hash (id tiebreak — fully
+    deterministic, engine-replayable, append-stable) and the first
+    ``n_target`` of each stratum are kept.
+
+    Scale: the allocation table (|strata| rows) broadcasts back onto
+    the rows; the per-stratum rank is ONE keyed window whose rank≤n
+    filter Spark plans as a map-side WindowGroupLimit — each task ships
+    at most n_target rows per stratum into the exchange.
+    """
+    alloc = neyman_allocation(
+        df, stratum, value, total_budget=total_budget, var_scale=var_scale
+    ).select(stratum, "n_target")
+    w = Window.partitionBy(stratum).orderBy(
+        _seed_hash(id_col, seed).asc(), F.col(id_col).asc()
+    )
+    ranked = df.select(
+        F.col(id_col), F.col(stratum), F.col(value).cast("long").alias(value)
+    ).withColumn("draw_rank", F.row_number().over(w).cast("long"))
+    return (
+        ranked.join(F.broadcast(alloc), stratum)
+        .where(F.col("draw_rank") <= F.col("n_target"))
+        .select(id_col, stratum, value, "draw_rank", "n_target")
+    )
