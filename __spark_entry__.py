@@ -3847,6 +3847,50 @@ def q_neyman_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_er_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END entity resolution in ONE plan: sorted-neighborhood
+    blocking → Fellegi-Sunter integer link scoring → threshold match →
+    connected-component clustering → keep-longest golden record →
+    per-cluster summary. The full merge/purge loop the individual
+    queries gate piecewise, composed — blocking keeps it n·w, scoring
+    is integer-exact, closure is the same engine dedup_clusters uses,
+    and the output is the golden-record table a downstream MDM store
+    ingests."""
+    from featureextraction_spark.operators.dedup import (
+        canonical_pick,
+        sorted_neighborhood_pairs,
+    )
+    from featureextraction_spark.operators.graph import dedup_clusters
+    from featureextraction_spark.operators.stringjoin import link_score
+
+    docs = _load(spark, sf_dir, "documents")
+    pairs = sorted_neighborhood_pairs(
+        docs, F.lower(F.substring("text", 1, 12)), "doc_id", window=3
+    ).select("a_id", "b_id")
+    scored = link_score(
+        pairs,
+        docs,
+        docs,
+        id_col="doc_id",
+        exact_fields=[("lang", 40, -10), ("source", 30, -5)],
+        length_field=("n_chars", 10, 20, -10),
+        threshold=50,
+    )
+    matched = scored.filter(F.col("is_match") == 1).select("a_id", "b_id")
+    resolved = canonical_pick(docs, dedup_clusters(matched))
+    meta = docs.select("doc_id", "n_chars", "lang", "source")
+    return (
+        resolved.join(meta, "doc_id")
+        .groupBy("cluster_id", "cluster_size", "canon_id")
+        .agg(
+            F.sum("n_chars").cast("long").alias("total_chars"),
+            F.countDistinct("lang").cast("long").alias("n_langs"),
+            F.countDistinct("source").cast("long").alias("n_sources"),
+        )
+        .filter(F.col("cluster_size") >= 2)
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "lag_lead": q_lag_lead,
@@ -4043,6 +4087,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hard_negatives": q_hard_negatives,
         "neyman_alloc": q_neyman_alloc,
         "neyman_sample": q_neyman_sample,
+        "er_pipeline": q_er_pipeline,
     }
 
 
@@ -4723,6 +4768,82 @@ def _round4al_oracle_sql() -> dict[str, str]:
             SELECT r.doc_id, r.source, r.n_chars, r.draw_rank, q.n_target
             FROM ranked r JOIN quota q USING (source)
             WHERE r.draw_rank <= q.n_target
+        """,
+        "er_pipeline": """
+            WITH RECURSIVE r AS (
+                SELECT doc_id, lower(substr(text, 1, 12)) AS k,
+                       row_number() OVER (
+                           ORDER BY lower(substr(text, 1, 12)), doc_id) - 1
+                           AS rnk
+                FROM documents
+            ),
+            p AS (
+                SELECT a.doc_id AS a_id, b.doc_id AS b_id
+                FROM r a JOIN r b ON b.rnk - a.rnk BETWEEN 1 AND 3
+            ),
+            d AS (
+                SELECT p.a_id, p.b_id,
+                       da.lang AS al, db.lang AS bl,
+                       da.source AS asrc, db.source AS bsrc,
+                       CAST(da.n_chars AS BIGINT) AS an,
+                       CAST(db.n_chars AS BIGINT) AS bn
+                FROM p
+                JOIN documents da ON da.doc_id = p.a_id
+                JOIN documents db ON db.doc_id = p.b_id
+            ),
+            m AS (
+                SELECT a_id, b_id
+                FROM d
+                WHERE CASE WHEN al IS NOT NULL AND bl IS NOT NULL
+                                AND al = bl THEN 40 ELSE -10 END
+                    + CASE WHEN asrc IS NOT NULL AND bsrc IS NOT NULL
+                                AND asrc = bsrc THEN 30 ELSE -5 END
+                    + CASE WHEN an IS NOT NULL AND bn IS NOT NULL
+                                AND abs(an - bn) * 100 <= 10 * least(an, bn)
+                           THEN 20 ELSE -10 END >= 50
+            ),
+            edges AS (
+                SELECT a_id AS s, b_id AS dd FROM m
+                UNION SELECT b_id, a_id FROM m
+            ),
+            reach(id, rt) AS (
+                SELECT s, s FROM (SELECT DISTINCT s FROM edges)
+                UNION
+                SELECT e.s, reach.rt FROM edges e JOIN reach ON reach.id = e.dd
+            ),
+            comp AS (
+                SELECT id AS doc_id, min(rt) AS cluster_id
+                FROM reach GROUP BY id
+            ),
+            whole AS (
+                SELECT doc2.doc_id,
+                       coalesce(c.cluster_id, doc2.doc_id) AS cluster_id,
+                       doc2.n_chars, doc2.lang, doc2.source
+                FROM documents doc2
+                LEFT JOIN comp c ON c.doc_id = doc2.doc_id
+            ),
+            csz AS (
+                SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size
+                FROM whole GROUP BY cluster_id
+            ),
+            rk AS (
+                SELECT w.*, row_number() OVER (
+                    PARTITION BY w.cluster_id
+                    ORDER BY w.n_chars DESC, w.doc_id) AS rn
+                FROM whole w
+            ),
+            canon AS (
+                SELECT cluster_id, doc_id AS canon_id FROM rk WHERE rn = 1
+            )
+            SELECT w.cluster_id, z.cluster_size, c.canon_id,
+                   CAST(sum(w.n_chars) AS BIGINT) AS total_chars,
+                   CAST(count(DISTINCT w.lang) AS BIGINT) AS n_langs,
+                   CAST(count(DISTINCT w.source) AS BIGINT) AS n_sources
+            FROM whole w
+            JOIN csz z ON z.cluster_id = w.cluster_id
+            JOIN canon c ON c.cluster_id = w.cluster_id
+            WHERE z.cluster_size >= 2
+            GROUP BY 1, 2, 3
         """,
     }
 
