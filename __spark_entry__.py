@@ -3891,6 +3891,55 @@ def q_er_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR diversified re-ranking of each query's top-12 cosine
+    candidates (λ=0.7, 5 greedy rounds unrolled into one static plan) —
+    rel_q/sim_q/mmr_q all integer micro-cosines, ties to smaller id;
+    the third fixed-round iterative operator next to PageRank and BPE."""
+    from featureextraction_spark.operators.retrieval import mmr_rerank
+    from featureextraction_spark.operators.rolling import quantize_q6
+    from featureextraction_spark.operators.similarity import (
+        cosine_similarity_col,
+        cosine_topk,
+    )
+
+    emb = _load(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") < 20)
+    cand = cosine_topk(qs, emb, k=12).select(
+        "query_id",
+        F.col("neighbor_id").alias("doc_id"),
+        quantize_q6(F.col("cosine")).alias("rel_q"),
+    )
+    vec = emb.select("vec_id", "embedding")
+    pool_pairs = (
+        cand.select("query_id", F.col("doc_id").alias("a_id"))
+        .join(
+            cand.select("query_id", F.col("doc_id").alias("b_id")),
+            "query_id",
+        )
+        .where(F.col("a_id") != F.col("b_id"))
+        .join(
+            vec.select(
+                F.col("vec_id").alias("a_id"), F.col("embedding").alias("__va")
+            ),
+            "a_id",
+        )
+        .join(
+            vec.select(
+                F.col("vec_id").alias("b_id"), F.col("embedding").alias("__vb")
+            ),
+            "b_id",
+        )
+        .select(
+            "query_id", "a_id", "b_id",
+            quantize_q6(
+                cosine_similarity_col(F.col("__va"), F.col("__vb"))
+            ).alias("sim_q"),
+        )
+    )
+    return mmr_rerank(cand, pool_pairs, k=5, lam_num=7, lam_den=10)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "lag_lead": q_lag_lead,
@@ -4088,6 +4137,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "neyman_alloc": q_neyman_alloc,
         "neyman_sample": q_neyman_sample,
         "er_pipeline": q_er_pipeline,
+        "mmr_rerank": q_mmr_rerank,
     }
 
 
@@ -4848,6 +4898,97 @@ def _round4al_oracle_sql() -> dict[str, str]:
     }
 
 
+def _mmr_oracle_sql(k: int = 5, lam_num: int = 7, lam_den: int = 10) -> str:
+    """Unrolled greedy-MMR oracle: round 1 is the pure-relevance argmax;
+    each later round anti-joins the picked set and argmaxes
+    lam_num·rel − (lam_den−lam_num)·maxsim. Generated per round — the
+    same static unroll the Spark plan uses."""
+    mu = lam_den - lam_num
+    head = f"""
+        WITH qv AS (
+            SELECT vec_id AS query_id, embedding::DOUBLE[] AS v
+            FROM embeddings WHERE vec_id < 20
+        ),
+        cv AS (
+            SELECT vec_id AS doc_id, embedding::DOUBLE[] AS v
+            FROM embeddings
+        ),
+        sc AS (
+            SELECT q.query_id, c.doc_id,
+                   round(list_dot_product(q.v, c.v)
+                         / (sqrt(list_dot_product(q.v, q.v))
+                            * sqrt(list_dot_product(c.v, c.v))), 6) AS cos
+            FROM qv q JOIN cv c ON q.query_id <> c.doc_id
+        ),
+        cand AS (
+            SELECT query_id, doc_id,
+                   CAST(floor(cos * 1000000.0 + 0.5) AS BIGINT) AS rel_q
+            FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                               ORDER BY cos DESC, doc_id)
+                            AS rn
+                  FROM sc)
+            WHERE rn <= 12
+        ),
+        sims AS (
+            SELECT a.query_id, a.doc_id AS a_id, b.doc_id AS b_id,
+                   CAST(floor(round(list_dot_product(va.v, vb.v)
+                              / (sqrt(list_dot_product(va.v, va.v))
+                                 * sqrt(list_dot_product(vb.v, vb.v)))
+                         * 1000000.0 + 0.5) AS BIGINT) AS sim_q
+            FROM cand a
+            JOIN cand b ON a.query_id = b.query_id AND a.doc_id <> b.doc_id
+            JOIN cv va ON va.doc_id = a.doc_id
+            JOIN cv vb ON vb.doc_id = b.doc_id
+        ),
+        p1 AS (
+            SELECT query_id, doc_id, rel_q,
+                   CAST({lam_num} * rel_q AS BIGINT) AS mmr_q,
+                   CAST(1 AS BIGINT) AS pick_rank
+            FROM (SELECT *, row_number() OVER (
+                      PARTITION BY query_id
+                      ORDER BY {lam_num} * rel_q DESC, doc_id) AS rn
+                  FROM cand)
+            WHERE rn = 1
+        )"""
+    blocks = [head]
+    for i in range(2, k + 1):
+        sel_union = " UNION ALL ".join(
+            f"SELECT query_id, doc_id FROM p{j}" for j in range(1, i)
+        )
+        blocks.append(f""",
+        s{i} AS ({sel_union}),
+        m{i} AS (
+            SELECT r.query_id, r.doc_id, r.rel_q,
+                   CAST({lam_num} * r.rel_q
+                        - {mu} * max(coalesce(sm.sim_q, 0)) AS BIGINT)
+                       AS mmr_q
+            FROM cand r
+            JOIN s{i} sel ON sel.query_id = r.query_id
+            LEFT JOIN sims sm ON sm.query_id = r.query_id
+                             AND sm.a_id = r.doc_id
+                             AND sm.b_id = sel.doc_id
+            WHERE NOT EXISTS (SELECT 1 FROM s{i} x
+                              WHERE x.query_id = r.query_id
+                                AND x.doc_id = r.doc_id)
+            GROUP BY 1, 2, 3
+        ),
+        p{i} AS (
+            SELECT query_id, doc_id, rel_q, mmr_q,
+                   CAST({i} AS BIGINT) AS pick_rank
+            FROM (SELECT *, row_number() OVER (
+                      PARTITION BY query_id
+                      ORDER BY mmr_q DESC, doc_id) AS rn
+                  FROM m{i})
+            WHERE rn = 1
+        )""")
+    final = " UNION ALL ".join(
+        f"SELECT query_id, pick_rank, doc_id, rel_q, mmr_q FROM p{j}"
+        for j in range(1, k + 1)
+    )
+    blocks.append(f"\n        {final}")
+    return "".join(blocks)
+
+
 def oracle_sql() -> dict[str, str]:
     win = "PARTITION BY user_id ORDER BY ts, event_id"
     cum = f"{win} ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"
@@ -5126,6 +5267,7 @@ def oracle_sql() -> dict[str, str]:
     base.update(_round4aj_oracle_sql())
     base.update(_round4ak_oracle_sql())
     base.update(_round4al_oracle_sql())
+    base["mmr_rerank"] = _mmr_oracle_sql()
     # the keep-one apply step replays dedup_clusters' closure, then ranks
     # members by (n_chars desc, doc_id) inside each cluster
     base["canonical_docs"] = f"""

@@ -217,3 +217,94 @@ def rrf_fusion(
         g.withColumn("fused_rank", F.row_number().over(w).cast("long"))
         .where(F.col("fused_rank") <= topn)
     )
+
+
+def mmr_rerank(
+    candidates: DataFrame,
+    pair_sims: DataFrame,
+    k: int = 5,
+    lam_num: int = 7,
+    lam_den: int = 10,
+) -> DataFrame:
+    """Maximal-Marginal-Relevance diversified re-ranking (Carbonell &
+    Goldstein SIGIR'98) — the rerank half of a retrieve→rerank stack:
+    from each query's candidate pool, greedily pick the item maximizing
+
+        mmr = λ·relevance − (1−λ)·max_sim_to_already_picked
+
+    so near-duplicate hits don't crowd the top-k (the diversity knob
+    every RAG/result-page pipeline ends up needing).
+
+    Inputs: ``candidates`` (query_id, doc_id, rel_q) with INTEGER
+    relevance (quantized cosine/BM25 — exact multiples survive the hash
+    gate), ``pair_sims`` (query_id, a_id, b_id, sim_q) integer pairwise
+    similarities among each query's candidates, BOTH directions present
+    (build from the candidate pool's self-join; absent pairs read as 0).
+    λ is the exact rational lam_num/lam_den: the greedy argmax compares
+    ``lam_num·rel_q − (lam_den−lam_num)·maxsim_q`` — pure BIGINT, ties
+    to the smaller doc_id, fully deterministic on every engine.
+
+    The greedy loop is data-INDEPENDENT in length (exactly ``k`` rounds,
+    like the fixed-round PageRank), so it unrolls into one static plan:
+    round i anti-joins the picked set (≤ i−1 rows per query), takes the
+    max similarity against it, and argmaxes via a per-query rank-1
+    window (map-side WindowGroupLimit). Candidate pools are top-N
+    bounded (N ~ 10-100), so every per-round join is pool-sized — the
+    corpus is touched only by the retriever upstream.
+    """
+    mu = lam_den - lam_num
+    sel = None  # (query_id, doc_id, pick_rank, rel_q, mmr_q)
+    pool = candidates.select("query_id", "doc_id", F.col("rel_q").cast("long").alias("rel_q"))
+    for rnd in range(1, k + 1):
+        if sel is None:
+            scored = pool.select(
+                "query_id", "doc_id", "rel_q",
+                (F.lit(lam_num) * F.col("rel_q")).cast("long").alias("mmr_q"),
+            )
+        else:
+            remaining = pool.join(
+                sel.select("query_id", "doc_id"),
+                ["query_id", "doc_id"],
+                "left_anti",
+            )
+            # max similarity to the picked set: join candidate->picked
+            # pairs through pair_sims (absent pair contributes 0)
+            cand_sel = remaining.join(
+                sel.select("query_id", F.col("doc_id").alias("__sel_id")),
+                "query_id",
+            ).join(
+                pair_sims.select(
+                    "query_id",
+                    F.col("a_id").alias("doc_id"),
+                    F.col("b_id").alias("__sel_id"),
+                    F.col("sim_q").cast("long").alias("__sim_q"),
+                ),
+                ["query_id", "doc_id", "__sel_id"],
+                "left",
+            )
+            maxsim = cand_sel.groupBy("query_id", "doc_id", "rel_q").agg(
+                F.max(F.coalesce(F.col("__sim_q"), F.lit(0)))
+                .cast("long")
+                .alias("__maxsim")
+            )
+            scored = maxsim.select(
+                "query_id", "doc_id", "rel_q",
+                (
+                    F.lit(lam_num) * F.col("rel_q")
+                    - F.lit(mu) * F.col("__maxsim")
+                ).cast("long").alias("mmr_q"),
+            )
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("mmr_q").desc(), F.col("doc_id").asc()
+        )
+        pick = (
+            scored.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") == 1)
+            .select(
+                "query_id", "doc_id", "rel_q", "mmr_q",
+                F.lit(rnd).cast("long").alias("pick_rank"),
+            )
+        )
+        sel = pick if sel is None else sel.unionByName(pick)
+        sel = sel.localCheckpoint() if rnd < k else sel
+    return sel.select("query_id", "pick_rank", "doc_id", "rel_q", "mmr_q")
