@@ -4917,21 +4917,21 @@ def _mmr_oracle_sql(k: int = 5, lam_num: int = 7, lam_den: int = 10) -> str:
             SELECT q.query_id, c.doc_id,
                    round(list_dot_product(q.v, c.v)
                          / (sqrt(list_dot_product(q.v, q.v))
-                            * sqrt(list_dot_product(c.v, c.v))), 6) AS cos
+                            * sqrt(list_dot_product(c.v, c.v))), 6) AS c6
             FROM qv q JOIN cv c ON q.query_id <> c.doc_id
         ),
         cand AS (
             SELECT query_id, doc_id,
-                   CAST(floor(cos * 1000000.0 + 0.5) AS BIGINT) AS rel_q
+                   CAST(floor(c6 * 1000000.0 + 0.5) AS BIGINT) AS rel_q
             FROM (SELECT *, row_number() OVER (PARTITION BY query_id
-                                               ORDER BY cos DESC, doc_id)
+                                               ORDER BY c6 DESC, doc_id)
                             AS rn
                   FROM sc)
             WHERE rn <= 12
         ),
         sims AS (
             SELECT a.query_id, a.doc_id AS a_id, b.doc_id AS b_id,
-                   CAST(floor(round(list_dot_product(va.v, vb.v)
+                   CAST(floor(list_dot_product(va.v, vb.v)
                               / (sqrt(list_dot_product(va.v, va.v))
                                  * sqrt(list_dot_product(vb.v, vb.v)))
                          * 1000000.0 + 0.5) AS BIGINT) AS sim_q
