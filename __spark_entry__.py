@@ -3940,6 +3940,71 @@ def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mmr_rerank(cand, pool_pairs, k=5, lam_num=7, lam_den=10)
 
 
+def q_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-weighted median doc size per source — the size covering half
+    each source's MASS (plain median under-counts skewed corpora); pure
+    integer cumulative comparison, no float anywhere."""
+    from featureextraction_spark.operators.profiling import weighted_median
+
+    docs = _load(spark, sf_dir, "documents")
+    return weighted_median(docs, group="source", value="n_chars", weight="n_chars")
+
+
+ANN_RECALL_K = 10
+ANN_PLANES = 8
+ANN_TABLES = 4
+ANN_DIM = 64
+ANN_SEED = 42
+
+
+def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of the LSH ANN engine vs the exact scan, per query —
+    the approximate engine and its ground truth gated together in one
+    query; buckets use the quantized-sign contract so DuckDB replays
+    the same tables; hits/n_approx BIGINT, recall one division."""
+    from featureextraction_spark.operators.similarity import (
+        ann_lsh_topk,
+        cosine_topk,
+    )
+
+    emb = _load(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") < 20)
+    exact = cosine_topk(qs, emb, k=ANN_RECALL_K).select(
+        "query_id", "neighbor_id"
+    )
+    approx = ann_lsh_topk(
+        qs,
+        emb,
+        k=ANN_RECALL_K,
+        n_planes=ANN_PLANES,
+        n_tables=ANN_TABLES,
+        dim=ANN_DIM,
+        seed=ANN_SEED,
+        quantized=True,
+    ).select("query_id", F.col("neighbor_id").alias("approx_id"))
+    hits = (
+        exact.join(
+            approx,
+            (exact.query_id == approx.query_id)
+            & (exact.neighbor_id == approx.approx_id),
+            "left",
+        )
+        .groupBy(exact.query_id)
+        .agg(F.count("approx_id").cast("long").alias("hits"))
+    )
+    n_approx = approx.groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_approx")
+    )
+    return hits.join(n_approx, "query_id", "left").select(
+        "query_id",
+        "hits",
+        F.coalesce(F.col("n_approx"), F.lit(0)).cast("long").alias("n_approx"),
+        _hround6(
+            F.col("hits").cast("double") / F.lit(float(ANN_RECALL_K))
+        ).alias("recall"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "lag_lead": q_lag_lead,
@@ -4138,6 +4203,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "neyman_sample": q_neyman_sample,
         "er_pipeline": q_er_pipeline,
         "mmr_rerank": q_mmr_rerank,
+        "weighted_median": q_weighted_median,
+        "ann_recall": q_ann_recall,
     }
 
 
@@ -4989,6 +5056,125 @@ def _mmr_oracle_sql(k: int = 5, lam_num: int = 7, lam_den: int = 10) -> str:
     return "".join(blocks)
 
 
+def _ann_recall_oracle_sql() -> str:
+    """Replay the LSH tables in SQL: the hyperplanes are embedded as
+    full-precision CAST('<repr>' AS DOUBLE) literals (repr round-trips
+    doubles exactly; plain float literals parse as DECIMAL in DuckDB),
+    the sign bits quantize the dot to the 1e-6 grid first — the exact
+    bucket contract the Spark side uses with quantized=True."""
+    from featureextraction_spark.operators.similarity import (
+        random_hyperplanes,
+    )
+
+    per_table = []
+    for t in range(ANN_TABLES):
+        planes = random_hyperplanes(ANN_DIM, ANN_PLANES, ANN_SEED + 1000 * t)
+        bits = []
+        for p, plane in enumerate(planes):
+            lst = ", ".join(
+                f"CAST('{float(x)!r}' AS DOUBLE)" for x in plane
+            )
+            bits.append(
+                f"CASE WHEN CAST(floor(list_dot_product(v, [{lst}])"
+                f" * 1000000.0 + 0.5) AS BIGINT) > 0"
+                f" THEN {1 << p} ELSE 0 END"
+            )
+        per_table.append(
+            f"SELECT vec_id, {t} AS tbl, CAST("
+            + " + ".join(bits)
+            + " AS BIGINT) AS bucket FROM ev"
+        )
+    bk = "\n            UNION ALL ".join(per_table)
+    return f"""
+        WITH ev AS (
+            SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        ),
+        bk AS (
+            {bk}
+        ),
+        qb AS (SELECT * FROM bk WHERE vec_id < {20}),
+        cand AS (
+            SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+            FROM qb q JOIN bk c
+              ON q.tbl = c.tbl AND q.bucket = c.bucket
+             AND q.vec_id <> c.vec_id
+        ),
+        sc AS (
+            SELECT cand.query_id, cand.neighbor_id,
+                   round(list_dot_product(a.v, b.v)
+                         / (sqrt(list_dot_product(a.v, a.v))
+                            * sqrt(list_dot_product(b.v, b.v))), 6) AS c6
+            FROM cand
+            JOIN ev a ON a.vec_id = cand.query_id
+            JOIN ev b ON b.vec_id = cand.neighbor_id
+        ),
+        approx AS (
+            SELECT query_id, neighbor_id
+            FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                      ORDER BY c6 DESC, neighbor_id) AS rn FROM sc)
+            WHERE rn <= {ANN_RECALL_K}
+        ),
+        sc_all AS (
+            SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+                   round(list_dot_product(a.v, b.v)
+                         / (sqrt(list_dot_product(a.v, a.v))
+                            * sqrt(list_dot_product(b.v, b.v))), 6) AS c6
+            FROM ev a JOIN ev b ON a.vec_id <> b.vec_id
+            WHERE a.vec_id < {20}
+        ),
+        exact AS (
+            SELECT query_id, neighbor_id
+            FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                      ORDER BY c6 DESC, neighbor_id) AS rn FROM sc_all)
+            WHERE rn <= {ANN_RECALL_K}
+        ),
+        h AS (
+            SELECT e.query_id,
+                   CAST(count(a.neighbor_id) AS BIGINT) AS hits
+            FROM exact e
+            LEFT JOIN approx a ON a.query_id = e.query_id
+                              AND a.neighbor_id = e.neighbor_id
+            GROUP BY 1
+        ),
+        na AS (
+            SELECT query_id, CAST(count(*) AS BIGINT) AS n_approx
+            FROM approx GROUP BY 1
+        )
+        SELECT h.query_id, h.hits,
+               CAST(coalesce(na.n_approx, 0) AS BIGINT) AS n_approx,
+               round(CAST(h.hits AS DOUBLE)
+                     / CAST({ANN_RECALL_K} AS DOUBLE) + 1e-9, 6) AS recall
+        FROM h LEFT JOIN na ON na.query_id = h.query_id
+    """
+
+
+def _round4am_oracle_sql() -> dict[str, str]:
+    """Oracles for the weighted median and the ANN recall gate."""
+    return {
+        "weighted_median": """
+            WITH cells AS (
+                SELECT source, CAST(n_chars AS BIGINT) AS v,
+                       CAST(sum(n_chars) AS BIGINT) AS w
+                FROM documents GROUP BY 1, 2
+            ),
+            c AS (
+                SELECT source, v,
+                       CAST(sum(w) OVER (PARTITION BY source ORDER BY v
+                            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+                       CAST(sum(w) OVER (PARTITION BY source) AS BIGINT)
+                           AS w_total
+                FROM cells
+            )
+            SELECT source, v AS w_median, cum AS cum_at_median, w_total
+            FROM (SELECT *, row_number() OVER (PARTITION BY source
+                      ORDER BY v) AS rn
+                  FROM c WHERE 2 * cum >= w_total)
+            WHERE rn = 1
+        """,
+        "ann_recall": _ann_recall_oracle_sql(),
+    }
+
+
 def oracle_sql() -> dict[str, str]:
     win = "PARTITION BY user_id ORDER BY ts, event_id"
     cum = f"{win} ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"
@@ -5268,6 +5454,7 @@ def oracle_sql() -> dict[str, str]:
     base.update(_round4ak_oracle_sql())
     base.update(_round4al_oracle_sql())
     base["mmr_rerank"] = _mmr_oracle_sql()
+    base.update(_round4am_oracle_sql())
     # the keep-one apply step replays dedup_clusters' closure, then ranks
     # members by (n_chars desc, doc_id) inside each cluster
     base["canonical_docs"] = f"""

@@ -652,3 +652,51 @@ def join_explosion_audit(
         F.col("k").alias(key), "rank", "nl", "nr", "pairs",
         "total_pairs", "matched_keys", "max_pairs",
     )
+
+
+def weighted_median(
+    df: DataFrame,
+    group: str,
+    value: str,
+    weight: str,
+) -> DataFrame:
+    """Exact weighted median per group: the smallest ``value`` v with
+    2·Σ_{x≤v} w(x) ≥ Σ w — for weight = size this answers "what item
+    size covers half the mass?", the curation cut that plain median
+    (row-weighted) gets wrong when sizes are skewed.
+
+    Pure integers end to end: per-(group, value) weight collapse, one
+    group-keyed cumulative window (the total rides the same window
+    full-range — no second scan), integer doubling comparison, rank-1
+    pick with value tiebreak. Scale: one groupBy + one window on the
+    same key — the window input is the collapsed (group, value) table,
+    |distinct values| rows, not |rows|.
+    """
+    cells = df.groupBy(F.col(group), F.col(value).cast("long").alias("__v")).agg(
+        F.sum(F.col(weight).cast("long")).cast("long").alias("__w")
+    )
+    w_cum = (
+        Window.partitionBy(group)
+        .orderBy(F.col("__v").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy(group).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    c = cells.select(
+        group,
+        "__v",
+        F.sum("__w").over(w_cum).cast("long").alias("__cum"),
+        F.sum("__w").over(w_all).cast("long").alias("w_total"),
+    ).where(F.lit(2) * F.col("__cum") >= F.col("w_total"))
+    pick = Window.partitionBy(group).orderBy(F.col("__v").asc())
+    return (
+        c.withColumn("__rn", F.row_number().over(pick))
+        .where(F.col("__rn") == 1)
+        .select(
+            group,
+            F.col("__v").alias("w_median"),
+            F.col("__cum").alias("cum_at_median"),
+            "w_total",
+        )
+    )

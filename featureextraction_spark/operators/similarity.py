@@ -89,12 +89,24 @@ def random_hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[flo
     return rng.standard_normal((n_planes, dim)).tolist()
 
 
-def lsh_bucket_col(vec: Column, planes: list[list[float]]) -> Column:
-    """Sign-bit bucket key: bit p set iff vec · plane_p > 0."""
+def lsh_bucket_col(
+    vec: Column, planes: list[list[float]], quantized: bool = False
+) -> Column:
+    """Sign-bit bucket key: bit p set iff vec · plane_p > 0.
+
+    ``quantized=True`` takes the sign of the 1e-6-quantized dot instead
+    of the raw double — the raw sign is a hard 0-boundary where a 1-ulp
+    cross-engine summation difference could flip a bit; quantizing first
+    puts the comparison on the same exact integer grid every other
+    oracled float in the repo uses (use it whenever the buckets must be
+    replayed by another engine)."""
     key = F.lit(0).cast("long")
     for p, plane in enumerate(planes):
         arr = F.array(*[F.lit(float(v)) for v in plane])
-        bit = F.when(_dot(vec, arr) > 0, F.shiftleft(F.lit(1).cast("long"), p)).otherwise(
+        d = _dot(vec, arr)
+        if quantized:
+            d = F.floor(d * F.lit(1e6) + F.lit(0.5)).cast("long")
+        bit = F.when(d > 0, F.shiftleft(F.lit(1).cast("long"), p)).otherwise(
             F.lit(0).cast("long")
         )
         key = key + bit
@@ -112,13 +124,15 @@ def ann_lsh_topk(
     dim: int | None = None,
     seed: int = 42,
     round_digits: int = 6,
+    quantized: bool = False,
 ) -> DataFrame:
     """Approximate top-k: union of ``n_tables`` independent LSH tables.
 
     Each table buckets on ``n_planes`` sign bits; query/corpus rows join on
     (table, bucket) — pure equi-join, shuffle bounded by bucket sizes.
     Exact cosine + ranking over the candidate union. Recall < 1 by design;
-    measured against ``cosine_topk`` in tests.
+    measured against ``cosine_topk`` in tests. ``quantized`` passes
+    through to :func:`lsh_bucket_col` (engine-replayable buckets).
     """
     from pyspark.sql import Window
 
@@ -133,7 +147,9 @@ def ann_lsh_topk(
                 df.select(
                     F.col(id_col).alias(alias),
                     F.lit(t).alias("table"),
-                    lsh_bucket_col(F.col(vec_col), planes).alias("bucket"),
+                    lsh_bucket_col(
+                        F.col(vec_col), planes, quantized=quantized
+                    ).alias("bucket"),
                 )
             )
         u = out[0]
