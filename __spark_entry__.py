@@ -4005,6 +4005,45 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dataset_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row dataset card: corpus size, slice cardinalities, exact-dup
+    mass (docs sharing a normalized-text fingerprint) — the header every
+    corpus release prints; dup_ppm integer division, mean one closing
+    division. Two aggregation passes total: basics + one fingerprint
+    groupBy (the exact_dedup shuffle), met in a 1-row crossJoin."""
+    from featureextraction_spark.operators.dedup import fingerprint
+
+    docs = _load(spark, sf_dir, "documents")
+    basics = docs.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        F.countDistinct("lang").cast("long").alias("n_langs"),
+        F.countDistinct("source").cast("long").alias("n_sources"),
+        F.max("n_chars").cast("long").alias("max_chars"),
+    )
+    groups = (
+        docs.select(fingerprint("text").alias("__fp"))
+        .groupBy("__fp")
+        .agg(F.count(F.lit(1)).cast("long").alias("__n"))
+    )
+    dups = groups.agg(
+        F.count(F.lit(1)).cast("long").alias("n_unique_texts"),
+        F.sum(F.when(F.col("__n") >= 2, F.col("__n")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("n_dup_docs"),
+    )
+    return basics.crossJoin(F.broadcast(dups)).select(
+        "n_docs", "total_chars", "n_langs", "n_sources", "max_chars",
+        "n_unique_texts", "n_dup_docs",
+        F.expr("CAST(n_dup_docs * 1000000 div n_docs AS BIGINT)").alias(
+            "dup_ppm"
+        ),
+        _hround6(
+            F.col("total_chars").cast("double") / F.col("n_docs").cast("double")
+        ).alias("mean_chars"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "lag_lead": q_lag_lead,
@@ -4205,6 +4244,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mmr_rerank": q_mmr_rerank,
         "weighted_median": q_weighted_median,
         "ann_recall": q_ann_recall,
+        "dataset_summary": q_dataset_summary,
     }
 
 
@@ -5172,6 +5212,35 @@ def _round4am_oracle_sql() -> dict[str, str]:
             WHERE rn = 1
         """,
         "ann_recall": _ann_recall_oracle_sql(),
+        "dataset_summary": """
+            WITH fp AS (
+                SELECT md5(lower(trim(regexp_replace(text,
+                           '[ \t\n\r\f\x0B]+', ' ', 'g')))) AS f
+                FROM documents
+            ),
+            g AS (SELECT f, CAST(count(*) AS BIGINT) AS n FROM fp GROUP BY f),
+            d AS (
+                SELECT CAST(count(*) AS BIGINT) AS n_unique_texts,
+                       CAST(coalesce(sum(n) FILTER (n >= 2), 0) AS BIGINT)
+                           AS n_dup_docs
+                FROM g
+            ),
+            b AS (
+                SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+                       CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+                       CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+                       CAST(max(n_chars) AS BIGINT) AS max_chars
+                FROM documents
+            )
+            SELECT b.n_docs, b.total_chars, b.n_langs, b.n_sources,
+                   b.max_chars, d.n_unique_texts, d.n_dup_docs,
+                   CAST(d.n_dup_docs * 1000000 // b.n_docs AS BIGINT)
+                       AS dup_ppm,
+                   round(CAST(b.total_chars AS DOUBLE)
+                         / CAST(b.n_docs AS DOUBLE) + 1e-9, 6) AS mean_chars
+            FROM b CROSS JOIN d
+        """,
     }
 
 

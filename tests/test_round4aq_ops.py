@@ -86,3 +86,17 @@ def test_lsh_quantized_buckets_match_raw_almost_everywhere(spark):
         lsh_bucket_col(F.col("embedding"), planes, quantized=True).alias("q"),
     )
     assert both.where(F.col("raw") != F.col("q")).count() == 0
+
+
+def test_dataset_summary_consistency(spark):
+    import __spark_entry__ as entry
+
+    sf = "/root/testdata/sf0.001"
+    r = entry.queries()["dataset_summary"](spark, sf).collect()[0]
+    docs = entry._load(spark, sf, "documents")
+    assert r["n_docs"] == docs.count()
+    assert r["total_chars"] == docs.agg(F.sum("n_chars")).collect()[0][0]
+    assert r["n_unique_texts"] <= r["n_docs"]
+    assert 0 <= r["n_dup_docs"] <= r["n_docs"]
+    assert r["dup_ppm"] == r["n_dup_docs"] * 1_000_000 // r["n_docs"]
+    assert abs(r["mean_chars"] - r["total_chars"] / r["n_docs"]) < 1e-5
