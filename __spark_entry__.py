@@ -4044,6 +4044,42 @@ def q_dataset_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kmv_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV set-operation estimates (click-users vs purchase-users):
+    union / Jaccard / intersection from two merged k=64 sketch states —
+    the estimate CMS/HLL/Bloom cannot give — next to the exact counts;
+    n_merged/kth_hash/matches BIGINT, estimates fixed double trees."""
+    from featureextraction_spark.operators.sketches import (
+        kmv_set_ops,
+        kmv_sketch,
+    )
+
+    ev = _load(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click")
+    purchases = ev.filter(F.col("event_type") == "purchase")
+    est = kmv_set_ops(
+        kmv_sketch(clicks, "user_id", k=64),
+        kmv_sketch(purchases, "user_id", k=64),
+        k=64,
+    )
+    a = clicks.select("user_id").distinct()
+    b = purchases.select("user_id").distinct()
+    exact = a.join(b, "user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("exact_intersection")
+    ).crossJoin(
+        a.unionByName(b)
+        .distinct()
+        .agg(F.count(F.lit(1)).cast("long").alias("exact_union"))
+    )
+    return est.crossJoin(F.broadcast(exact)).select(
+        "n_merged", "kth_hash", "matches",
+        _hround6(F.col("union_est")).alias("union_est"),
+        _hround6(F.col("jaccard_est")).alias("jaccard_est"),
+        _hround6(F.col("intersection_est")).alias("intersection_est"),
+        "exact_union", "exact_intersection",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "lag_lead": q_lag_lead,
@@ -4245,6 +4281,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_median": q_weighted_median,
         "ann_recall": q_ann_recall,
         "dataset_summary": q_dataset_summary,
+        "kmv_setops": q_kmv_setops,
     }
 
 
@@ -5240,6 +5277,67 @@ def _round4am_oracle_sql() -> dict[str, str]:
                    round(CAST(b.total_chars AS DOUBLE)
                          / CAST(b.n_docs AS DOUBLE) + 1e-9, 6) AS mean_chars
             FROM b CROSS JOIN d
+        """,
+        "kmv_setops": """
+            WITH ca AS (
+                SELECT DISTINCT ('0x' || substr(md5(CAST(user_id AS VARCHAR) || ':0'), 1, 15))::BIGINT AS h FROM events
+                WHERE event_type = 'click'
+            ),
+            cb AS (
+                SELECT DISTINCT ('0x' || substr(md5(CAST(user_id AS VARCHAR) || ':0'), 1, 15))::BIGINT AS h FROM events
+                WHERE event_type = 'purchase'
+            ),
+            sa AS (SELECT h FROM (SELECT h, row_number() OVER (ORDER BY h)
+                                  AS rn FROM ca) WHERE rn <= 64),
+            sb AS (SELECT h FROM (SELECT h, row_number() OVER (ORDER BY h)
+                                  AS rn FROM cb) WHERE rn <= 64),
+            mg AS (
+                SELECT h FROM (
+                    SELECT h, row_number() OVER (ORDER BY h) AS rn
+                    FROM (SELECT h FROM sa UNION SELECT h FROM sb)
+                ) WHERE rn <= 64
+            ),
+            j AS (
+                SELECT CAST(count(*) AS BIGINT) AS n_merged,
+                       CAST(max(mg.h) AS BIGINT) AS kth_hash,
+                       CAST(sum(CASE WHEN sa.h IS NOT NULL
+                                      AND sb.h IS NOT NULL
+                                THEN 1 ELSE 0 END) AS BIGINT) AS matches
+                FROM mg
+                LEFT JOIN sa ON sa.h = mg.h
+                LEFT JOIN sb ON sb.h = mg.h
+            ),
+            ue AS (
+                SELECT *, CASE WHEN n_merged < 64
+                               THEN CAST(n_merged AS DOUBLE)
+                               ELSE CAST(63 AS DOUBLE)
+                                    * CAST(1152921504606846976 AS DOUBLE)
+                                    / CAST(kth_hash AS DOUBLE) END AS u_est
+                FROM j
+            ),
+            ex AS (
+                SELECT CAST(count(DISTINCT a.user_id) AS BIGINT)
+                           AS exact_intersection
+                FROM (SELECT DISTINCT user_id FROM events
+                      WHERE event_type = 'click') a
+                JOIN (SELECT DISTINCT user_id FROM events
+                      WHERE event_type = 'purchase') b
+                  ON a.user_id = b.user_id
+            ),
+            exu AS (
+                SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS exact_union
+                FROM events WHERE event_type IN ('click', 'purchase')
+            )
+            SELECT u.n_merged, u.kth_hash, u.matches,
+                   round(u.u_est + 1e-9, 6) AS union_est,
+                   round(CAST(u.matches AS DOUBLE)
+                         / CAST(u.n_merged AS DOUBLE) + 1e-9, 6)
+                       AS jaccard_est,
+                   round(CAST(u.matches AS DOUBLE)
+                         / CAST(u.n_merged AS DOUBLE) * u.u_est + 1e-9, 6)
+                       AS intersection_est,
+                   exu.exact_union, ex.exact_intersection
+            FROM ue u CROSS JOIN ex CROSS JOIN exu
         """,
     }
 

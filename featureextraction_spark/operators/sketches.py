@@ -422,3 +422,64 @@ def kmv_estimate(state: DataFrame, k: int, group: str | None = None) -> DataFram
         F.lit(float(k - 1)) * F.lit(KMV_SPACE) / F.col("kth_hash").cast("double")
     )
     return agg.select(*keys, "n_kept", "kth_hash", est.alias("kmv_estimate"))
+
+
+def kmv_set_ops(state_a: DataFrame, state_b: DataFrame, k: int) -> DataFrame:
+    """Set-operation estimates from two GROUPLESS :func:`kmv_sketch`
+    states — the payoff CMS/HLL/Bloom can't give: because a KMV state
+    is the k smallest hashes (a uniform sample of the distinct values),
+    two states MERGE by re-taking the k smallest of their union, and the
+    fraction ρ of the merged sketch present in BOTH inputs estimates the
+    Jaccard similarity (Beyer et al. SIGMOD'07):
+
+        |A ∪ B| ≈ (k−1) · 2^60 / h_k(merged)
+        J(A,B)  ≈ matches / k,      |A ∩ B| ≈ J · |A ∪ B|
+
+    One row out: n_merged, kth_hash, matches (all BIGINT hash
+    vehicles); the three estimates are fixed double trees over them.
+    Exact below k: when the merged state holds fewer than k hashes it IS
+    A ∪ B, so union/intersection counts are exact.
+
+    Scale: the states are ≤ k rows each — everything here is driver-
+    negligible; the heavy lifting happened in the two sketch builds.
+    """
+    a = state_a.select(F.col("h").alias("ha")).distinct()
+    b = state_b.select(F.col("h").alias("hb")).distinct()
+    merged = (
+        a.select(F.col("ha").alias("h"))
+        .unionByName(b.select(F.col("hb").alias("h")))
+        .distinct()
+        .orderBy(F.col("h").asc())
+        .limit(k)
+    )
+    j = (
+        merged.join(a, merged.h == a.ha, "left")
+        .join(b, merged.h == b.hb, "left")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_merged"),
+            F.max("h").cast("long").alias("kth_hash"),
+            F.sum(
+                (F.col("ha").isNotNull() & F.col("hb").isNotNull()).cast("long")
+            )
+            .cast("long")
+            .alias("matches"),
+        )
+    )
+    union_est = F.when(
+        F.col("n_merged") < k, F.col("n_merged").cast("double")
+    ).otherwise(
+        F.lit(float(k - 1)) * F.lit(KMV_SPACE) / F.col("kth_hash").cast("double")
+    )
+    return j.select(
+        "n_merged",
+        "kth_hash",
+        "matches",
+        union_est.alias("union_est"),
+        (F.col("matches").cast("double") / F.col("n_merged").cast("double"))
+        .alias("jaccard_est"),
+        (
+            F.col("matches").cast("double")
+            / F.col("n_merged").cast("double")
+            * union_est
+        ).alias("intersection_est"),
+    )
