@@ -4080,6 +4080,21 @@ def q_kmv_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_parity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language parity audit of document length: which language
+    slices sit >10% from the corpus mean — the disparity flag is a pure
+    BIGINT cross-multiply, the percent gap a fixed double tree."""
+    from featureextraction_spark.operators.evaluation import parity_audit
+
+    docs = _load(spark, sf_dir, "documents")
+    out = parity_audit(docs, slice_col="lang", value="n_chars", tol_pct=10)
+    return out.select(
+        "lang", "n_s", "sum_s", "breaches_parity",
+        _hround6(F.col("mean_slice")).alias("mean_slice"),
+        _hround6(F.col("gap_pct")).alias("gap_pct"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "lag_lead": q_lag_lead,
@@ -4282,6 +4297,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_recall": q_ann_recall,
         "dataset_summary": q_dataset_summary,
         "kmv_setops": q_kmv_setops,
+        "parity_audit": q_parity_audit,
     }
 
 
@@ -5338,6 +5354,31 @@ def _round4am_oracle_sql() -> dict[str, str]:
                        AS intersection_est,
                    exu.exact_union, ex.exact_intersection
             FROM ue u CROSS JOIN ex CROSS JOIN exu
+        """,
+        "parity_audit": """
+            WITH s AS (
+                SELECT lang, CAST(count(*) AS BIGINT) AS n_s,
+                       CAST(sum(n_chars) AS BIGINT) AS sum_s
+                FROM documents GROUP BY 1
+            ),
+            g AS (
+                SELECT CAST(sum(n_s) AS BIGINT) AS n_g,
+                       CAST(sum(sum_s) AS BIGINT) AS sum_g
+                FROM s
+            )
+            SELECT s.lang, s.n_s, s.sum_s,
+                   CAST(CASE WHEN abs(s.sum_s * g.n_g * 100
+                                      - g.sum_g * s.n_s * 100)
+                              > 10 * g.sum_g * s.n_s
+                        THEN 1 ELSE 0 END AS BIGINT) AS breaches_parity,
+                   round(CAST(s.sum_s AS DOUBLE) / CAST(s.n_s AS DOUBLE)
+                         + 1e-9, 6) AS mean_slice,
+                   round(CAST(100 AS DOUBLE)
+                         * (CAST(s.sum_s AS DOUBLE) * CAST(g.n_g AS DOUBLE)
+                            - CAST(g.sum_g AS DOUBLE) * CAST(s.n_s AS DOUBLE))
+                         / (CAST(g.sum_g AS DOUBLE) * CAST(s.n_s AS DOUBLE))
+                         + 1e-9, 6) AS gap_pct
+            FROM s CROSS JOIN g
         """,
     }
 

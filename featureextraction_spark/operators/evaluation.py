@@ -790,3 +790,63 @@ def adjusted_rand_index(df: DataFrame, a: str, b: str) -> DataFrame:
         "n", "sij", "sa", "sb",
         F.when(den != 0.0, num / den).alias("ari"),
     )
+
+
+def parity_audit(
+    df: DataFrame,
+    slice_col: str,
+    value: str,
+    tol_pct: int = 10,
+) -> DataFrame:
+    """Slice-parity (fairness) audit of a numeric signal: per slice, its
+    mean vs the global mean, flagged when it deviates more than
+    ``tol_pct`` percent — the per-language/per-source disparity check a
+    corpus release runs over any quality/score column before training
+    (a slice whose quality signal sits far from the corpus mean gets
+    systematically over/under-filtered downstream).
+
+    The flag never touches a float: with slice sums (n_s, S_s) and
+    global (N, S),
+
+        |mean_s/mean_g − 1| > tol/100
+        ⇔ |S_s·N·100 − S·n_s·100| > tol·S·n_s
+
+    — all BIGINT (needs S_s·N·100 < 2^63: ~10^8 rows of 10^6-scale
+    values; pre-scale ``value`` above). mean_s and the gap in percent
+    are closing divisions for the human column.
+
+    Scale: one map-combinable groupBy onto |slices| rows + a 1-row
+    broadcast of the global sums.
+    """
+    v = F.col(value).cast("long")
+    s = df.groupBy(F.col(slice_col)).agg(
+        F.count(F.lit(1)).cast("long").alias("n_s"),
+        F.sum(v).cast("long").alias("sum_s"),
+    )
+    g = s.agg(
+        F.sum("n_s").cast("long").alias("n_g"),
+        F.sum("sum_s").cast("long").alias("sum_g"),
+    )
+    j = s.crossJoin(F.broadcast(g))
+    lhs = F.abs(
+        F.col("sum_s") * F.col("n_g") * F.lit(100)
+        - F.col("sum_g") * F.col("n_s") * F.lit(100)
+    )
+    rhs = F.lit(tol_pct) * F.col("sum_g") * F.col("n_s")
+    return j.select(
+        slice_col,
+        "n_s",
+        "sum_s",
+        (lhs > rhs).cast("long").alias("breaches_parity"),
+        (F.col("sum_s").cast("double") / F.col("n_s").cast("double")).alias(
+            "mean_slice"
+        ),
+        (
+            F.lit(100.0)
+            * (
+                F.col("sum_s").cast("double") * F.col("n_g").cast("double")
+                - F.col("sum_g").cast("double") * F.col("n_s").cast("double")
+            )
+            / (F.col("sum_g").cast("double") * F.col("n_s").cast("double"))
+        ).alias("gap_pct"),
+    )

@@ -76,3 +76,33 @@ def test_kmv_setops_disjoint_and_identical(spark):
     ).collect()[0]
     assert same["matches"] == same["n_merged"] == 32
     assert same["jaccard_est"] == 1.0
+
+
+def test_parity_audit_vs_naive(spark):
+    from featureextraction_spark.operators.evaluation import parity_audit
+
+    rng = random.Random(492)
+    rows = [("even", rng.randrange(90, 110)) for _ in range(400)]
+    rows += [("high", rng.randrange(150, 250)) for _ in range(100)]  # +~80%
+    rows += [("low", rng.randrange(40, 60)) for _ in range(100)]     # -~50%
+    df = spark.createDataFrame(rows, "lang string, x long")
+    got = {
+        r["lang"]: r
+        for r in parity_audit(df, "lang", "x", tol_pct=10).collect()
+    }
+    n_g = len(rows)
+    sum_g = sum(x for _, x in rows)
+    for lang in ("even", "high", "low"):
+        xs = [x for l, x in rows if l == lang]
+        n_s, sum_s = len(xs), sum(xs)
+        breach = abs(sum_s * n_g * 100 - sum_g * n_s * 100) > 10 * sum_g * n_s
+        r = got[lang]
+        assert (r["n_s"], r["sum_s"]) == (n_s, sum_s)
+        assert r["breaches_parity"] == int(breach)
+        assert abs(r["mean_slice"] - sum_s / n_s) < 1e-9
+        want_gap = 100 * (sum_s * n_g - sum_g * n_s) / (sum_g * n_s)
+        assert abs(r["gap_pct"] - want_gap) < 1e-9
+    assert got["high"]["breaches_parity"] == 1
+    assert got["low"]["breaches_parity"] == 1
+    assert got["even"]["breaches_parity"] == 0
+    assert got["high"]["gap_pct"] > 0 > got["low"]["gap_pct"]
