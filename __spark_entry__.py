@@ -4095,6 +4095,17 @@ def q_parity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 session journey prefixes (first 3 event types per
+    session) with exact ppm shares — clickstream path analysis riding
+    sessionize's one exchange; all-integer output."""
+    from featureextraction_spark.operators.sessionize import session_paths
+
+    ev = _load(spark, sf_dir, "events")
+    return session_paths(ev, depth=3, top_n=20,
+                         gap_seconds=SESSION_GAP_SECONDS)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "lag_lead": q_lag_lead,
@@ -4298,6 +4309,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dataset_summary": q_dataset_summary,
         "kmv_setops": q_kmv_setops,
         "parity_audit": q_parity_audit,
+        "session_paths": q_session_paths,
     }
 
 
@@ -5379,6 +5391,49 @@ def _round4am_oracle_sql() -> dict[str, str]:
                          / (CAST(g.sum_g AS DOUBLE) * CAST(s.n_s AS DOUBLE))
                          + 1e-9, 6) AS gap_pct
             FROM s CROSS JOIN g
+        """,
+        "session_paths": """
+            WITH flagged AS (
+                SELECT user_id, ts, event_id, event_type,
+                       CASE WHEN lag(ts) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) IS NULL
+                                 OR epoch(ts) - epoch(lag(ts) OVER (
+                                    PARTITION BY user_id
+                                    ORDER BY ts, event_id)) > 1800
+                            THEN 1 ELSE 0 END AS new_sess
+                FROM events
+            ),
+            sess AS (
+                SELECT user_id, ts, event_id, event_type,
+                       sum(new_sess) OVER (PARTITION BY user_id
+                           ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS session_id
+                FROM flagged
+            ),
+            r AS (
+                SELECT *, row_number() OVER (
+                    PARTITION BY user_id, session_id
+                    ORDER BY ts, event_id) AS rn
+                FROM sess
+            ),
+            p AS (
+                SELECT user_id, session_id,
+                       string_agg(event_type, '>' ORDER BY rn) AS path,
+                       CAST(max(rn) AS BIGINT) AS path_len
+                FROM r WHERE rn <= 3 GROUP BY 1, 2
+            ),
+            c AS (
+                SELECT path, path_len,
+                       CAST(count(*) AS BIGINT) AS n_sessions
+                FROM p GROUP BY 1, 2
+            ),
+            t AS (SELECT CAST(sum(n_sessions) AS BIGINT) AS total_sessions
+                  FROM c)
+            SELECT c.path, c.path_len, c.n_sessions, t.total_sessions,
+                   CAST(c.n_sessions * 1000000 // t.total_sessions
+                        AS BIGINT) AS share_ppm
+            FROM c CROSS JOIN t
+            ORDER BY c.n_sessions DESC, c.path LIMIT 20
         """,
     }
 

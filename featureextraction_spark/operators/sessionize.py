@@ -253,3 +253,58 @@ def session_gaps(
         .otherwise(F.lit(0))
         .cast("long"),
     )
+
+
+def session_paths(
+    df: DataFrame,
+    key: str = "user_id",
+    ts: str = "ts",
+    tie: str = "event_id",
+    step: str = "event_type",
+    depth: int = 3,
+    top_n: int = 20,
+    gap_seconds: int = 1800,
+) -> DataFrame:
+    """Top user-journey prefixes: each session's first ``depth`` steps
+    joined into a path string ("view>click>purchase"), counted across
+    all sessions, top ``top_n`` reported with exact ppm share — the
+    clickstream path-analysis report behind every "how do users reach
+    X" question.
+
+    Scale: rides sessionize's single (key) exchange — the per-session
+    rank and the first-``depth`` cut happen inside the same sort; the
+    path table then collapses to |distinct paths| ≤ |steps|^depth rows
+    (tiny alphabet ⇒ tiny table), and the top-n is a distributed
+    TakeOrdered. Counts and shares are exact BIGINTs.
+    """
+    s = sessionize(df, key=key, ts=ts, tie=tie, gap_seconds=gap_seconds)
+    w = Window.partitionBy(key, "session_id").orderBy(
+        F.col(ts).asc(), F.col(tie).asc()
+    )
+    r = s.withColumn("__rn", F.row_number().over(w)).where(
+        F.col("__rn") <= depth
+    )
+    paths = r.groupBy(key, "session_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__rn", step))),
+                lambda x: x[step],
+            ),
+            ">",
+        ).alias("path"),
+        F.max("__rn").cast("long").alias("path_len"),
+    )
+    counts = paths.groupBy("path", "path_len").agg(
+        F.count(F.lit(1)).cast("long").alias("n_sessions")
+    )
+    total = counts.agg(
+        F.sum("n_sessions").cast("long").alias("total_sessions")
+    )
+    top = counts.orderBy(
+        F.col("n_sessions").desc(), F.col("path").asc()
+    ).limit(top_n)
+    return top.crossJoin(F.broadcast(total)).select(
+        "path", "path_len", "n_sessions", "total_sessions",
+        F.expr("CAST(n_sessions * 1000000 div total_sessions AS BIGINT)")
+        .alias("share_ppm"),
+    )
