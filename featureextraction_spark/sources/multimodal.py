@@ -3,11 +3,13 @@ with typed metadata.
 
 The Spark-side machinery — schema, partition-friendly layout, Arrow batch
 shapes, mapInPandas signatures, frame sampling — is real and tested. The
-actual media DECODE is stubbed: the decode libraries (PIL/cv2/av) are not in
-this container, so ``decode_features`` raises ``NotImplementedError`` unless
-``fake=True``, which substitutes a clearly-marked deterministic byte-level
-kernel (same shapes, same plumbing) so the pipeline is exercisable
-end-to-end.
+media DECODE is native for PNG and WAV PCM (``sources/codecs.py``: pure
+stdlib zlib inflate + numpy unfilter; stdlib ``wave``), so
+``decode_features(fake=False)`` returns true pixel/PCM-derived features
+for those codecs. Codecs with no pure-stdlib decoder (JPEG entropy
+decode, video) still raise ``NotImplementedError`` honestly; ``fake=True``
+substitutes a clearly-marked deterministic byte-level kernel (same shapes,
+same plumbing) so any-payload pipelines are exercisable end-to-end.
 
 Reference analog: the tarball image scan + per-file decode
 (``src/preparation/iamloader.py:10-53``) — there the payload was a 2-D
@@ -49,8 +51,6 @@ MULTIMODAL_SCHEMA = T.StructType(
 )
 
 FEATURE_DIM = 16
-
-_DECODE_LIBS_AVAILABLE = False  # PIL / cv2 / av are not baked into this env
 
 
 def make_multimodal_fixture(spark: SparkSession, n: int = 64, seed: int = 42) -> DataFrame:
@@ -95,20 +95,59 @@ def _fake_decode_batch(payloads: pd.Series) -> np.ndarray:
     return out
 
 
-def decode_features(df: DataFrame, fake: bool = False, batch_note: bool = True) -> DataFrame:
+def _real_decode_batch(payloads: pd.Series, on_unsupported: str = "raise") -> np.ndarray:
+    """REAL decode kernel: PNG → pixel-array features, WAV PCM → sample
+    features (``sources/codecs.py`` — pure stdlib+numpy, no codec libs).
+    Codecs without a native decoder (JPEG entropy decode, video) raise
+    ``NotImplementedError`` (``on_unsupported="raise"``, the honest
+    default) or yield an all-NaN row (``on_unsupported="null"``).
+
+    Reference analog: per-file pixel decode at
+    ``src/preparation/iamloader.py:37`` (cv2.imread grayscale)."""
+    from featureextraction_spark.sources.codecs import (
+        PNG_SIGNATURE,
+        audio_features,
+        decode_png,
+        decode_wav,
+        image_features,
+    )
+
+    out = np.full((len(payloads), FEATURE_DIM), np.nan)
+    for i, raw in enumerate(payloads):
+        if raw is None or len(raw) == 0:
+            continue
+        b = bytes(raw)
+        if b[: len(PNG_SIGNATURE)] == PNG_SIGNATURE:
+            out[i] = image_features(decode_png(b), dim=FEATURE_DIM)
+        elif b[:4] == b"RIFF" and b[8:12] == b"WAVE":
+            pcm, sr = decode_wav(b)
+            out[i] = audio_features(pcm, sr, dim=FEATURE_DIM)
+        elif on_unsupported == "raise":
+            sig = b[:4].hex()
+            raise NotImplementedError(
+                f"no native decoder for payload with signature 0x{sig}: only "
+                "PNG and WAV PCM decode natively (pure stdlib+numpy, "
+                "sources/codecs.py); pass fake=True for the deterministic "
+                "byte-stat stub or on_unsupported='null' to skip"
+            )
+    return out
+
+
+def decode_features(
+    df: DataFrame,
+    fake: bool = False,
+    batch_note: bool = True,
+    on_unsupported: str = "raise",
+) -> DataFrame:
     """payload → fixed-dim feature vector via Arrow-batched mapInPandas.
 
-    With real decode libs absent, ``fake=False`` raises NotImplementedError
-    (the honest path); ``fake=True`` runs the deterministic byte-stat stub
-    through the REAL plumbing: per-batch Arrow transfer, bounded batch
-    memory, binary column never touches row-at-a-time Python.
+    ``fake=False`` (default) decodes PNG and WAV PCM natively
+    (``sources/codecs.py``) and applies ``on_unsupported`` to anything
+    else; ``fake=True`` runs the deterministic byte-stat stub instead.
+    Either way the plumbing is identical: per-batch Arrow transfer,
+    bounded batch memory, the binary column never touches row-at-a-time
+    Python outside the kernel loop.
     """
-    if not fake and not _DECODE_LIBS_AVAILABLE:
-        raise NotImplementedError(
-            "media decode libraries (PIL/cv2/av) are not available in this "
-            "environment; pass fake=True for the deterministic stub kernel"
-        )
-
     out_schema = T.StructType(
         [
             T.StructField("sample_id", T.LongType()),
@@ -120,7 +159,10 @@ def decode_features(df: DataFrame, fake: bool = False, batch_note: bool = True) 
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            feats = _fake_decode_batch(pdf["payload"])
+            if fake:
+                feats = _fake_decode_batch(pdf["payload"])
+            else:
+                feats = _real_decode_batch(pdf["payload"], on_unsupported)
             yield pd.DataFrame(
                 {
                     "sample_id": pdf["sample_id"].astype("int64"),

@@ -25,9 +25,12 @@ def mm(spark):
     return df
 
 
-def test_honest_not_implemented_without_libs(spark, mm):
-    with pytest.raises(NotImplementedError, match="decode libraries"):
-        decode_features(mm, fake=False)
+def test_honest_not_implemented_for_unsupported_codecs(spark, mm):
+    # PNG/WAV now decode natively (sources/codecs.py; see test_codecs.py);
+    # the fixture's random-byte payloads have no native decoder, so the
+    # honest path still raises — at execution time, inside the kernel
+    with pytest.raises(Exception, match="no native decoder"):
+        decode_features(mm, fake=False).collect()
 
 
 def test_fake_decode_plumbing(spark, mm):
