@@ -4005,6 +4005,94 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+IVFPQ_RECALL_NQ = 20
+IVFPQ_RECALL_K = 10
+IVFPQ_N_LISTS = 8
+IVFPQ_N_PROBE = 2
+
+
+def q_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of PARTIAL-probe IVF-PQ (n_probe=2 of 8 lists) vs the
+    exact cosine scan — the probed-recall readout ``ann_recall`` gives
+    the LSH engine, here for the IVF-PQ composition (the round-4 verdict's
+    unmeasured gap: only the full-probe ≡ flat identity was gated).
+
+    Coarse centroids are the corpus vectors with the ``n_lists`` smallest
+    ids (deterministic and data-derived — the replayable-centroid sibling
+    of ``pq_sample_codebooks``), assignment is argmax-cosine with ties to
+    the smallest list, probing is the engine's (score desc, list_id desc)
+    slice; DuckDB replays centroids, assignment, probe choice, PQ encode
+    and the fixed-j-order ADC adds from the same parquet doubles.
+    hits/n_approx BIGINT, recall one nudged-rounded division."""
+    from featureextraction_spark.operators.similarity import (
+        cosine_similarity_col,
+        cosine_topk,
+        ivfpq_topk,
+    )
+
+    emb = _load(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") < IVFPQ_RECALL_NQ)
+    # n_lists rows — driver-tiny at any corpus scale, like FAISS codebooks
+    cent_rows = (
+        emb.filter(F.col("vec_id") < IVFPQ_N_LISTS)
+        .orderBy("vec_id")
+        .select(F.col("embedding").cast("array<double>"))
+        .collect()
+    )
+    centroids = [[float(x) for x in r[0]] for r in cent_rows]
+    neg = F.array(
+        *[
+            F.struct(
+                (
+                    -cosine_similarity_col(
+                        F.col("embedding"), F.array(*[F.lit(v) for v in c])
+                    )
+                ).alias("negs"),
+                F.lit(i).alias("i"),
+            )
+            for i, c in enumerate(centroids)
+        ]
+    )
+    assigned = emb.select(
+        "vec_id", "embedding", F.array_min(neg)["i"].alias("list_id")
+    )
+    approx = ivfpq_topk(
+        qs,
+        emb,
+        k=IVFPQ_RECALL_K,
+        n_lists=IVFPQ_N_LISTS,
+        n_probe=IVFPQ_N_PROBE,
+        m=4,
+        ks=8,
+        centroids=centroids,
+        assigned=assigned,
+    ).select("query_id", F.col("neighbor_id").alias("approx_id"))
+    exact = cosine_topk(qs, emb, k=IVFPQ_RECALL_K).select(
+        "query_id", "neighbor_id"
+    )
+    hits = (
+        exact.join(
+            approx,
+            (exact.query_id == approx.query_id)
+            & (exact.neighbor_id == approx.approx_id),
+            "left",
+        )
+        .groupBy(exact.query_id)
+        .agg(F.count("approx_id").cast("long").alias("hits"))
+    )
+    n_approx = approx.groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_approx")
+    )
+    return hits.join(n_approx, "query_id", "left").select(
+        "query_id",
+        "hits",
+        F.coalesce(F.col("n_approx"), F.lit(0)).cast("long").alias("n_approx"),
+        _hround6(
+            F.col("hits").cast("double") / F.lit(float(IVFPQ_RECALL_K))
+        ).alias("recall"),
+    )
+
+
 def q_dataset_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-row dataset card: corpus size, slice cardinalities, exact-dup
     mass (docs sharing a normalized-text fingerprint) — the header every
@@ -4306,6 +4394,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mmr_rerank": q_mmr_rerank,
         "weighted_median": q_weighted_median,
         "ann_recall": q_ann_recall,
+        "ivfpq_recall": q_ivfpq_recall,
         "dataset_summary": q_dataset_summary,
         "kmv_setops": q_kmv_setops,
         "parity_audit": q_parity_audit,
@@ -5749,7 +5838,132 @@ def oracle_sql() -> dict[str, str]:
     # full-probe IVF-PQ scans every list exactly once == the flat ADC scan
     # with the same codebooks (see q_ivfpq_topk_full docstring)
     base["ivfpq_topk_full"] = base["pq_topk"]
+    base["ivfpq_recall"] = _ivfpq_recall_oracle_sql()
     return base
+
+
+def _ivfpq_recall_oracle_sql() -> str:
+    """Replay PARTIAL-probe IVF-PQ end to end: centroids are the corpus
+    vectors with the 8 smallest ids (read from the same parquet — no
+    literals needed), assignment = argmax cosine (ties → smallest list),
+    probes = top n_probe by (cosine desc, list_id desc) mirroring the
+    engine's reverse(array_sort) slice, PQ encode + ADC identical to the
+    pq_topk oracle, recall join identical to ann_recall's."""
+    nl, np_, nq, k = IVFPQ_N_LISTS, IVFPQ_N_PROBE, IVFPQ_RECALL_NQ, IVFPQ_RECALL_K
+    return f"""
+        WITH corp AS (
+            SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        ),
+        cent AS (
+            SELECT vec_id AS list_id, v AS cv FROM corp WHERE vec_id < {nl}
+        ),
+        asg AS (
+            SELECT vec_id, list_id FROM (
+                SELECT corp.vec_id, cent.list_id,
+                       row_number() OVER (PARTITION BY corp.vec_id
+                           ORDER BY list_dot_product(corp.v, cent.cv)
+                                    / (sqrt(list_dot_product(corp.v, corp.v))
+                                       * sqrt(list_dot_product(cent.cv, cent.cv)))
+                                    DESC,
+                                cent.list_id ASC) AS rn
+                FROM corp, cent
+            ) WHERE rn = 1
+        ),
+        q AS (SELECT vec_id AS query_id, v AS qv FROM corp WHERE vec_id < {nq}),
+        probe AS (
+            SELECT query_id, list_id FROM (
+                SELECT q.query_id, cent.list_id,
+                       row_number() OVER (PARTITION BY q.query_id
+                           ORDER BY list_dot_product(q.qv, cent.cv)
+                                    / (sqrt(list_dot_product(q.qv, q.qv))
+                                       * sqrt(list_dot_product(cent.cv, cent.cv)))
+                                    DESC,
+                                cent.list_id DESC) AS rn
+                FROM q, cent
+            ) WHERE rn <= {np_}
+        ),
+        sub AS (SELECT unnest(generate_series(0, 3)) AS j),
+        cbsub AS (
+            SELECT j, list_id AS c, cv[j*16+1 : j*16+16] AS ccv FROM cent, sub
+        ),
+        corpsub AS (
+            SELECT vec_id, j, v[j*16+1 : j*16+16] AS sv FROM corp, sub
+        ),
+        enc AS (
+            SELECT vec_id, j, c AS code, ccv FROM (
+                SELECT cs.vec_id, cs.j, k.c, k.ccv,
+                       row_number() OVER (PARTITION BY cs.vec_id, cs.j
+                           ORDER BY list_dot_product(cs.sv, cs.sv)
+                                    - 2 * list_dot_product(cs.sv, k.ccv)
+                                    + list_dot_product(k.ccv, k.ccv),
+                                k.c) AS rn
+                FROM corpsub cs JOIN cbsub k USING (j)
+            ) WHERE rn = 1
+        ),
+        qsub AS (
+            SELECT query_id, j, qv[j*16+1 : j*16+16] AS qv_sub FROM q, sub
+        ),
+        cand AS (
+            SELECT p.query_id, a.vec_id AS neighbor_id
+            FROM probe p JOIN asg a USING (list_id)
+            WHERE p.query_id <> a.vec_id
+        ),
+        persub AS (
+            SELECT c.query_id, c.neighbor_id, s.j,
+                   list_dot_product(s.qv_sub, e.ccv) AS ip
+            FROM cand c
+            JOIN qsub s ON s.query_id = c.query_id
+            JOIN enc e ON e.vec_id = c.neighbor_id AND e.j = s.j
+        ),
+        piv AS (
+            SELECT query_id, neighbor_id,
+                   max(CASE WHEN j = 0 THEN ip END) AS ip0,
+                   max(CASE WHEN j = 1 THEN ip END) AS ip1,
+                   max(CASE WHEN j = 2 THEN ip END) AS ip2,
+                   max(CASE WHEN j = 3 THEN ip END) AS ip3
+            FROM persub GROUP BY query_id, neighbor_id
+        ),
+        approx AS (
+            SELECT query_id, neighbor_id FROM (
+                SELECT query_id, neighbor_id,
+                       row_number() OVER (PARTITION BY query_id
+                           ORDER BY round(ip0 + ip1 + ip2 + ip3, 6) DESC,
+                                    neighbor_id) AS rn
+                FROM piv
+            ) WHERE rn <= {k}
+        ),
+        sc_all AS (
+            SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+                   round(list_dot_product(a.v, b.v)
+                         / (sqrt(list_dot_product(a.v, a.v))
+                            * sqrt(list_dot_product(b.v, b.v))), 6) AS c6
+            FROM corp a JOIN corp b ON a.vec_id <> b.vec_id
+            WHERE a.vec_id < {nq}
+        ),
+        exact AS (
+            SELECT query_id, neighbor_id
+            FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                      ORDER BY c6 DESC, neighbor_id) AS rn FROM sc_all)
+            WHERE rn <= {k}
+        ),
+        h AS (
+            SELECT e.query_id,
+                   CAST(count(a.neighbor_id) AS BIGINT) AS hits
+            FROM exact e
+            LEFT JOIN approx a ON a.query_id = e.query_id
+                              AND a.neighbor_id = e.neighbor_id
+            GROUP BY 1
+        ),
+        na AS (
+            SELECT query_id, CAST(count(*) AS BIGINT) AS n_approx
+            FROM approx GROUP BY 1
+        )
+        SELECT h.query_id, h.hits,
+               CAST(coalesce(na.n_approx, 0) AS BIGINT) AS n_approx,
+               round(CAST(h.hits AS DOUBLE)
+                     / CAST({k} AS DOUBLE) + 1e-9, 6) AS recall
+        FROM h LEFT JOIN na ON na.query_id = h.query_id
+    """
 
 
 def _components_2d_oracle_sql() -> str:
