@@ -609,8 +609,12 @@ def contingency_table(df: DataFrame, a: str, b: str) -> DataFrame:
     — they still contribute ``rc/n``), so ``Σ chi2_cell`` over the
     result IS the test statistic. Callers should pre-collapse to the
     experimental unit (one row per user) so ``n`` stays within the
-    int64 headroom of the squared vehicle: |n·o − r·c| ≤ n², so n ≤
-    ~55M units is safe; beyond that, quantize or shard the test.
+    int64 headroom of the squared vehicle: |n·o − r·c| ≤ n² worst
+    case (a strongly-associated table can realize it), so ``dev_num``
+    can reach ~n⁴/16 and n ≤ ~1e5 units is always safe; balanced,
+    weakly-associated tables tolerate far more, and ANSI mode raises
+    ARITHMETIC_OVERFLOW rather than corrupting if a bigger n crosses
+    the line — then quantize or shard the test.
 
     Scale: two alphabet-sized marginal aggregates + one cell count, all
     map-side combinable; the grid cross-join and the 1-row total are

@@ -482,6 +482,11 @@ def referential_audit(
     |distinct keys| vs |parent keys|, never row-level; each relation is
     independent and unions into one tiny audit table.
     """
+    if not relations:
+        raise ValueError(
+            "referential_audit needs at least one (name, child, child_key, "
+            "parent, parent_key) relation"
+        )
     outs = []
     for name, child, ckey, parent, pkey in relations:
         keyed = (

@@ -7,10 +7,12 @@ computes exactly the new joined rows
 
     Δview = ΔL ⋈ R_hist  ∪  L_hist ⋈ ΔR  ∪  ΔL ⋈ ΔR
 
-against the parquet-backed history, Δview appends to the view, and the
-deltas append to the history — the stored view is NEVER re-joined. After
-the stream drains, the view is row-equal to the from-scratch batch join
-(asserted by test, the same external gate as the batch ``ivm_join``).
+against the parquet-backed history, Δview lands in the view's per-batch
+``__bid`` dir, and the deltas land in the history's — the stored view is
+NEVER re-joined, and every write is an idempotent per-batch overwrite
+(retry-safe: see ``make_join_view_batch_fn``). After the stream drains,
+the view is row-equal to the from-scratch batch join (asserted by test,
+the same external gate as the batch ``ivm_join``).
 
 Why foreachBatch and not a stream-stream join: Spark's built-in
 stream-stream inner join keeps BOTH sides in state-store memory bounded
@@ -37,11 +39,24 @@ from pyspark.sql import functions as F
 from ..operators.joins import incremental_join_delta
 
 
-def _read_or_empty(spark: SparkSession, path: str, like: DataFrame) -> DataFrame:
-    if os.path.isdir(path) and any(
-        f.endswith(".parquet") for f in os.listdir(path)
-    ):
-        return spark.read.schema(like.schema).parquet(path)
+def _read_history(
+    spark: SparkSession, path: str, like: DataFrame, before_bid: int
+) -> DataFrame:
+    """Union of the ``__bid=N`` batch subdirs with N strictly below
+    ``before_bid``. Prior batch dirs are immutable and the current
+    batch's own dir is excluded, so a RETRIED micro-batch recomputes its
+    delta against exactly the history the first attempt saw — the
+    replay-stability half of the exactly-once contract."""
+    if os.path.isdir(path):
+        subdirs = [
+            os.path.join(path, d)
+            for d in os.listdir(path)
+            if d.startswith("__bid=") and int(d[6:]) < before_bid
+        ]
+        if subdirs:
+            # leaf dirs passed explicitly: no partition discovery, the
+            # __bid key never leaks into the history schema
+            return spark.read.schema(like.schema).parquet(*subdirs)
     return spark.createDataFrame([], like.schema)
 
 
@@ -57,7 +72,16 @@ def make_join_view_batch_fn(
     Each batch row is routed to the left side when ``split_col`` ==
     ``left_value``, to the right when == ``right_value`` (others
     dropped). State layout under ``state_dir``: ``left/``, ``right/``
-    (history) and ``view/`` (the maintained join), all plain parquet.
+    (history) and ``view/`` (the maintained join), each as hive-style
+    ``__bid=<batch_id>`` subdirectories of plain parquet.
+
+    Exactly-once under micro-batch retry: every write is a per-batch
+    ``mode("overwrite")`` into the batch's own ``__bid`` dir, and the
+    delta is computed against history STRICTLY BEFORE this batch (see
+    ``_read_history``) — so a replayed batch recomputes the identical
+    delta and overwrites its own previous (possibly partial) output
+    instead of double-appending it. Readers of ``view/`` see ``__bid``
+    as a discovered partition column (batch provenance for free).
     """
     left_dir = os.path.join(state_dir, "left")
     right_dir = os.path.join(state_dir, "right")
@@ -72,16 +96,17 @@ def make_join_view_batch_fn(
         dr = batch.where(F.col(split_col) == right_value).select(
             F.col(on), *[F.col(c).alias(f"r_{c}") for c in payload]
         )
-        # pin the deltas before any append below re-shapes the dirs the
+        # pin the deltas before the writes below re-shape the dirs the
         # history scans read from (lazy plans + overlapping paths)
         dl = dl.localCheckpoint()
         dr = dr.localCheckpoint()
-        l_hist = _read_or_empty(spark, left_dir, dl)
-        r_hist = _read_or_empty(spark, right_dir, dr)
+        l_hist = _read_history(spark, left_dir, dl, batch_id)
+        r_hist = _read_history(spark, right_dir, dr, batch_id)
         delta_view = incremental_join_delta(l_hist, dl, r_hist, dr, on)
-        delta_view.write.mode("append").parquet(view_dir)
-        dl.write.mode("append").parquet(left_dir)
-        dr.write.mode("append").parquet(right_dir)
+        bid = f"__bid={batch_id}"
+        delta_view.write.mode("overwrite").parquet(os.path.join(view_dir, bid))
+        dl.write.mode("overwrite").parquet(os.path.join(left_dir, bid))
+        dr.write.mode("overwrite").parquet(os.path.join(right_dir, bid))
 
     return process
 

@@ -94,3 +94,48 @@ def test_neyman_sample_respects_quotas_and_determinism(spark):
     # deterministic: second run identical
     again = neyman_sample(df, "src", "x", "id").collect()
     assert {tuple(r) for r in again} == {tuple(r) for r in got}
+
+
+def test_streaming_join_view_retry_idempotent(spark, tmp_path):
+    """Replay safety: re-running a micro-batch (same batch_id) after any
+    partial write leaves the state byte-identical — per-batch overwrite
+    dirs + strictly-before-history make the delta recomputation exact."""
+    from featureextraction_spark.streaming.ivm import make_join_view_batch_fn
+
+    state = str(tmp_path / "state")
+    fn = make_join_view_batch_fn(
+        state, on="user_id", split_col="kind",
+        left_value="click", right_value="purchase",
+    )
+    b0 = spark.createDataFrame(
+        [(1, "click", 10), (1, "purchase", 11), (2, "click", 12)],
+        "user_id long, kind string, seq long",
+    )
+    b1 = spark.createDataFrame(
+        [(1, "purchase", 20), (2, "purchase", 21)],
+        "user_id long, kind string, seq long",
+    )
+    fn(b0, 0)
+    fn(b1, 1)
+    once = {tuple(r) for r in spark.read.parquet(state + "/view").drop("__bid").collect()}
+    # simulate the retry storm: batch 1 replays twice, then batch 0 replays
+    # (a retried batch must recompute against pre-batch history only)
+    fn(b1, 1)
+    fn(b1, 1)
+    fn(b0, 0)
+    again = {tuple(r) for r in spark.read.parquet(state + "/view").drop("__bid").collect()}
+    assert again == once
+    view = spark.read.parquet(state + "/view").drop("__bid")
+    assert view.count() == len(once)  # overwrite, never double-append
+    # and the view still equals the from-scratch join
+    want = {(1, 10, 11), (1, 10, 20), (2, 12, 21)}
+    assert {(r["user_id"], r["l_seq"], r["r_seq"]) for r in view.collect()} == want
+
+
+def test_referential_audit_rejects_empty_relations(spark):
+    import pytest as _pytest
+
+    from featureextraction_spark.operators.profiling import referential_audit
+
+    with _pytest.raises(ValueError, match="at least one"):
+        referential_audit([])
