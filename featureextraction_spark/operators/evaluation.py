@@ -248,7 +248,7 @@ def calibration_bins(
     b = F.least(
         ((num - F.pmod(num, d)) / d).cast("long"), F.lit(n_bins - 1)
     )
-    return (
+    per = (
         df.select(
             b.alias("bin"),
             q.alias("__sq"),
@@ -260,12 +260,20 @@ def calibration_bins(
             F.sum("__y").cast("long").alias("n_pos"),
             F.sum("__sq").cast("long").alias("sum_score_q"),
         )
-        .select(
-            "bin", "n", "n_pos", "sum_score_q",
-            (F.col("n_pos").cast("double") / F.col("n").cast("double")).alias(
-                "pos_rate"
-            ),
-        )
+    )
+    return calibration_from_bin_counts(per)
+
+
+def calibration_from_bin_counts(per: DataFrame) -> DataFrame:
+    """Close a (bin, n, n_pos, sum_score_q) count table into the
+    reliability readout — factored out because the per-bin sums are a
+    MERGEABLE state: the streaming twin accumulates per-batch partials
+    (summed per bin) and closes with this exact function."""
+    return per.select(
+        "bin", "n", "n_pos", "sum_score_q",
+        (F.col("n_pos").cast("double") / F.col("n").cast("double")).alias(
+            "pos_rate"
+        ),
     )
 
 
@@ -347,6 +355,15 @@ def roc_auc_by(
             (F.count(F.lit(1)) - F.sum("__y")).cast("long").alias("n_neg"),
         )
     )
+    return auc_from_group_score_counts(per)
+
+
+def auc_from_group_score_counts(per: DataFrame) -> DataFrame:
+    """Close a (grp, sq, n_pos, n_neg) distinct-score count table into the
+    per-slice AUC readout — the tail of :func:`roc_auc_by`, factored out
+    because the count table is a MERGEABLE state (sums are commutative):
+    the streaming twin accumulates per-batch partials and closes with
+    this exact function, so batch and stream share one code path."""
     w = (
         Window.partitionBy("grp")
         .orderBy("sq")
