@@ -4194,6 +4194,132 @@ def q_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
                          gap_seconds=SESSION_GAP_SECONDS)
 
 
+def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic mergeable Misra–Gries top-token summary with its
+    error certificate, audited against the exact counts: every column is
+    a BIGINT, so the certificate itself (mg ≤ exact ≤ mg + err) is
+    hash-gated cross-engine — not just spot-checked."""
+    from featureextraction_spark.operators.sketches import heavy_hitters
+
+    from featureextraction_spark.plans.feature_pipeline import TOKEN_REGEX
+
+    docs = _load(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.col("doc_id"),
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col("text")), F.lit(TOKEN_REGEX), F.lit(0))
+        ).alias("item"),
+    )
+    hh = heavy_hitters(toks, "item", F.pmod(F.col("doc_id"), F.lit(8)), k=24)
+    exact = toks.groupBy("item").agg(
+        F.count(F.lit(1)).cast("long").alias("exact_count")
+    )
+    return hh.join(exact, "item").select(
+        "item", "mg_count", "err_bound", "exact_count"
+    )
+
+
+def q_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Priority sampling (Duffield–Lund–Thorup): a 96-row weighted sample
+    of documents by n_chars whose est_weight column estimates the byte
+    mass of ANY document subset. Priorities/tau use only IEEE core ops
+    over the portable md5-60-bit hash — bit-identical cross-engine."""
+    from featureextraction_spark.operators.sampling import priority_sample
+
+    docs = _load(spark, sf_dir, "documents")
+    out = priority_sample(docs, "doc_id", "n_chars", k=96)
+    return out.select(
+        "doc_id",
+        "weight",
+        "rn",
+        _hround6(F.col("priority")).alias("priority"),
+        _hround6(F.col("tau")).alias("tau"),
+        _hround6(F.col("est_weight")).alias("est_weight"),
+    )
+
+
+def q_zonemap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone-map (min/max footer) skipping audit: how many 512-row zones
+    a yearly o_orderdate range scan must touch under the natural
+    insertion layout vs a date-sorted layout — the "is re-clustering
+    worth it" decision table, all-integer and bit-exact. The date-sorted
+    rank goes through blockpair.with_global_rank's two-phase form (no
+    single-partition window over the fact table)."""
+    import datetime
+
+    from featureextraction_spark.operators.blockpair import with_global_rank
+    from featureextraction_spark.operators.cache import (
+        release_persisted_intermediates,
+    )
+    from featureextraction_spark.operators.layout import zonemap_prune_audit
+
+    orders = _load(spark, sf_dir, "orders")
+    # unique, lexicographically-chronological sort key (dates tie)
+    sorted_rk = with_global_rank(
+        orders.withColumn(
+            "__sk",
+            F.format_string(
+                "%020d-%012d", epoch_us(orders, "o_orderdate"), F.col("o_orderkey")
+            ),
+        ),
+        "__sk",
+    )
+    preds = [
+        (f"y{y}", datetime.datetime(y, 1, 1), datetime.datetime(y, 12, 31, 23, 59, 59))
+        for y in (1995, 1997, 1999, 2001)
+    ]
+    natural = zonemap_prune_audit(
+        orders,
+        {"natural": F.expr("o_orderkey div 512")},
+        "o_orderdate",
+        preds,
+    )
+    date_sorted = zonemap_prune_audit(
+        sorted_rk,
+        {"date_sorted": F.expr("__rk div 512")},
+        "o_orderdate",
+        preds,
+    )
+    out = natural.unionByName(date_sorted).orderBy("layout", "pred")
+    out = out.localCheckpoint()  # cut the cached-rank lineage before release
+    release_persisted_intermediates()
+    return out
+
+
+def q_woe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-of-evidence / information-value screen of order priority
+    against the finished-order label: BIGINT woe_num/woe_den vehicles
+    plus the one-ln woe/iv doubles under the shared nudge."""
+    from featureextraction_spark.operators.encoding import woe_encode
+
+    orders = _load(spark, sf_dir, "orders")
+    out = woe_encode(orders, "o_orderpriority", F.col("o_orderstatus") == "F")
+    return out.select(
+        "category",
+        "n",
+        "pos",
+        "neg",
+        "woe_num",
+        "woe_den",
+        _hround6(F.col("woe")).alias("woe"),
+        _hround6(F.col("iv")).alias("iv"),
+    )
+
+
+def q_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Add-one bigram LM fit on the doc_id % 10 == 0 slice, every doc
+    scored — the conditional-probability upgrade of unigram_lm. Only the
+    BIGINT vehicles ship through the hash gate (blm_num / ctx_num and
+    the integer counts); avg_logprob is pytest-oracled with tolerance
+    (multi-term float sum), exactly like the unigram scorer."""
+    from featureextraction_spark.functions.textstats import bigram_lm_score
+
+    docs = _load(spark, sf_dir, "documents")
+    return bigram_lm_score(docs, ref=F.col("doc_id") % 10 == 0).select(
+        "doc_id", "n_bigrams", "oov_bigrams", "blm_num", "ctx_num"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "lag_lead": q_lag_lead,
@@ -4399,6 +4525,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmv_setops": q_kmv_setops,
         "parity_audit": q_parity_audit,
         "session_paths": q_session_paths,
+        "heavy_hitters": q_heavy_hitters,
+        "priority_sample": q_priority_sample,
+        "zonemap_audit": q_zonemap_audit,
+        "woe_encode": q_woe_encode,
+        "bigram_lm": q_bigram_lm,
     }
 
 
@@ -5523,6 +5654,225 @@ def _round4am_oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS share_ppm
             FROM c CROSS JOIN t
             ORDER BY c.n_sessions DESC, c.path LIMIT 20
+        """,
+        # deterministic Misra–Gries: exact per-shard counts -> rank/offset
+        # compress at k=24 -> order-free sum-then-prune merge (PODS'12) —
+        # all-integer, so the error certificate itself is hash-gated
+        "heavy_hitters": f"""
+            WITH tok AS (
+                SELECT doc_id % 8 AS s,
+                       unnest(regexp_extract_all(lower(coalesce(text, '')),
+                                                 {_TOKENS_RE})) AS item
+                FROM documents
+            ),
+            sc AS (
+                SELECT s, item, CAST(count(*) AS BIGINT) AS cnt
+                FROM tok GROUP BY s, item
+            ),
+            r1 AS (
+                SELECT s, item, cnt,
+                       row_number() OVER (
+                           PARTITION BY s ORDER BY cnt DESC, item) AS rn
+                FROM sc
+            ),
+            off1 AS (SELECT s, cnt AS off FROM r1 WHERE rn = 25),
+            serr AS (
+                SELECT CAST(coalesce(sum(off), 0) AS BIGINT) AS shard_err
+                FROM off1
+            ),
+            ps AS (
+                SELECT r1.item, r1.cnt - coalesce(o.off, 0) AS mg
+                FROM r1 LEFT JOIN off1 o USING (s)
+                WHERE r1.rn <= 24 AND r1.cnt - coalesce(o.off, 0) > 0
+            ),
+            merged AS (SELECT item, sum(mg) AS cnt FROM ps GROUP BY item),
+            r2 AS (
+                SELECT item, cnt,
+                       row_number() OVER (ORDER BY cnt DESC, item) AS rn
+                FROM merged
+            ),
+            off2 AS (
+                SELECT CAST(coalesce(
+                           max(CASE WHEN rn = 25 THEN cnt END), 0) AS BIGINT)
+                       AS off
+                FROM r2
+            ),
+            fin AS (
+                SELECT item, CAST(cnt - off2.off AS BIGINT) AS mg_count
+                FROM r2, off2 WHERE rn <= 24 AND cnt - off2.off > 0
+            ),
+            exact AS (
+                SELECT item, CAST(count(*) AS BIGINT) AS exact_count
+                FROM tok GROUP BY item
+            )
+            SELECT fin.item, fin.mg_count,
+                   CAST(serr.shard_err + off2.off AS BIGINT) AS err_bound,
+                   exact.exact_count
+            FROM fin CROSS JOIN serr CROSS JOIN off2
+            JOIN exact ON exact.item = fin.item
+        """,
+        # priority sampling: q = w / u over the portable md5-60-bit hash,
+        # top-96, tau = 97th priority, est = max(w, tau) — IEEE core ops
+        # only (cast/add/divide/compare), bit-identical cross-engine
+        "priority_sample": """
+            WITH p AS (
+                SELECT doc_id, CAST(n_chars AS BIGINT) AS weight,
+                       CAST(n_chars AS DOUBLE) /
+                       ((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+                                                  || ':42'), 1, 15))::BIGINT
+                              AS DOUBLE) + 0.5)
+                        / 1152921504606846976.0) AS priority
+                FROM documents
+            ),
+            r AS (
+                SELECT *, row_number() OVER (
+                           ORDER BY priority DESC, doc_id) AS rn
+                FROM p
+            ),
+            tau AS (
+                SELECT coalesce(max(CASE WHEN rn = 97 THEN priority END),
+                                0.0) AS tau
+                FROM r
+            )
+            SELECT doc_id, weight, CAST(rn AS BIGINT) AS rn,
+                   round(priority + 1e-9, 6) AS priority,
+                   round(tau.tau + 1e-9, 6) AS tau,
+                   round(greatest(CAST(weight AS DOUBLE), tau.tau) + 1e-9, 6)
+                       AS est_weight
+            FROM r CROSS JOIN tau WHERE rn <= 96
+        """,
+        # zone-map skipping audit: 512-row zones under natural vs
+        # date-sorted layout, yearly o_orderdate range predicates —
+        # exact integer counts, comparisons only
+        "zonemap_audit": """
+            WITH preds(pred, lo, hi) AS (VALUES
+                ('y1995', TIMESTAMP '1995-01-01',
+                          TIMESTAMP '1995-12-31 23:59:59'),
+                ('y1997', TIMESTAMP '1997-01-01',
+                          TIMESTAMP '1997-12-31 23:59:59'),
+                ('y1999', TIMESTAMP '1999-01-01',
+                          TIMESTAMP '1999-12-31 23:59:59'),
+                ('y2001', TIMESTAMP '2001-01-01',
+                          TIMESTAMP '2001-12-31 23:59:59')),
+            nat AS (
+                SELECT o_orderkey // 512 AS zone,
+                       CAST(count(*) AS BIGINT) AS n_rows,
+                       min(o_orderdate) AS vmin, max(o_orderdate) AS vmax
+                FROM orders GROUP BY 1
+            ),
+            rk AS (
+                SELECT o_orderdate,
+                       row_number() OVER (
+                           ORDER BY o_orderdate, o_orderkey) - 1 AS rk
+                FROM orders
+            ),
+            ds AS (
+                SELECT rk // 512 AS zone,
+                       CAST(count(*) AS BIGINT) AS n_rows,
+                       min(o_orderdate) AS vmin, max(o_orderdate) AS vmax
+                FROM rk GROUP BY 1
+            ),
+            m AS (
+                SELECT pred,
+                       CAST(sum(CASE WHEN o_orderdate BETWEEN lo AND hi
+                                     THEN 1 ELSE 0 END) AS BIGINT)
+                           AS rows_matching
+                FROM orders CROSS JOIN preds GROUP BY pred
+            ),
+            audit AS (
+                SELECT 'natural' AS layout, pred,
+                       CAST(count(*) AS BIGINT) AS zones_total,
+                       CAST(sum(CASE WHEN vmin <= hi AND vmax >= lo
+                                     THEN 1 ELSE 0 END) AS BIGINT)
+                           AS zones_scanned,
+                       CAST(sum(n_rows) AS BIGINT) AS rows_total,
+                       CAST(sum(CASE WHEN vmin <= hi AND vmax >= lo
+                                     THEN n_rows ELSE 0 END) AS BIGINT)
+                           AS rows_scanned
+                FROM nat CROSS JOIN preds GROUP BY pred
+                UNION ALL
+                SELECT 'date_sorted', pred,
+                       CAST(count(*) AS BIGINT),
+                       CAST(sum(CASE WHEN vmin <= hi AND vmax >= lo
+                                     THEN 1 ELSE 0 END) AS BIGINT),
+                       CAST(sum(n_rows) AS BIGINT),
+                       CAST(sum(CASE WHEN vmin <= hi AND vmax >= lo
+                                     THEN n_rows ELSE 0 END) AS BIGINT)
+                FROM ds CROSS JOIN preds GROUP BY pred
+            )
+            SELECT audit.layout, audit.pred, audit.zones_total,
+                   audit.zones_scanned, audit.rows_total,
+                   audit.rows_scanned, m.rows_matching
+            FROM audit JOIN m USING (pred)
+        """,
+        # WOE/IV with s=0.5: BIGINT (2·pos+1)·neg_tot / (2·neg+1)·pos_tot
+        # vehicles; woe/iv take one ln each under the shared nudge
+        "woe_encode": """
+            WITH c AS (
+                SELECT o_orderpriority AS category,
+                       CAST(count(*) AS BIGINT) AS n,
+                       CAST(sum(CASE WHEN o_orderstatus = 'F'
+                                     THEN 1 ELSE 0 END) AS BIGINT) AS pos
+                FROM orders GROUP BY 1
+            ),
+            c2 AS (SELECT category, n, pos,
+                          CAST(n - pos AS BIGINT) AS neg FROM c),
+            t AS (SELECT CAST(sum(pos) AS BIGINT) AS pos_tot,
+                         CAST(sum(neg) AS BIGINT) AS neg_tot FROM c2)
+            SELECT category, n, pos, neg,
+                   CAST((2 * pos + 1) * neg_tot AS BIGINT) AS woe_num,
+                   CAST((2 * neg + 1) * pos_tot AS BIGINT) AS woe_den,
+                   round(ln(CAST((2 * pos + 1) * neg_tot AS DOUBLE)
+                            / CAST((2 * neg + 1) * pos_tot AS DOUBLE))
+                         + 1e-9, 6) AS woe,
+                   round((CAST(pos AS DOUBLE) / CAST(pos_tot AS DOUBLE)
+                          - CAST(neg AS DOUBLE) / CAST(neg_tot AS DOUBLE))
+                         * ln(CAST((2 * pos + 1) * neg_tot AS DOUBLE)
+                              / CAST((2 * neg + 1) * pos_tot AS DOUBLE))
+                         + 1e-9, 6) AS iv
+            FROM c2 CROSS JOIN t
+        """,
+        # add-one bigram LM on the doc_id % 10 == 0 slice — BIGINT
+        # vehicles only (avg_logprob is pytest-oracled, like unigram_lm)
+        "bigram_lm": f"""
+            WITH t AS (
+                SELECT doc_id,
+                       regexp_extract_all(lower(coalesce(text, '')),
+                                          {_TOKENS_RE}) AS ts
+                FROM documents
+            ),
+            bg2 AS (
+                SELECT doc_id,
+                       unnest(ts[1 : len(ts) - 1]) AS a,
+                       unnest(ts[2 : len(ts)]) AS b
+                FROM t WHERE len(ts) >= 2
+            ),
+            cab AS (
+                SELECT a, b, CAST(count(*) AS BIGINT) AS cab
+                FROM bg2 WHERE doc_id % 10 = 0 GROUP BY a, b
+            ),
+            ca AS (
+                SELECT a, CAST(count(*) AS BIGINT) AS ca
+                FROM bg2 WHERE doc_id % 10 = 0 GROUP BY a
+            ),
+            agg AS (
+                SELECT bg2.doc_id,
+                       CAST(count(*) AS BIGINT) AS n_bigrams,
+                       CAST(count(*) FILTER (cab.cab IS NULL) AS BIGINT)
+                           AS oov_bigrams,
+                       CAST(sum(coalesce(cab.cab, 0) + 1) AS BIGINT)
+                           AS blm_num,
+                       CAST(sum(coalesce(ca.ca, 0)) AS BIGINT) AS ctx_num
+                FROM bg2 LEFT JOIN cab USING (a, b) LEFT JOIN ca USING (a)
+                GROUP BY bg2.doc_id
+            )
+            SELECT d.doc_id,
+                   CAST(coalesce(agg.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+                   CAST(coalesce(agg.oov_bigrams, 0) AS BIGINT)
+                       AS oov_bigrams,
+                   CAST(coalesce(agg.blm_num, 0) AS BIGINT) AS blm_num,
+                   CAST(coalesce(agg.ctx_num, 0) AS BIGINT) AS ctx_num
+            FROM documents d LEFT JOIN agg USING (doc_id)
         """,
     }
 

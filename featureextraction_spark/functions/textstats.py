@@ -932,3 +932,190 @@ def readability_features(
             "fk_grade"
         ),
     )
+
+
+def bigram_lm_score(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text: str = "text",
+    ref: Column | None = None,
+) -> DataFrame:
+    """Add-one bigram LM fit on a REFERENCE slice, scoring every doc —
+    the conditional-probability sibling of :func:`unigram_lm_score`
+    (KenLM-style fluency filtering, Heafield WMT'11 / Wenzek et al.
+    2020; higher-order n-gram scores are the standard CCNet upgrade).
+
+    p(b|a) = (c_ab + 1) / (c_a + V + 1) with c_ab / c_a the training
+    bigram / context counts and V the training vocabulary (the +1 is the
+    OOV bucket, as in the unigram scorer). Per document:
+
+    - ``n_bigrams``, ``oov_bigrams``  exact integer counts
+      (oov = bigram never seen in training);
+    - ``blm_num``   Σ (c_ab + 1)  — exact BIGINT numerator mass;
+    - ``ctx_num``   Σ c_a         — exact BIGINT context-familiarity mass
+      (0 for a doc whose every context word is unseen);
+    - ``avg_logprob``  mean ln p(b|a) — multi-term FLOAT sum, tolerance-
+      comparable only (pytest-oracled; excluded from the hash-compared
+      driver query, exactly like the unigram scorer's).
+
+    Scale: the LM is two token-keyed count aggregates (vocabulary-sized,
+    map-combinable) + a 1-row totals broadcast; scoring is two
+    vocab-keyed left joins (AQE broadcasts them when small) and one
+    doc-keyed rollup. No Python anywhere.
+    """
+    flag = (ref if ref is not None else F.lit(True)).alias("__ref")
+    toks = df.select(
+        F.col(id_col),
+        flag,
+        F.regexp_extract_all(
+            F.lower(F.col(text)), F.lit(TOKEN_REGEX), F.lit(0)
+        ).alias("__ts"),
+    )
+    pairs = toks.select(
+        F.col(id_col),
+        "__ref",
+        F.explode_outer(
+            F.expr(
+                "CASE WHEN size(__ts) >= 2 THEN "
+                "transform(sequence(1, size(__ts) - 1), "
+                "i -> struct(element_at(__ts, i) AS a, "
+                "element_at(__ts, i + 1) AS b)) "
+                "ELSE CAST(array() AS array<struct<a string, b string>>) END"
+            )
+        ).alias("__p"),
+    ).select(id_col, "__ref", F.col("__p.a").alias("__a"), F.col("__p.b").alias("__b"))
+    train = pairs.filter(F.col("__ref") & F.col("__a").isNotNull())
+    cab = train.groupBy("__a", "__b").agg(F.count(F.lit(1)).alias("__cab"))
+    ca = train.groupBy("__a").agg(F.count(F.lit(1)).alias("__ca"))
+    vocab = (
+        toks.filter("__ref")
+        .select(F.explode("__ts").alias("__t"))
+        .agg(F.count_distinct("__t").cast("long").alias("__V"))
+    )
+    scored = (
+        pairs.drop("__ref")
+        .join(cab, ["__a", "__b"], "left")
+        .join(ca, ["__a"], "left")
+        .crossJoin(F.broadcast(vocab))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.when(F.col("__a").isNotNull(), 1))
+            .cast("long")
+            .alias("n_bigrams"),
+            F.count(F.when(F.col("__a").isNotNull() & F.col("__cab").isNull(), 1))
+            .cast("long")
+            .alias("oov_bigrams"),
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.col("__a").isNotNull(),
+                        F.coalesce(F.col("__cab"), F.lit(0)) + 1,
+                    )
+                ),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("blm_num"),
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.col("__a").isNotNull(), F.coalesce(F.col("__ca"), F.lit(0))
+                    )
+                ),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("ctx_num"),
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.col("__a").isNotNull(),
+                        F.log(
+                            (F.coalesce(F.col("__cab"), F.lit(0)) + 1).cast("double")
+                        )
+                        - F.log(
+                            (
+                                F.coalesce(F.col("__ca"), F.lit(0))
+                                + F.col("__V")
+                                + 1
+                            ).cast("double")
+                        ),
+                    )
+                ),
+                F.lit(0.0),
+            ).alias("__sumlog"),
+        )
+    )
+    return scored.select(
+        id_col,
+        "n_bigrams",
+        "oov_bigrams",
+        "blm_num",
+        "ctx_num",
+        F.when(F.col("n_bigrams") == 0, F.lit(0.0))
+        .otherwise(F.col("__sumlog") / F.col("n_bigrams"))
+        .alias("avg_logprob"),
+    )
+
+
+def bpe_apply(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    id_col: str = "doc_id",
+    text: str = "text",
+) -> DataFrame:
+    """Tokenizer APPLY for a shipped BPE merge list — the encode step
+    that pairs with :func:`bpe_train`'s learn step (Sennrich ACL'16).
+
+    Each whitespace word becomes its character symbols; every merge rule
+    (left, right) is applied in rank order as ONE greedy left-to-right
+    non-overlapping pass — exactly :func:`bpe_train`'s fold semantics —
+    via string surgery: symbols are rendered space-wrapped (`` a  b ``,
+    one space per side, so adjacency is a double space and a separator
+    can never appear inside a symbol, tokens being whitespace-split),
+    and a merge is ``replace(s, ' l  r ', ' lr ')``. ``replace`` scans
+    left-to-right over non-overlapping occurrences in both Spark and
+    DuckDB, and the replacement re-supplies the shared boundary space,
+    so chained pairs (``a a a a`` → ``aa aa``) come out identical to the
+    trainer's fold — the whole encode is engine-exact, no UDF.
+
+    Output per document: ``n_words``, ``n_syms_in`` (character symbols
+    before merging), ``n_syms_out`` (tokens after all merges),
+    ``n_merges_applied`` = in − out. Documents with no words still get a
+    row (all zeros).
+
+    Scale: map-only — one explode + a fixed chain of |merges| replace
+    expressions inside whole-stage codegen, then a doc-keyed rollup.
+    """
+    toks = F.filter(
+        F.split(
+            F.lower(
+                F.trim(
+                    F.regexp_replace(F.col(text), "[ \\t\\n\\r\\f\\u000B]+", " ")
+                )
+            ),
+            " ",
+        ),
+        lambda x: x != "",
+    )
+    words = df.select(F.col(id_col), F.explode_outer(toks).alias("__w"))
+    chars = F.filter(F.split(F.col("__w"), ""), lambda s: s != "")
+    s = F.concat(F.lit(" "), F.array_join(chars, "  "), F.lit(" "))
+    for left, right, *_ in merges:
+        s = F.replace(s, F.lit(f" {left}  {right} "), F.lit(f" {left}{right} "))
+    per_word = words.select(
+        id_col,
+        F.when(F.col("__w").isNull(), F.lit(0))
+        .otherwise(F.length("__w"))
+        .alias("__in"),
+        F.when(F.col("__w").isNull(), F.lit(0))
+        .otherwise(F.size(F.split(F.trim(s), "  ")))
+        .alias("__out"),
+        F.when(F.col("__w").isNull(), F.lit(0)).otherwise(F.lit(1)).alias("__word"),
+    )
+    return per_word.groupBy(id_col).agg(
+        F.sum("__word").cast("long").alias("n_words"),
+        F.sum("__in").cast("long").alias("n_syms_in"),
+        F.sum("__out").cast("long").alias("n_syms_out"),
+        (F.sum("__in") - F.sum("__out")).cast("long").alias("n_merges_applied"),
+    )

@@ -79,3 +79,102 @@ def zorder_layout(
         else df.repartitionByRange(*parts)
     )
     return d.sortWithinPartitions(key)
+
+
+def zonemap_stats(
+    df: DataFrame, zone: Column, value: str, out_zone: str = "zone"
+) -> DataFrame:
+    """Per-zone footer stats (n_rows, min, max of ``value``) for a given
+    zone assignment — the relational model of parquet row-group / file
+    min-max metadata ("zone maps", Moerkotte ADMS'98; every columnar
+    store ships them).
+    """
+    return df.groupBy(zone.cast("long").alias(out_zone)).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.min(value).alias("vmin"),
+        F.max(value).alias("vmax"),
+    )
+
+
+def zonemap_prune_audit(
+    df: DataFrame,
+    layouts: dict[str, Column],
+    value: str,
+    predicates: list[tuple[str, object, object]],
+) -> DataFrame:
+    """Quantify min/max data skipping under alternative physical layouts.
+
+    ``layouts`` maps a layout name to its zone-id expression (e.g. the
+    natural insertion order ``key div 512`` vs rank-in-sort-order div
+    512 after a Z-order or date sort). For each (layout, predicate
+    ``value BETWEEN lo AND hi``) the audit reports how many zones and
+    rows a min/max-pruning scan must touch vs the rows that actually
+    match — THE decision table for "is re-clustering this 100-TB table
+    worth it": scanned/matching ≈ 1 means the layout already serves the
+    predicate, scanned ≈ total means every file gets opened.
+
+    All outputs are exact integer counts (comparisons only — no floats),
+    so the audit itself is bit-replayable cross-engine.
+
+    Scale: one (zone) agg per layout — map-side combinable, zone table
+    ≤ n_rows/zone_size rows — then a broadcast join against the ≤
+    |predicates| literal rows; the row-match pass is one scan with a
+    partial agg per predicate. Nothing shuffles the fact table.
+    """
+    spark = df.sparkSession
+    preds = spark.createDataFrame(
+        [(p[0], p[1], p[2]) for p in predicates], ["pred", "lo", "hi"]
+    )
+    matches = (
+        df.crossJoin(F.broadcast(preds))
+        .groupBy("pred")
+        .agg(
+            F.sum(
+                F.col(value).between(F.col("lo"), F.col("hi")).cast("long")
+            )
+            .cast("long")
+            .alias("rows_matching")
+        )
+    )
+    outs = []
+    for name, zone in layouts.items():
+        stats = zonemap_stats(df, zone, value)
+        audit = (
+            stats.crossJoin(F.broadcast(preds))
+            .groupBy("pred")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("zones_total"),
+                F.sum(
+                    (
+                        (F.col("vmin") <= F.col("hi"))
+                        & (F.col("vmax") >= F.col("lo"))
+                    ).cast("long")
+                )
+                .cast("long")
+                .alias("zones_scanned"),
+                F.sum("n_rows").cast("long").alias("rows_total"),
+                F.sum(
+                    F.when(
+                        (F.col("vmin") <= F.col("hi"))
+                        & (F.col("vmax") >= F.col("lo")),
+                        F.col("n_rows"),
+                    ).otherwise(F.lit(0))
+                )
+                .cast("long")
+                .alias("rows_scanned"),
+            )
+            .select(F.lit(name).alias("layout"), "*")
+        )
+        outs.append(audit)
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out.join(matches, "pred").select(
+        "layout",
+        "pred",
+        "zones_total",
+        "zones_scanned",
+        "rows_total",
+        "rows_scanned",
+        "rows_matching",
+    )

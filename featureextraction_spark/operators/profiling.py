@@ -705,3 +705,66 @@ def weighted_median(
             "w_total",
         )
     )
+
+
+def encoding_advisor(
+    df: DataFrame,
+    key: str,
+    order: tuple[str, ...],
+    cols: list[str],
+) -> DataFrame:
+    """Columnar-encoding decision stats: for each column, the inputs a
+    writer needs to choose between PLAIN, DICTIONARY and RLE encodings
+    when the table is laid out sorted by ``(key, *order)`` — n_rows,
+    nulls, exact distinct count, byte mass, and ``n_runs`` = the number
+    of RLE runs the sorted layout would produce (runs counted within
+    each ``key`` group: group boundaries always start a run, matching
+    per-file layout where a key never spans files). n_runs/n_rows ≈ 1
+    means RLE buys nothing; n_distinct·avg_len ≪ bytes means dictionary
+    wins — the same stats parquet writers sample per page, surfaced as a
+    queryable audit (public practice: Abadi et al. SIGMOD'06,
+    "Integrating compression and execution in column-oriented systems").
+
+    All-integer output, bit-replayable. Scale: ONE (key)-hash exchange
+    serves every column's lag window (shared sort), the distinct counts
+    ride the standard multi-distinct Expand — nothing else shuffles.
+    """
+    w = Window.partitionBy(key).orderBy(*[F.col(c) for c in order])
+    lagged = df.select(
+        *[F.col(c) for c in dict.fromkeys([key, *order, *cols])],
+        *[F.lag(F.col(c)).over(w).alias(f"__lag_{c}") for c in cols],
+        F.row_number().over(w).alias("__rn"),
+    )
+    aggs = []
+    for c in cols:
+        is_run_start = F.when(
+            (F.col("__rn") == 1)
+            | ~(
+                F.col(c).eqNullSafe(F.col(f"__lag_{c}"))
+            ),
+            1,
+        ).otherwise(0)
+        dt = dict(df.dtypes)[c]
+        byte_mass = (
+            F.sum(F.when(F.col(c).isNotNull(), F.length(F.col(c).cast("string"))))
+            if dt == "string"
+            else F.sum(F.when(F.col(c).isNotNull(), F.lit(8)))
+        )
+        aggs += [
+            F.count(F.lit(1)).cast("long").alias(f"__n_{c}"),
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias(f"__null_{c}"),
+            F.count_distinct(F.col(c)).cast("long").alias(f"__dist_{c}"),
+            F.sum(is_run_start).cast("long").alias(f"__runs_{c}"),
+            F.coalesce(byte_mass, F.lit(0)).cast("long").alias(f"__bytes_{c}"),
+        ]
+    one = lagged.agg(*aggs)
+    stack = ", ".join(
+        f"'{c}', __n_{c}, __null_{c}, __dist_{c}, __runs_{c}, __bytes_{c}"
+        for c in cols
+    )
+    return one.selectExpr(
+        f"stack({len(cols)}, {stack}) AS "
+        "(col_name, n_rows, n_null, n_distinct, n_runs, data_bytes)"
+    )

@@ -459,3 +459,70 @@ def neyman_sample(
         .where(F.col("draw_rank") <= F.col("n_target"))
         .select(id_col, stratum, value, "draw_rank", "n_target")
     )
+
+
+def priority_sample(
+    df: DataFrame,
+    id_col: str,
+    weight: str,
+    k: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """Priority sampling (Duffield, Lund & Thorup, JACM'07): a k-row
+    weighted sample that estimates the sum of ANY weighted subset.
+
+    Each row gets priority ``q = w / u`` with ``u = (hash60(id:seed) +
+    0.5) / 2^60``; the sample is the k highest priorities and ``tau`` is
+    the (k+1)-th. The estimator ``est_weight = max(w, tau)`` makes
+    ``Σ_{sample ∩ S} est_weight`` unbiased for ``Σ_S w`` for every subset
+    S — the one-pass sketch for "how many tokens does slice X hold" over
+    a 100-TB corpus without rescanning it. With ≤ k rows the sample is
+    the whole table (tau = 0, est = w exactly).
+
+    Exactness contract: u and q use only IEEE core ops (int→double cast,
+    add, divide — no libm), so priorities, ranks, tau and the estimates
+    are bit-identical on any engine; "randomness" is the repo's portable
+    md5-60-bit hash, replayable in DuckDB. Ties (astronomically unlikely)
+    break on id, keeping the rank total.
+
+    Scale: one narrow projection computes q; Catalyst collapses the
+    partitionless ``row_number ≤ k+1`` into ONE
+    ``TakeOrderedAndProject(limit=k+1)`` — per-task partial top-(k+1),
+    only k+1 rows ever leave the map side. tau is then read off the
+    bounded k+1-row table itself (no second corpus pass), so the whole
+    sample is a single scan.
+    """
+    u = (_seed_hash(id_col, seed).cast("double") + F.lit(0.5)) / F.lit(
+        float(1 << 60)
+    )
+    q = df.select(
+        F.col(id_col),
+        F.col(weight).cast("long").alias("weight"),
+        (F.col(weight).cast("double") / u).alias("priority"),
+    )
+    w = Window.orderBy(F.col("priority").desc(), F.col(id_col).asc())
+    ranked = q.withColumn("rn", F.row_number().over(w).cast("long")).where(
+        F.col("rn") <= k + 1
+    )
+    # the (k+1)-th priority, broadcast across the ≤ k+1 surviving rows by
+    # an unordered whole-partition window — bounded by construction
+    tau = F.coalesce(
+        F.max(F.when(F.col("rn") == k + 1, F.col("priority"))).over(
+            Window.partitionBy()
+        ),
+        F.lit(0.0),
+    )
+    return (
+        ranked.withColumn("tau", tau)
+        .where(F.col("rn") <= k)
+        .select(
+            id_col,
+            "weight",
+            "priority",
+            "rn",
+            "tau",
+            F.greatest(F.col("weight").cast("double"), F.col("tau")).alias(
+                "est_weight"
+            ),
+        )
+    )

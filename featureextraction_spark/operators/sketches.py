@@ -483,3 +483,109 @@ def kmv_set_ops(state_a: DataFrame, state_b: DataFrame, k: int) -> DataFrame:
             * union_est
         ).alias("intersection_est"),
     )
+
+
+def mg_compress(
+    counts: DataFrame,
+    item: str,
+    count: str,
+    k: int,
+    group: str | None = None,
+) -> DataFrame:
+    """One deterministic Misra–Gries compression step: keep the k largest
+    (count, item) pairs per ``group`` (or globally), subtract the
+    (k+1)-th largest count from each, drop non-positives.
+
+    This is the "prune" half of Agarwal et al.'s mergeable-summaries
+    construction (PODS'12 §3.1): summing two MG count tables and pruning
+    back to k keys yields a valid MG(k) summary whose undercount grows by
+    at most the pruned offset. Starting each step from an EXACT count
+    table (instead of a streaming pass) makes the result a pure function
+    of the input multiset — deterministic under any partitioning, task
+    order, or engine, which is what lets DuckDB replay it bit-for-bit.
+    Ties break on the item value, so rank-(k+1) is unambiguous.
+
+    Returns (group?, item, mg_count, offset): ``offset`` is the same
+    per-group scalar on every row — the undercount this step introduced
+    (0 when the group had ≤ k items).
+
+    Scale: with ``group`` set the window is group-keyed; groupless calls
+    are for summary-of-summaries tables (≤ shards·(k+1) rows) only — the
+    ``heavy_hitters`` composition never puts a global window over
+    corpus-sized input.
+    """
+    keys = [group] if group else []
+    w = Window.partitionBy(*[F.col(c) for c in keys]).orderBy(
+        F.col(count).desc(), F.col(item).asc()
+    )
+    wall = Window.partitionBy(*[F.col(c) for c in keys])
+    ranked = counts.withColumn("__rn", F.row_number().over(w)).withColumn(
+        "__off",
+        F.coalesce(
+            F.max(F.when(F.col("__rn") == k + 1, F.col(count))).over(wall),
+            F.lit(0),
+        ),
+    )
+    return (
+        ranked.where((F.col("__rn") <= k) & (F.col(count) - F.col("__off") > 0))
+        .select(
+            *keys,
+            F.col(item).alias("item"),
+            (F.col(count) - F.col("__off")).cast("long").alias("mg_count"),
+            F.col("__off").cast("long").alias("offset"),
+        )
+    )
+
+
+def heavy_hitters(
+    items: DataFrame,
+    col: str,
+    shard: F.Column,
+    k: int = 16,
+    n_shards: int = 8,
+) -> DataFrame:
+    """Deterministic mergeable heavy-hitters summary with an explicit
+    error certificate (Misra–Gries '82 via Agarwal et al. PODS'12).
+
+    ``shard`` partitions the OCCURRENCE stream (e.g. ``doc_id % n_shards``
+    — each shard stands in for a day/file/cluster of a 100-TB corpus):
+
+    1. exact per-shard counts — one map-combinable (shard, item) agg;
+    2. per-shard MG(k) compress — state shrinks to ≤ k rows/shard;
+    3. merge: sum the ≤ n_shards·k summary rows by item, compress once
+       more to k — the order-free "sum then prune" merge of PODS'12 §3.1.
+
+    Output (item, mg_count, err_bound) sandwiches the truth:
+    ``mg_count ≤ exact_count ≤ mg_count + err_bound`` where
+    ``err_bound = Σ per-shard offsets + final offset`` — every item whose
+    true count exceeds err_bound is guaranteed present. All-integer, so
+    the certificate (not just the estimate) is bit-exact cross-engine.
+
+    Scale: stages 1–2 are shard-keyed (no global window over data); the
+    only groupless window runs over the merged summary table,
+    ≤ n_shards·(k+1) rows by construction.
+    """
+    shard_counts = (
+        items.select(shard.cast("long").alias("__s"), F.col(col).alias("item"))
+        .groupBy("__s", "item")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    per_shard = mg_compress(shard_counts, "item", "cnt", k, group="__s")
+    # per-shard offsets taken from the RANKED counts, not the surviving
+    # summary rows: a shard whose k+1 top counts all tie prunes to empty,
+    # and its offset must still enter the error certificate
+    w = Window.partitionBy("__s").orderBy(F.col("cnt").desc(), F.col("item").asc())
+    shard_err = (
+        shard_counts.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == k + 1)
+        .agg(F.coalesce(F.sum("cnt"), F.lit(0)).cast("long").alias("__shard_err"))
+    )
+    merged = per_shard.groupBy("item").agg(
+        F.sum("mg_count").cast("long").alias("cnt")
+    )
+    final = mg_compress(merged, "item", "cnt", k)
+    return final.crossJoin(F.broadcast(shard_err)).select(
+        "item",
+        "mg_count",
+        (F.col("__shard_err") + F.col("offset")).cast("long").alias("err_bound"),
+    )

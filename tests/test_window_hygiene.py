@@ -65,6 +65,19 @@ ALLOWED_PARTITIONLESS = {
         "bottom-k scans over the two merged KMV sketch states — <= 2k "
         "rows at k=64, corpus-independent"
     ),
+    "priority_sample": (
+        "global top-(k+1) by priority: Catalyst collapses the "
+        "partitionless row_number <= k+1 into TakeOrderedAndProject("
+        "limit=97) — per-task partial top-k, one corpus scan; the "
+        "surviving partitionless windows (rank + whole-partition tau max) "
+        "run over that <= 97-row table only"
+    ),
+    "heavy_hitters": (
+        "final Misra-Gries compress over the merged per-shard summary "
+        "table — <= n_shards*(k+1) = 200 rows by construction (stages 1-2 "
+        "are shard-keyed and DO get map-side WindowGroupLimit, 2 in the "
+        "plan)"
+    ),
     "drift_bins": (
         "chi2 totals over the 50-char-wide length-BIN histogram table — "
         "rows = max(n_chars)/50, bounded by document length not corpus "
