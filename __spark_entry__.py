@@ -4320,6 +4320,89 @@ def q_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# BPE tokenizer artifact: 12 merge rules trained once (rank order) on the
+# sf0.01 corpus with the repo's exact trainer semantics — shipped as
+# literals, the way a tokenizer rides along with a training pipeline.
+# Apply semantics are corpus-independent; the driver replays the SAME
+# literals in DuckDB.
+BPE_MERGES = (
+    ("e", "r"), ("i", "n"), ("o", "w"), ("o", "r"), ("s", "t"),
+    ("m", "er"), ("a", "t"), ("l", "u"), ("a", "r"), ("p", "ar"),
+    ("j", "o"), ("jo", "in"),
+)
+
+
+def q_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer ENCODE with the shipped 12-rule BPE merge list — greedy
+    left-to-right passes in rank order via engine-exact string surgery
+    (no UDF); all-integer per-doc output."""
+    from featureextraction_spark.functions.textstats import bpe_apply
+
+    docs = _load(spark, sf_dir, "documents")
+    return bpe_apply(docs, list(BPE_MERGES))
+
+
+def q_encoding_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Columnar-encoding decision stats for the event log laid out
+    sorted by (user_id, ts, event_id): exact distinct counts, RLE run
+    counts, byte mass per column — all-integer."""
+    from featureextraction_spark.operators.profiling import encoding_advisor
+
+    ev = _load(spark, sf_dir, "events")
+    return encoding_advisor(
+        ev, "user_id", ("ts", "event_id"), ["event_type", "props"]
+    )
+
+
+def q_poisson_boot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Poisson bootstrap (32 replicates) of the mean
+    document length — BIGINT n_eff / sum_wx vehicles, one division per
+    replicate; the portable-hash draw replays exactly in DuckDB."""
+    from featureextraction_spark.operators.evaluation import (
+        poisson_bootstrap_mean,
+    )
+
+    docs = _load(spark, sf_dir, "documents")
+    return poisson_bootstrap_mean(docs, "doc_id", "n_chars", replicates=32)
+
+
+def q_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile-ratio Pareto tail-index of the per-user event-count
+    distribution — the 'will one conversation eat a task' dial behind
+    the salted operator variants; two exact order statistics + two ln's,
+    two-phase global rank (no single-partition sort)."""
+    from featureextraction_spark.operators.cache import (
+        release_persisted_intermediates,
+    )
+    from featureextraction_spark.operators.profiling import tail_index
+
+    ev = _load(spark, sf_dir, "events")
+    sizes = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_events"))
+    out = tail_index(sizes, "n_events", "user_id").select(
+        "n", "idx_lo", "idx_hi", "x_lo", "x_hi",
+        _hround6(F.col("alpha")).alias("alpha"),
+    )
+    out = out.localCheckpoint()  # cut the cached-rank lineage before release
+    release_persisted_intermediates()
+    return out
+
+
+def q_compress_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc zlib compression-ratio quality proxy (Gopher filter) —
+    Arrow mapInPandas codec path; DEFLATE length is a zlib-build
+    property, not SQL semantics, so this is rows-only by nature (the
+    pytest oracle pins the same library and gates values exactly)."""
+    from featureextraction_spark.functions.textstats import (
+        compression_ratio_features,
+    )
+
+    docs = _load(spark, sf_dir, "documents")
+    return compression_ratio_features(docs).select(
+        "doc_id", "n_bytes", "n_compressed",
+        _hround6(F.col("compression_ratio")).alias("compression_ratio"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "lag_lead": q_lag_lead,
@@ -4530,6 +4613,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zonemap_audit": q_zonemap_audit,
         "woe_encode": q_woe_encode,
         "bigram_lm": q_bigram_lm,
+        "bpe_apply": q_bpe_apply,
+        "encoding_advisor": q_encoding_advisor,
+        "poisson_boot": q_poisson_boot,
+        "tail_index": q_tail_index,
+        "compress_ratio": q_compress_ratio,
     }
 
 
@@ -6183,6 +6271,47 @@ def oracle_sql() -> dict[str, str]:
                     AS BIGINT) AS is_canon
         FROM whole w JOIN canon c ON c.cluster_id = w.cluster_id
     """
+    # columnar-encoding decision stats: lag runs under the (user_id, ts,
+    # event_id) sort, IS NOT DISTINCT FROM mirrors eqNullSafe
+    base["encoding_advisor"] = """
+        WITH l AS (
+            SELECT event_type, props,
+                   lag(event_type) OVER w AS le,
+                   lag(props) OVER w AS lp,
+                   row_number() OVER w AS rn
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        )
+        SELECT 'event_type' AS col_name,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(sum(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_null,
+               CAST(count(DISTINCT event_type) AS BIGINT) AS n_distinct,
+               CAST(sum(CASE WHEN rn = 1
+                             OR NOT (event_type IS NOT DISTINCT FROM le)
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_runs,
+               CAST(coalesce(sum(CASE WHEN event_type IS NOT NULL
+                                      THEN length(event_type) END), 0)
+                    AS BIGINT) AS data_bytes
+        FROM l
+        UNION ALL
+        SELECT 'props',
+               CAST(count(*) AS BIGINT),
+               CAST(sum(CASE WHEN props IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT),
+               CAST(count(DISTINCT props) AS BIGINT),
+               CAST(sum(CASE WHEN rn = 1
+                             OR NOT (props IS NOT DISTINCT FROM lp)
+                             THEN 1 ELSE 0 END) AS BIGINT),
+               CAST(coalesce(sum(CASE WHEN props IS NOT NULL
+                                      THEN length(props) END), 0) AS BIGINT)
+        FROM l
+    """
+    base["bpe_apply"] = _bpe_apply_oracle_sql()
+    base["poisson_boot"] = _poisson_boot_oracle_sql()
+    base["tail_index"] = _tail_index_oracle_sql()
+    # compress_ratio: rows-only by nature — DEFLATE output length is a
+    # zlib-build property, not SQL semantics (pytest pins the library)
     # full-probe IVF is exhaustive by construction — the exact replay gates it
     base["ivf_topk_full"] = base["cosine_topk"]
     # full-probe IVF-PQ scans every list exactly once == the flat ADC scan
@@ -6190,6 +6319,121 @@ def oracle_sql() -> dict[str, str]:
     base["ivfpq_topk_full"] = base["pq_topk"]
     base["ivfpq_recall"] = _ivfpq_recall_oracle_sql()
     return base
+
+
+def _bpe_apply_oracle_sql() -> str:
+    """Replay the BPE encode in DuckDB: the same literal merge list, the
+    same space-wrapped symbol rendering, the same chained literal
+    ``replace`` passes (both engines scan non-overlapping occurrences
+    left-to-right, and the replacement re-supplies the boundary space,
+    so chained pairs come out identical to the trainer fold)."""
+    s = "' ' || array_to_string(regexp_extract_all(w, '.'), '  ') || ' '"
+    for left, right in BPE_MERGES:
+        s = f"replace({s}, ' {left}  {right} ', ' {left}{right} ')"
+    return f"""
+        WITH words AS (
+            SELECT doc_id,
+                   unnest(regexp_extract_all(lower(coalesce(text, '')),
+                                             {_TOKENS_RE})) AS w
+            FROM documents
+        ),
+        enc AS (
+            SELECT doc_id, length(w) AS n_in,
+                   len(str_split(trim({s}), '  ')) AS n_out
+            FROM words
+        ),
+        agg AS (
+            SELECT doc_id,
+                   CAST(count(*) AS BIGINT) AS n_words,
+                   CAST(sum(n_in) AS BIGINT) AS n_syms_in,
+                   CAST(sum(n_out) AS BIGINT) AS n_syms_out
+            FROM enc GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               CAST(coalesce(a.n_words, 0) AS BIGINT) AS n_words,
+               CAST(coalesce(a.n_syms_in, 0) AS BIGINT) AS n_syms_in,
+               CAST(coalesce(a.n_syms_out, 0) AS BIGINT) AS n_syms_out,
+               CAST(coalesce(a.n_syms_in, 0) - coalesce(a.n_syms_out, 0)
+                    AS BIGINT) AS n_merges_applied
+        FROM documents d LEFT JOIN agg a USING (doc_id)
+    """
+
+
+def _poisson_boot_oracle_sql() -> str:
+    """Replay the deterministic Poisson bootstrap: same portable
+    md5-60-bit draw per (doc, replicate), same literal binary64 CDF
+    thresholds (CAST('<repr>' AS DOUBLE) so DuckDB's literal parser
+    can't route them through DECIMAL)."""
+    from featureextraction_spark.operators.evaluation import POISSON1_CDF
+
+    u = (
+        "(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || "
+        "CAST(replicate AS VARCHAR) || ':7'), 1, 15))::BIGINT AS DOUBLE)"
+        " / 1152921504606846976.0)"
+    )
+    w = " + ".join(
+        f"(CASE WHEN {u} >= CAST('{c!r}' AS DOUBLE) THEN 1 ELSE 0 END)"
+        for c in POISSON1_CDF
+    )
+    return f"""
+        WITH reps AS (SELECT unnest(range(0, 32)) AS replicate),
+        wx AS (
+            SELECT r.replicate, ({w}) AS w, d.n_chars
+            FROM documents d CROSS JOIN reps r
+        )
+        SELECT CAST(replicate AS BIGINT) AS replicate,
+               CAST(sum(w) AS BIGINT) AS n_eff,
+               CAST(sum(w * n_chars) AS BIGINT) AS sum_wx,
+               CASE WHEN sum(w) = 0 THEN 0.0
+                    ELSE CAST(sum(w * n_chars) AS DOUBLE)
+                         / CAST(sum(w) AS DOUBLE) END AS boot_mean
+        FROM wx GROUP BY replicate
+    """
+
+
+def _tail_index_oracle_sql() -> str:
+    """Replay the quantile-ratio tail index: same type-1 order statistics
+    (rank over (value, id)), same binary64 index arithmetic (the p
+    literals ride CAST('<repr>' AS DOUBLE) so DuckDB can't route them
+    through DECIMAL — ceil(0.9·n) at a representability boundary must
+    round the same way on both engines), same two-ln estimate."""
+    p_lo, p_hi = 0.90, 0.99
+    num = f"ln(CAST('{1.0 - p_lo!r}' AS DOUBLE) / CAST('{1.0 - p_hi!r}' AS DOUBLE))"
+    return f"""
+        WITH s AS (
+            SELECT user_id, CAST(count(*) AS BIGINT) AS v
+            FROM events GROUP BY user_id
+        ),
+        r AS (
+            SELECT v, row_number() OVER (ORDER BY v, user_id) AS rk,
+                   count(*) OVER () AS n
+            FROM s
+        ),
+        p AS (
+            SELECT CAST(n AS BIGINT) AS n,
+                   CAST(ceil(CAST('{p_lo!r}' AS DOUBLE)
+                             * CAST(n AS DOUBLE)) AS BIGINT) AS idx_lo,
+                   CAST(ceil(CAST('{p_hi!r}' AS DOUBLE)
+                             * CAST(n AS DOUBLE)) AS BIGINT) AS idx_hi
+            FROM (SELECT DISTINCT n FROM r)
+        ),
+        g AS (
+            SELECT p.n, p.idx_lo, p.idx_hi,
+                   CAST(max(CASE WHEN r.rk = p.idx_lo THEN r.v END)
+                        AS BIGINT) AS x_lo,
+                   CAST(max(CASE WHEN r.rk = p.idx_hi THEN r.v END)
+                        AS BIGINT) AS x_hi
+            FROM r CROSS JOIN p
+            WHERE r.rk = p.idx_lo OR r.rk = p.idx_hi
+            GROUP BY p.n, p.idx_lo, p.idx_hi
+        )
+        SELECT n, idx_lo, idx_hi, x_lo, x_hi,
+               round(CASE WHEN x_hi > x_lo THEN
+                          {num} / ln(CAST(x_hi AS DOUBLE)
+                                     / CAST(x_lo AS DOUBLE)) END
+                     + 1e-9, 6) AS alpha
+        FROM g
+    """
 
 
 def _ivfpq_recall_oracle_sql() -> str:

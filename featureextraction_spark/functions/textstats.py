@@ -1119,3 +1119,47 @@ def bpe_apply(
         F.sum("__out").cast("long").alias("n_syms_out"),
         (F.sum("__in") - F.sum("__out")).cast("long").alias("n_merges_applied"),
     )
+
+
+def compression_ratio_features(
+    df: DataFrame, id_col: str = "doc_id", text: str = "text", level: int = 6
+) -> DataFrame:
+    """Per-document zlib compression ratio — the Gopher-family quality
+    proxy (Rae et al. 2021 §A1.2: highly repetitive or degenerate text
+    compresses far below ~0.4; near-random noise barely compresses).
+
+    Arrow-batched ``mapInPandas`` (the codec is inherently per-row
+    Python, so this is the documented slow path — one narrow column in,
+    three scalars out, no shuffle). NOT cross-engine oracled: DEFLATE
+    output length is a property of the zlib build, not of SQL semantics
+    — the pytest oracle pins the exact same library, which verifies the
+    Spark plumbing (batching, schema, null handling), and the ratio's
+    meaning is calibrated per-deployment anyway.
+    """
+    import pandas as pd  # noqa: F401 — signature documentation
+
+    out_schema = (
+        f"{id_col} long, n_bytes long, n_compressed long, compression_ratio double"
+    )
+
+    def kernel(batches):
+        import zlib
+
+        import pandas as pd
+
+        for pdf in batches:
+            raw = pdf[text].fillna("").str.encode("utf-8")
+            n_bytes = raw.str.len()
+            n_comp = raw.map(lambda b: len(zlib.compress(b, level)))
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "n_bytes": n_bytes.astype("int64"),
+                    "n_compressed": n_comp.astype("int64"),
+                    "compression_ratio": (
+                        n_comp / n_bytes.where(n_bytes > 0)
+                    ).fillna(0.0),
+                }
+            )
+
+    return df.select(id_col, text).mapInPandas(kernel, schema=out_schema)

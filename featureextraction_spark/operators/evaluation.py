@@ -871,3 +871,84 @@ def parity_audit(
             / (F.col("sum_g").cast("double") * F.col("n_s").cast("double"))
         ).alias("gap_pct"),
     )
+
+
+# Poisson(1) CDF, exact binary64 literals: P(X <= i) for i = 0..7.
+# Weights are capped at 8 (P(X > 8) ~ 1e-6; the cap is part of the
+# deterministic contract, documented — not hidden).
+POISSON1_CDF = (
+    0.36787944117144233,
+    0.7357588823428847,
+    0.9196986029286058,
+    0.9810118431238463,
+    0.9963401531726563,
+    0.9994058151824183,
+    0.999916758850712,
+    0.9999897508033253,
+)
+
+
+def poisson_bootstrap_mean(
+    df: DataFrame,
+    id_col: str,
+    value: str,
+    replicates: int = 32,
+    seed: int = 7,
+) -> DataFrame:
+    """Deterministic Poisson bootstrap for the mean of an integer metric
+    — the one-pass uncertainty estimate for massive data (Chamandy et
+    al. 2012, "Estimating uncertainty for massive data streams"; public
+    Google report — the standard replacement for classic bootstrap when
+    rows can't be resampled globally).
+
+    Each row gets, per replicate b, an i.i.d.-like Poisson(1) weight via
+    inverse CDF on u = hash60(id:b:seed) / 2^60 against literal
+    binary64 thresholds (weight = #{i : u >= CDF[i]}, capped at 8) — a
+    pure function of (id, b), so every engine draws the SAME bootstrap.
+    Per replicate: n_eff = Σw, sum_wx = Σ w·x (exact BIGINTs), and the
+    replicate mean as one division. The spread of the ``replicates``
+    means IS the sampling distribution of the corpus mean.
+
+    Scale: one map-only explode of ``replicates`` ids per row feeding a
+    partially-aggregated ``replicates``-row groupBy — the multiply
+    happens map-side against the combiner, nothing data-sized shuffles.
+    """
+    b = F.explode(F.sequence(F.lit(0), F.lit(int(replicates) - 1))).alias("replicate")
+    rows = df.select(F.col(id_col).cast("string").alias("__id"), F.col(value), b)
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    ":",
+                    F.col("__id"),
+                    F.col("replicate").cast("string"),
+                    F.lit(str(seed)),
+                )
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    u = h.cast("double") / F.lit(float(1 << 60))
+    w = sum(
+        (u >= F.lit(c)).cast("int") for c in POISSON1_CDF
+    )
+    wx = rows.select(
+        "replicate",
+        w.cast("long").alias("__w"),
+        (w.cast("long") * F.col(value).cast("long")).alias("__wx"),
+    )
+    agg = wx.groupBy("replicate").agg(
+        F.sum("__w").cast("long").alias("n_eff"),
+        F.sum("__wx").cast("long").alias("sum_wx"),
+    )
+    return agg.select(
+        F.col("replicate").cast("long").alias("replicate"),
+        "n_eff",
+        "sum_wx",
+        F.when(F.col("n_eff") == 0, F.lit(0.0))
+        .otherwise(F.col("sum_wx").cast("double") / F.col("n_eff").cast("double"))
+        .alias("boot_mean"),
+    )

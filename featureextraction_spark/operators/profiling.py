@@ -768,3 +768,70 @@ def encoding_advisor(
         f"stack({len(cols)}, {stack}) AS "
         "(col_name, n_rows, n_null, n_distinct, n_runs, data_bytes)"
     )
+
+
+def tail_index(
+    df: DataFrame,
+    value: str,
+    id_col: str,
+    p_lo: float = 0.90,
+    p_hi: float = 0.99,
+) -> DataFrame:
+    """Quantile-ratio tail-index estimate for a heavy-tailed positive
+    metric (conversation sizes, degree distributions): under a Pareto
+    tail P(X > x) ~ x^(-alpha),
+
+        alpha ≈ ln((1−p_lo)/(1−p_hi)) / ln(x_{p_hi} / x_{p_lo})
+
+    from just TWO exact order statistics (the qq-plot slope through two
+    points — Kratz & Resnick '96 lineage; Hill's estimator needs an
+    order-dependent sum over the top-k, which is not bit-replayable, so
+    the two-point form is the cross-engine-exact variant). alpha ≤ 2
+    means infinite variance — the "will one conversation eat a task"
+    dial that motivates the salted operator variants.
+
+    Order statistics are type-1 (the ⌈p·n⌉-th smallest, ties broken by
+    id) via the two-phase global rank — no single-partition sort. Output
+    is one row: n, both indices and values (exact BIGINTs) and alpha
+    (two ln's; callers nudge-round for hash gates).
+    """
+    from .blockpair import with_global_rank
+
+    keyed = df.select(
+        F.col(id_col),
+        F.col(value).cast("long").alias("__v"),
+        F.format_string(
+            "%019d-%019d", F.col(value).cast("long"), F.col(id_col).cast("long")
+        ).alias("__sk"),
+    )
+    ranked = with_global_rank(keyed, "__sk")
+    n1 = ranked.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    j = ranked.crossJoin(F.broadcast(n1))
+    idx_lo = F.ceil(F.lit(float(p_lo)) * F.col("n").cast("double")).cast("long")
+    idx_hi = F.ceil(F.lit(float(p_hi)) * F.col("n").cast("double")).cast("long")
+    picked = j.where(
+        (F.col("__rk") + 1 == idx_lo) | (F.col("__rk") + 1 == idx_hi)
+    )
+    agg = picked.groupBy("n").agg(
+        F.max(F.when(F.col("__rk") + 1 == idx_lo, F.col("__v")))
+        .cast("long")
+        .alias("x_lo"),
+        F.max(F.when(F.col("__rk") + 1 == idx_hi, F.col("__v")))
+        .cast("long")
+        .alias("x_hi"),
+        F.max(F.when(F.col("__rk") + 1 == idx_lo, F.col("__rk") + 1))
+        .cast("long")
+        .alias("idx_lo"),
+        F.max(F.when(F.col("__rk") + 1 == idx_hi, F.col("__rk") + 1))
+        .cast("long")
+        .alias("idx_hi"),
+    )
+    num = F.log(
+        F.lit((1.0 - p_lo)) / F.lit((1.0 - p_hi))
+    )
+    alpha = F.when(
+        F.col("x_hi") > F.col("x_lo"),
+        num
+        / F.log(F.col("x_hi").cast("double") / F.col("x_lo").cast("double")),
+    )
+    return agg.select("n", "idx_lo", "idx_hi", "x_lo", "x_hi", alpha.alias("alpha"))

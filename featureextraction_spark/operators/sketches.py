@@ -542,12 +542,11 @@ def heavy_hitters(
     col: str,
     shard: F.Column,
     k: int = 16,
-    n_shards: int = 8,
 ) -> DataFrame:
     """Deterministic mergeable heavy-hitters summary with an explicit
     error certificate (Misra–Gries '82 via Agarwal et al. PODS'12).
 
-    ``shard`` partitions the OCCURRENCE stream (e.g. ``doc_id % n_shards``
+    ``shard`` partitions the OCCURRENCE stream (e.g. ``doc_id % 8``
     — each shard stands in for a day/file/cluster of a 100-TB corpus):
 
     1. exact per-shard counts — one map-combinable (shard, item) agg;
@@ -570,6 +569,14 @@ def heavy_hitters(
         .groupBy("__s", "item")
         .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
     )
+    return heavy_hitters_from_shard_counts(shard_counts, k)
+
+
+def heavy_hitters_from_shard_counts(shard_counts: DataFrame, k: int) -> DataFrame:
+    """Close a (__s, item, cnt) exact shard-count table into the MG(k)
+    summary + certificate — the shared tail of :func:`heavy_hitters` and
+    ``streaming.sketchagg``'s live twin (one closing code path, so twin
+    equality is structural)."""
     per_shard = mg_compress(shard_counts, "item", "cnt", k, group="__s")
     # per-shard offsets taken from the RANKED counts, not the surviving
     # summary rows: a shard whose k+1 top counts all tie prunes to empty,

@@ -12,7 +12,8 @@ in a fresh JVM, and report::
 Each level runs ``--reps`` times and keeps the best wall time (page cache
 and JIT warm by rep 2; session startup is excluded — throughput measures
 the job, not JVM boot). Results go to stdout as one JSON line and to
-``BENCH_SCALING.md``.
+``BENCH_SCALING_RUN.{json,md}`` (the curated ``BENCH_SCALING.{json,md}``
+carry the hand-merged multi-run history; a raw run never clobbers them).
 
 Usage::
 
@@ -387,7 +388,10 @@ def main() -> None:
         # control jobs report to stdout only — BENCH_SCALING.* holds the
         # north-rule pipeline's evidence
         return
-    with open(os.path.join(REPO, "BENCH_SCALING.json"), "w") as f:
+    # write the fresh run to *_RUN.* — the curated BENCH_SCALING.{json,md}
+    # carry the hand-merged multi-run history and floors (the BENCH_LOCAL
+    # merge-not-overwrite policy); a raw run must never clobber them
+    with open(os.path.join(REPO, "BENCH_SCALING_RUN.json"), "w") as f:
         json.dump(summary, f)
 
     ctl_block = ""
@@ -428,7 +432,7 @@ def main() -> None:
         else "| pair | cores | speedup | efficiency |\n|---|---|---|---|\n"
     )
 
-    with open(os.path.join(REPO, "BENCH_SCALING.md"), "w") as f:
+    with open(os.path.join(REPO, "BENCH_SCALING_RUN.md"), "w") as f:
         f.write(
             "# Scaling-efficiency evidence (north rule)\n\n"
             "Same flagship pipeline (sessionize → backfill → lag/lead → "

@@ -58,7 +58,7 @@ def test_heavy_hitters_vs_naive_and_sandwich(spark):
     df = spark.createDataFrame(rows, "shard long, item string")
     got = {
         r["item"]: (r["mg_count"], r["err_bound"])
-        for r in heavy_hitters(df, "item", F.col("shard"), k=8, n_shards=5).collect()
+        for r in heavy_hitters(df, "item", F.col("shard"), k=8).collect()
     }
     want = _naive_heavy_hitters(rows, 8, 5)
     assert got == want
@@ -74,7 +74,7 @@ def test_heavy_hitters_small_input_is_exact(spark):
     # fewer distinct items than k: summary == exact counts, err == 0
     rows = [(i % 3, t) for i, t in enumerate(["a", "b", "a", "c", "a", "b"])]
     df = spark.createDataFrame(rows, "shard long, item string")
-    got = heavy_hitters(df, "item", F.col("shard"), k=8, n_shards=3).collect()
+    got = heavy_hitters(df, "item", F.col("shard"), k=8).collect()
     assert {(r["item"], r["mg_count"], r["err_bound"]) for r in got} == {
         ("a", 3, 0),
         ("b", 2, 0),
@@ -94,7 +94,7 @@ def test_mg_compress_all_ties_prunes_to_empty(spark):
     df = spark.createDataFrame(rows, "shard long, item string")
     got = {
         r["item"]: (r["mg_count"], r["err_bound"])
-        for r in heavy_hitters(df, "item", F.col("shard"), k=4, n_shards=2).collect()
+        for r in heavy_hitters(df, "item", F.col("shard"), k=4).collect()
     }
     assert got["big"][0] == 50
     assert got["big"][1] >= 7  # the all-ties shard's pruned offset counts
