@@ -4403,6 +4403,89 @@ def q_compress_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_psi_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-bin Population Stability Index between the two md5-hash
+    halves of the doc-length histogram — the standard drift score next
+    to drift_bins' chi-square screen; Laplace-smoothed shares close
+    over exact BIGINT counts (one ln per bin under the shared nudge)."""
+    from featureextraction_spark.operators.drift import psi_bins
+
+    docs = _load(spark, sf_dir, "documents")
+    out = psi_bins(docs, value="n_chars", id_col="doc_id", bin_width=50)
+    return out.select(
+        "bin", "n_a", "n_b", _hround6(F.col("psi_term")).alias("psi_term")
+    )
+
+
+def q_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information + marginal entropies + normalized MI of the
+    lang × source association — the non-linear feature screen next to
+    contingency's chi-square; every term closes over exact cell counts,
+    the ≤|A|·|B| term sums ride the shared nudge."""
+    from featureextraction_spark.operators.evaluation import mutual_information
+
+    docs = _load(spark, sf_dir, "documents")
+    out = mutual_information(docs, "lang", "source")
+    return out.select(
+        "n",
+        "n_cells",
+        _hround6(F.col("mi")).alias("mi"),
+        _hround6(F.col("h_a")).alias("h_a"),
+        _hround6(F.col("h_b")).alias("h_b"),
+        _hround6(F.col("nmi")).alias("nmi"),
+    )
+
+
+def q_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann–Whitney U rank-sum of doc length, en vs non-en — the
+    nonparametric location test beside welch/ks; doubled-rank BIGINT
+    vehicles exact, the tie-corrected z a fixed float tree over them.
+    Global ranks ride the two-phase range-partitioned cumsum (no
+    single-partition window)."""
+    from featureextraction_spark.operators.cache import (
+        release_persisted_intermediates,
+    )
+    from featureextraction_spark.operators.evaluation import mann_whitney_u
+
+    docs = _load(spark, sf_dir, "documents")
+    out = mann_whitney_u(docs, "n_chars", F.col("lang") == "en").select(
+        "n1",
+        "n2",
+        "two_r1",
+        "two_u1",
+        "tie_sum",
+        _hround6(F.col("u1")).alias("u1"),
+        _hround6(F.col("z")).alias("z"),
+    )
+    out = out.localCheckpoint()  # cut the cached-cumsum lineage before release
+    release_persisted_intermediates()
+    return out
+
+
+def q_ips_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Off-policy IPS/SNIPS evaluation of a deterministic routing rule
+    (even users → click, odd → view) on the logged event stream —
+    empirical-propensity weights collapse to exact per-action count
+    ratios; rewards are integer floor(value)."""
+    from featureextraction_spark.operators.evaluation import ips_evaluate
+
+    ev = _load(spark, sf_dir, "events")
+    tgt = F.when(
+        F.pmod(F.col("user_id"), F.lit(2)) == 0, F.lit("click")
+    ).otherwise(F.lit("view"))
+    out = ips_evaluate(
+        ev, F.col("event_type"), tgt, F.floor(F.col("value")).cast("long")
+    )
+    return out.select(
+        "action",
+        "cnt",
+        "matched",
+        "matched_r",
+        _hround6(F.col("ips_term")).alias("ips_term"),
+        _hround6(F.col("snips")).alias("snips"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "lag_lead": q_lag_lead,
@@ -4618,6 +4701,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "poisson_boot": q_poisson_boot,
         "tail_index": q_tail_index,
         "compress_ratio": q_compress_ratio,
+        "psi_bins": q_psi_bins,
+        "mutual_info": q_mutual_info,
+        "mann_whitney": q_mann_whitney,
+        "ips_eval": q_ips_eval,
     }
 
 
@@ -6318,6 +6405,164 @@ def oracle_sql() -> dict[str, str]:
     # with the same codebooks (see q_ivfpq_topk_full docstring)
     base["ivfpq_topk_full"] = base["pq_topk"]
     base["ivfpq_recall"] = _ivfpq_recall_oracle_sql()
+    # psi_bins: same md5-60-bit split as drift_bins/hash_split; smoothed
+    # shares cleared to integer numerators/denominators, one ln per bin
+    base["psi_bins"] = """
+        WITH h AS (
+            SELECT CAST(floor(CAST(n_chars AS DOUBLE) / 50.0) AS BIGINT)
+                       AS bin,
+                   CASE WHEN ('0x' || substr(md5(doc_id::VARCHAR || ':42'),
+                                             1, 15))::BIGINT % 2 = 0
+                        THEN 1 ELSE 0 END AS is_a
+            FROM documents
+        ),
+        bins AS (
+            SELECT bin, CAST(sum(is_a) AS BIGINT) AS n_a,
+                   CAST(sum(1 - is_a) AS BIGINT) AS n_b
+            FROM h GROUP BY bin
+        ),
+        t AS (
+            SELECT CAST(sum(n_a) AS BIGINT) AS na_t,
+                   CAST(sum(n_b) AS BIGINT) AS nb_t,
+                   CAST(count(*) AS BIGINT) AS k
+            FROM bins
+        ),
+        x AS (
+            SELECT bin, n_a, n_b,
+                   CAST(2 * n_a + 1 AS DOUBLE)
+                       / CAST(2 * na_t + k AS DOUBLE) AS pa,
+                   CAST(2 * n_b + 1 AS DOUBLE)
+                       / CAST(2 * nb_t + k AS DOUBLE) AS pb
+            FROM bins, t
+        )
+        SELECT bin, n_a, n_b,
+               round((pa - pb) * ln(pa / pb) + 1e-9, 6) AS psi_term
+        FROM x
+    """
+    # mutual_info: every term a fixed float tree over exact BIGINT cell /
+    # marginal counts; the bounded term sums ride the shared nudge
+    base["mutual_info"] = """
+        WITH cells AS (
+            SELECT lang AS a, source AS b, CAST(count(*) AS BIGINT) AS nab
+            FROM documents GROUP BY 1, 2
+        ),
+        ma AS (SELECT a, CAST(sum(nab) AS BIGINT) AS na FROM cells GROUP BY a),
+        mb AS (SELECT b, CAST(sum(nab) AS BIGINT) AS nb FROM cells GROUP BY b),
+        t AS (
+            SELECT CAST(sum(nab) AS BIGINT) AS n,
+                   CAST(count(*) AS BIGINT) AS n_cells
+            FROM cells
+        ),
+        mi AS (
+            SELECT sum((CAST(nab AS DOUBLE) / CAST(n AS DOUBLE))
+                       * ln(CAST(n AS DOUBLE) * CAST(nab AS DOUBLE)
+                            / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE))))
+                       AS mi
+            FROM cells JOIN ma USING (a) JOIN mb USING (b), t
+        ),
+        ha AS (
+            SELECT sum(-((CAST(na AS DOUBLE) / CAST(n AS DOUBLE))
+                         * ln(CAST(na AS DOUBLE) / CAST(n AS DOUBLE)))) AS h_a
+            FROM ma, t
+        ),
+        hb AS (
+            SELECT sum(-((CAST(nb AS DOUBLE) / CAST(n AS DOUBLE))
+                         * ln(CAST(nb AS DOUBLE) / CAST(n AS DOUBLE)))) AS h_b
+            FROM mb, t
+        )
+        SELECT n, n_cells,
+               round(mi + 1e-9, 6) AS mi,
+               round(h_a + 1e-9, 6) AS h_a,
+               round(h_b + 1e-9, 6) AS h_b,
+               round(CASE WHEN h_a > 0 AND h_b > 0
+                          THEN mi / sqrt(h_a * h_b) END + 1e-9, 6) AS nmi
+        FROM t, mi, ha, hb
+    """
+    # mann_whitney: doubled-rank BIGINT vehicles exact; the window cumsum
+    # here runs over the DISTINCT-VALUE table (bounded by value domain),
+    # mirroring the operator's two-phase range-partitioned cumsum
+    base["mann_whitney"] = """
+        WITH per AS (
+            SELECT CAST(n_chars AS BIGINT) AS v,
+                   CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS c_a,
+                   CAST(sum(CASE WHEN lang = 'en' THEN 0 ELSE 1 END)
+                        AS BIGINT) AS c_b
+            FROM documents GROUP BY 1
+        ),
+        c AS (
+            SELECT v, c_a, c_b, c_a + c_b AS c,
+                   CAST(coalesce(sum(c_a + c_b) OVER (
+                            ORDER BY v
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND 1 PRECEDING), 0) AS BIGINT) AS cum
+            FROM per
+        ),
+        a AS (
+            SELECT CAST(sum(c_a) AS BIGINT) AS n1,
+                   CAST(sum(c_b) AS BIGINT) AS n2,
+                   CAST(sum(c_a * (2 * cum + c + 1)) AS BIGINT) AS two_r1,
+                   CAST(sum(c * c * c - c) AS BIGINT) AS tie_sum
+            FROM c
+        ),
+        b AS (
+            SELECT n1, n2, two_r1, tie_sum,
+                   CAST(2 * n1 * n2 + n1 * (n1 + 1) - two_r1 AS BIGINT)
+                       AS two_u1,
+                   CAST(n1 + n2 AS DOUBLE) AS n,
+                   CAST(n1 AS DOUBLE) AS d1, CAST(n2 AS DOUBLE) AS d2
+            FROM a
+        ),
+        m AS (
+            SELECT *,
+                   CAST(two_u1 AS DOUBLE) / 2.0 AS u1,
+                   d1 * d2 / 2.0 AS mean_u,
+                   (d1 * d2 / 12.0)
+                       * ((n + 1.0) - CAST(tie_sum AS DOUBLE)
+                                      / (n * (n - 1.0))) AS var_u
+            FROM b
+        )
+        SELECT n1, n2, two_r1, two_u1, tie_sum,
+               round(u1 + 1e-9, 6) AS u1,
+               round(CASE WHEN n1 > 0 AND n2 > 0 AND var_u > 0
+                          THEN (u1 - mean_u) / sqrt(var_u) END + 1e-9, 6)
+                   AS z
+        FROM m
+    """
+    # ips_eval: empirical-propensity IPS collapses per action to exact
+    # count ratios; SNIPS a ratio of two ≤|actions|-term sums
+    base["ips_eval"] = """
+        WITH per AS (
+            SELECT event_type AS action, CAST(count(*) AS BIGINT) AS cnt,
+                   CAST(sum(CASE WHEN (CASE WHEN user_id % 2 = 0
+                                            THEN 'click' ELSE 'view' END)
+                                      = event_type
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS matched,
+                   CAST(sum(CASE WHEN (CASE WHEN user_id % 2 = 0
+                                            THEN 'click' ELSE 'view' END)
+                                      = event_type
+                                 THEN CAST(floor("value") AS BIGINT)
+                                 ELSE 0 END) AS BIGINT) AS matched_r
+            FROM events GROUP BY 1
+        )
+        SELECT action, cnt, matched, matched_r,
+               round(CAST(matched_r AS DOUBLE) / CAST(cnt AS DOUBLE)
+                     + 1e-9, 6) AS ips_term,
+               CAST(NULL AS DOUBLE) AS snips
+        FROM per
+        UNION ALL
+        SELECT '__total', CAST(sum(cnt) AS BIGINT),
+               CAST(sum(matched) AS BIGINT), CAST(sum(matched_r) AS BIGINT),
+               round(sum(CAST(matched_r AS DOUBLE) / CAST(cnt AS DOUBLE))
+                     + 1e-9, 6),
+               round(CASE WHEN sum(CAST(matched AS DOUBLE)
+                                   / CAST(cnt AS DOUBLE)) > 0
+                          THEN sum(CAST(matched_r AS DOUBLE)
+                                   / CAST(cnt AS DOUBLE))
+                               / sum(CAST(matched AS DOUBLE)
+                                     / CAST(cnt AS DOUBLE)) END + 1e-9, 6)
+        FROM per
+    """
     return base
 
 

@@ -51,6 +51,16 @@ def main() -> None:
     # per-query best is the stable signal, the spread is reported alongside
     reps = int(os.environ.get("SPARK_GRAFT_REPS", "3"))
     qs = entrymod.queries()
+    # SPARK_GRAFT_ONLY="a,b,c" benches a subset; the floors merge below
+    # keeps every other query's committed floor intact, so subset runs are
+    # safe for adding floors to newly landed queries without a full sweep
+    only = os.environ.get("SPARK_GRAFT_ONLY", "").strip()
+    if only:
+        wanted = {w.strip() for w in only.split(",") if w.strip()}
+        unknown = wanted - set(qs)
+        if unknown:
+            raise SystemExit(f"SPARK_GRAFT_ONLY names unknown queries: {sorted(unknown)}")
+        qs = {k: v for k, v in qs.items() if k in wanted}
     timings: dict[str, float] = {}
     spreads: dict[str, float] = {}
     from featureextraction_spark.operators.cache import (
@@ -206,6 +216,11 @@ def main() -> None:
             else:
                 mq[name] = sec  # never drop a floor for a retired query set
         merged["queries"] = mq
+        # spreads are informational (current-run max per query); keep the
+        # last known spread for queries a subset run didn't touch
+        ms = dict(prev.get("query_spread_sec") or {})
+        ms.update(merged.get("query_spread_sec") or {})
+        merged["query_spread_sec"] = ms
         merged["value"] = round(sum(mq.values()), 3)
         merged["turns_per_sec"] = max(
             merged.get("turns_per_sec") or 0, prev.get("turns_per_sec") or 0

@@ -952,3 +952,201 @@ def poisson_bootstrap_mean(
         .otherwise(F.col("sum_wx").cast("double") / F.col("n_eff").cast("double"))
         .alias("boot_mean"),
     )
+
+
+def mutual_information(df: DataFrame, a: str, b: str) -> DataFrame:
+    """Mutual information between two categorical columns, plus the
+    marginal entropies and normalized MI (Cover & Thomas ch. 2) — the
+    feature-selection screen that catches NON-LINEAR association where
+    :func:`contingency_table`'s chi-square only scores deviation and
+    ``pmi_pairs`` only ranks individual cells.
+
+    One row out: exact BIGINT ``n`` / ``n_cells`` vehicles and doubles
+    ``mi``, ``h_a``, ``h_b``, ``nmi = mi / sqrt(h_a·h_b)`` (natural
+    log; raw — caller nudge-rounds). Each cell/marginal term closes
+    over exact integer counts in a fixed expression tree; the only
+    cross-engine freedom is the ADDITION ORDER of the ≤|A|·|B| cell
+    terms, ~1 ulp on a bounded table, absorbed by the shared nudge.
+
+    Scale: ONE map-side-combinable groupBy(a, b) over the data; the
+    marginal and total frames are aggregates OF the bounded cell table,
+    joined back via broadcast — no partitionless window, no second
+    input scan. Degenerate inputs (single category on either side)
+    yield h = 0 and a NULL nmi.
+    """
+    cells = df.groupBy(F.col(a).alias("__a"), F.col(b).alias("__b")).agg(
+        F.count(F.lit(1)).cast("long").alias("__nab")
+    )
+    ma = cells.groupBy("__a").agg(F.sum("__nab").cast("long").alias("__na"))
+    mb = cells.groupBy("__b").agg(F.sum("__nab").cast("long").alias("__nb"))
+    tot = cells.agg(
+        F.sum("__nab").cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("n_cells"),
+    )
+    nab, na, nb, n = (
+        F.col("__nab").cast("double"),
+        F.col("__na").cast("double"),
+        F.col("__nb").cast("double"),
+        F.col("n").cast("double"),
+    )
+    mi = (
+        cells.join(F.broadcast(ma), "__a")
+        .join(F.broadcast(mb), "__b")
+        .crossJoin(F.broadcast(tot))
+        .agg(
+            F.max("n").cast("long").alias("n"),
+            F.max("n_cells").cast("long").alias("n_cells"),
+            F.sum((nab / n) * F.log(n * nab / (na * nb))).alias("mi"),
+        )
+    )
+    h_a = ma.crossJoin(F.broadcast(tot)).agg(
+        F.sum(F.negate((na / n) * F.log(na / n))).alias("h_a")
+    )
+    h_b = mb.crossJoin(F.broadcast(tot)).agg(
+        F.sum(F.negate((nb / n) * F.log(nb / n))).alias("h_b")
+    )
+    out = mi.crossJoin(F.broadcast(h_a)).crossJoin(F.broadcast(h_b))
+    return out.select(
+        "n",
+        "n_cells",
+        "mi",
+        "h_a",
+        "h_b",
+        F.when(
+            (F.col("h_a") > 0) & (F.col("h_b") > 0),
+            F.col("mi") / F.sqrt(F.col("h_a") * F.col("h_b")),
+        ).alias("nmi"),
+    )
+
+
+def mann_whitney_u(df: DataFrame, value: str, is_a: Column) -> DataFrame:
+    """Mann–Whitney U rank-sum test (Mann & Whitney 1947) between the
+    ``is_a`` and ``~is_a`` halves of ``value`` — the NONPARAMETRIC
+    location test next to :func:`welch_t2` (no normality assumption)
+    and :func:`..drift.ks_test` (which scores max CDF gap, not
+    stochastic dominance).
+
+    Doubled-rank integer vehicles keep the statistic exact: with
+    per-distinct-value counts c_a, c_b and the EXCLUSIVE cumulative
+    total cum(v), the (1-based) midrank of value v is
+    cum + (c+1)/2, so
+
+        two_r1 = Σ_v c_a(v) · (2·cum(v) + c(v) + 1)      (BIGINT)
+        two_u1 = 2·n1·n2 + n1·(n1+1) − two_r1            (BIGINT)
+        tie_sum = Σ_v (c³ − c)                           (BIGINT)
+
+    are all exact; ``u1`` and the tie-corrected normal ``z`` (no
+    continuity correction) close over them in a fixed float tree.
+    int64 budget: two_r1 ≤ 2n² + … needs n ≤ ~2·10⁹ rows; tie_sum
+    needs the largest tie group ≤ ~2·10⁶ distinct-value collisions —
+    quantize coarser beyond.
+
+    Scale: the log collapses to its distinct-value table first (ONE
+    map-side-combinable groupBy); the exclusive cumsum rides
+    :func:`..packing.with_global_cumsum`'s two-phase range-partitioned
+    pass (no single-partition window — cache lifecycle is the caller's,
+    release after the consuming action); the closing moments are 1-row
+    aggregates. Distinct values are unique keys by construction, so
+    the cumsum's boundary-tie caveat is vacuous.
+    """
+    from .packing import with_global_cumsum
+
+    per = df.select(F.col(value).alias("__v"), is_a.alias("__ia")).groupBy(
+        "__v"
+    ).agg(
+        F.sum(F.when(F.col("__ia"), 1).otherwise(0)).cast("long").alias("c_a"),
+        F.sum(F.when(F.col("__ia"), 0).otherwise(1)).cast("long").alias("c_b"),
+    )
+    per = per.withColumn("c", (F.col("c_a") + F.col("c_b")).cast("long"))
+    cum = with_global_cumsum(per, ["__v"], "c", out_col="__cum")
+    agg = cum.agg(
+        F.sum("c_a").cast("long").alias("n1"),
+        F.sum("c_b").cast("long").alias("n2"),
+        F.sum(F.col("c_a") * (2 * F.col("__cum") + F.col("c") + 1))
+        .cast("long")
+        .alias("two_r1"),
+        F.sum(F.col("c") * F.col("c") * F.col("c") - F.col("c"))
+        .cast("long")
+        .alias("tie_sum"),
+    )
+    n1, n2 = F.col("n1"), F.col("n2")
+    two_u1 = (2 * n1 * n2 + n1 * (n1 + 1) - F.col("two_r1")).cast("long")
+    agg = agg.select("n1", "n2", "two_r1", "tie_sum", two_u1.alias("two_u1"))
+    n = (n1 + n2).cast("double")
+    d1, d2 = n1.cast("double"), n2.cast("double")
+    # var(U) with tie correction: n1·n2/12 · ((n+1) − tie_sum/(n·(n−1)))
+    var_u = (d1 * d2 / F.lit(12.0)) * (
+        (n + F.lit(1.0)) - F.col("tie_sum").cast("double") / (n * (n - F.lit(1.0)))
+    )
+    mean_u = d1 * d2 / F.lit(2.0)
+    u1 = F.col("two_u1").cast("double") / F.lit(2.0)
+    return agg.select(
+        "n1",
+        "n2",
+        "two_r1",
+        "two_u1",
+        "tie_sum",
+        u1.alias("u1"),
+        F.when((n1 > 0) & (n2 > 0) & (var_u > 0), (u1 - mean_u) / F.sqrt(var_u))
+        .alias("z"),
+    )
+
+
+def ips_evaluate(
+    df: DataFrame,
+    logged_action: Column,
+    target_action: Column,
+    reward: Column,
+) -> DataFrame:
+    """Off-policy evaluation of a deterministic target policy from
+    logged bandit feedback by inverse propensity scoring (Horvitz &
+    Thompson 1952; Dudík et al. ICML'11) — "what reward WOULD the new
+    routing rule have earned on yesterday's traffic?" without serving
+    it. Propensities are the EMPIRICAL logged-action frequencies
+    p(a) = cnt_a / n (the logger is treated as a stationary stochastic
+    policy), so every weight is a ratio of exact counts.
+
+    Returns the bounded per-action table — ``action``, BIGINT vehicles
+    ``cnt`` (logged pulls), ``matched`` (pulls where the target policy
+    agrees), ``matched_r`` (integer reward on agreeing pulls) — plus an
+    ``action = '__total'`` row. ``ips_term = matched_r/cnt`` sums to
+    the IPS estimate ((1/n)·Σ match·r/p collapses per action to
+    matched_r_a/cnt_a); the total row also carries
+    ``snips = Σ matched_r_a/cnt_a / Σ matched_a/cnt_a`` (self-
+    normalized IPS — Swaminathan & Joachims NeurIPS'15). ``reward``
+    must be integer-valued; all floats close over exact integers, the
+    only addition-order freedom is the ≤|actions| term sum.
+
+    Scale: ONE map-side-combinable groupBy(action) over the log;
+    everything downstream runs on the bounded action table.
+    """
+    per = df.select(
+        logged_action.alias("action"),
+        (target_action == logged_action).alias("__m"),
+        reward.cast("long").alias("__r"),
+    ).groupBy("action").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt"),
+        F.sum(F.when(F.col("__m"), 1).otherwise(0)).cast("long").alias("matched"),
+        F.sum(F.when(F.col("__m"), F.col("__r")).otherwise(0))
+        .cast("long")
+        .alias("matched_r"),
+    )
+    term = F.col("matched_r").cast("double") / F.col("cnt").cast("double")
+    wsum = F.col("matched").cast("double") / F.col("cnt").cast("double")
+    pa = per.select(
+        "action",
+        "cnt",
+        "matched",
+        "matched_r",
+        term.alias("ips_term"),
+        F.lit(None).cast("double").alias("snips"),
+    )
+    tot = per.agg(
+        F.sum("cnt").cast("long").alias("cnt"),
+        F.sum("matched").cast("long").alias("matched"),
+        F.sum("matched_r").cast("long").alias("matched_r"),
+        F.sum(term).alias("ips_term"),
+        F.when(F.sum(wsum) > 0, F.sum(term) / F.sum(wsum)).alias("snips"),
+    ).select(F.lit("__total").alias("action"), "cnt", "matched", "matched_r",
+             "ips_term", "snips")
+    return pa.unionByName(tot)
