@@ -4486,6 +4486,102 @@ def q_ips_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_js_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jensen-Shannon divergence of each language slice's source mix vs
+    the corpus mix — the symmetric, smoothing-free drift score beside
+    tv_split's TV and psi_bins' PSI; shares are single divisions of
+    exact counts, per-slice term sums ride the shared nudge."""
+    from featureextraction_spark.operators.drift import js_divergence
+
+    docs = _load(spark, sf_dir, "documents")
+    out = js_divergence(docs, "lang", "source")
+    return out.select(
+        "lang",
+        "n_rows",
+        _hround6(F.col("js")).alias("js"),
+        _hround6(F.col("js_p")).alias("js_p"),
+        _hround6(F.col("js_q")).alias("js_q"),
+    )
+
+
+def q_krippendorff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Krippendorff's alpha: do documents from the same source agree on
+    language? Any-raters-per-unit agreement beside kappa's 2-rater
+    grid; BIGINT de_num exact, do_sum a bounded per-unit-rational sum
+    under the shared nudge."""
+    from featureextraction_spark.operators.evaluation import krippendorff_alpha
+
+    docs = _load(spark, sf_dir, "documents")
+    out = krippendorff_alpha(docs, "source", "lang")
+    return out.select(
+        "n",
+        "n_units",
+        "n_cats",
+        "de_num",
+        _hround6(F.col("do_sum")).alias("do_sum"),
+        _hround6(F.col("alpha")).alias("alpha"),
+    )
+
+
+def q_balance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class-balanced loss weights by effective number of samples (Cui
+    et al. CVPR'19) over the language label — exact BIGINT counts, one
+    pow per class, the ≤|classes|-term normalizer under the shared
+    nudge."""
+    from featureextraction_spark.operators.sampling import balance_weights
+
+    docs = _load(spark, sf_dir, "documents")
+    out = balance_weights(docs, "lang", beta=0.999)
+    return out.select(
+        "label",
+        "n",
+        _hround6(F.col("eff_n")).alias("eff_n"),
+        _hround6(F.col("weight")).alias("weight"),
+        _hround6(F.col("weight_norm")).alias("weight_norm"),
+    )
+
+
+def q_transition_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-conversation conditional next-action entropy H(cur|prev) —
+    the predictability dial on markov's transition model; integer
+    bigram-count vehicles, one ln per cell under the shared nudge."""
+    from featureextraction_spark.operators.transitions import (
+        transition_entropy,
+    )
+
+    ev = _load(spark, sf_dir, "events")
+    out = transition_entropy(
+        ev, "event_type", key="user_id", order=("ts", "event_id")
+    )
+    return out.select(
+        "user_id",
+        "n_bigrams",
+        "n_prev",
+        "n_next",
+        _hround6(F.col("h_cond")).alias("h_cond"),
+    )
+
+
+def q_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile-normalize doc length across language slices onto the
+    pooled distribution (Bolstad et al. 2003) — ALL-INTEGER: within-
+    slice midpoint rank to pooled type-1 order statistic via exact
+    BIGINT ceiling division; pooled rank rides the two-phase global
+    cumsum."""
+    from featureextraction_spark.operators.cache import (
+        release_persisted_intermediates,
+    )
+    from featureextraction_spark.operators.encoding import quantile_normalize
+
+    docs = _load(spark, sf_dir, "documents")
+    out = quantile_normalize(docs, "n_chars", "doc_id", "lang").select(
+        "slice", "id", "v", "r", "n_slice", "j", "qnorm"
+    )
+    out = out.localCheckpoint()  # cut the cached-cumsum lineage before release
+    release_persisted_intermediates()
+    return out
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "lag_lead": q_lag_lead,
@@ -4705,6 +4801,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mutual_info": q_mutual_info,
         "mann_whitney": q_mann_whitney,
         "ips_eval": q_ips_eval,
+        "js_drift": q_js_drift,
+        "krippendorff": q_krippendorff,
+        "balance_weights": q_balance_weights,
+        "transition_entropy": q_transition_entropy,
+        "quantile_normalize": q_quantile_normalize,
     }
 
 
@@ -6562,6 +6663,170 @@ def oracle_sql() -> dict[str, str]:
                                / sum(CAST(matched AS DOUBLE)
                                      / CAST(cnt AS DOUBLE)) END + 1e-9, 6)
         FROM per
+    """
+    # js_drift: grid from marginal DIM tables exactly as the operator;
+    # every share a single division of exact counts, term sums nudged
+    base["js_drift"] = """
+        WITH cells AS (
+            SELECT lang AS p, source AS c, CAST(count(*) AS BIGINT) AS npc
+            FROM documents GROUP BY 1, 2
+        ),
+        sp AS (SELECT p, CAST(sum(npc) AS BIGINT) AS np FROM cells GROUP BY p),
+        ct AS (SELECT c, CAST(sum(npc) AS BIGINT) AS nc FROM cells GROUP BY c),
+        t AS (SELECT CAST(sum(npc) AS BIGINT) AS n FROM cells),
+        grid AS (
+            SELECT sp.p, sp.np, ct.c, ct.nc,
+                   CAST(coalesce(cells.npc, 0) AS BIGINT) AS npc
+            FROM sp CROSS JOIN ct
+            LEFT JOIN cells ON cells.p = sp.p AND cells.c = ct.c
+        ),
+        x AS (
+            SELECT p, np,
+                   CASE WHEN npc > 0
+                        THEN (CAST(npc AS DOUBLE) / CAST(np AS DOUBLE))
+                             * ln((CAST(npc AS DOUBLE) / CAST(np AS DOUBLE))
+                                  / (((CAST(npc AS DOUBLE)
+                                       / CAST(np AS DOUBLE))
+                                      + (CAST(nc AS DOUBLE)
+                                         / CAST(n AS DOUBLE))) / 2.0))
+                        ELSE 0.0 END AS term_p,
+                   (CAST(nc AS DOUBLE) / CAST(n AS DOUBLE))
+                       * ln((CAST(nc AS DOUBLE) / CAST(n AS DOUBLE))
+                            / (((CAST(npc AS DOUBLE) / CAST(np AS DOUBLE))
+                                + (CAST(nc AS DOUBLE)
+                                   / CAST(n AS DOUBLE))) / 2.0)) AS term_q
+            FROM grid CROSS JOIN t
+        ),
+        agg AS (
+            SELECT p, CAST(max(np) AS BIGINT) AS n_rows,
+                   sum(term_p) / 2.0 AS js_p, sum(term_q) / 2.0 AS js_q
+            FROM x GROUP BY p
+        )
+        SELECT p AS lang, n_rows,
+               round(js_p + js_q + 1e-9, 6) AS js,
+               round(js_p + 1e-9, 6) AS js_p,
+               round(js_q + 1e-9, 6) AS js_q
+        FROM agg
+    """
+    # krippendorff: coincidence-matrix nominal alpha; de_num exact BIGINT,
+    # do_sum a bounded per-unit-rational sum under the shared nudge
+    base["krippendorff"] = """
+        WITH cells AS (
+            SELECT source AS u, lang AS c, CAST(count(*) AS BIGINT) AS ouc
+            FROM documents GROUP BY 1, 2
+        ),
+        per_u AS (
+            SELECT u, CAST(sum(ouc) AS BIGINT) AS nu,
+                   CAST(sum(ouc * ouc) AS BIGINT) AS ssq
+            FROM cells GROUP BY u HAVING sum(ouc) >= 2
+        ),
+        pc AS (
+            SELECT c, CAST(sum(ouc) AS BIGINT) AS nc
+            FROM cells JOIN per_u USING (u) GROUP BY c
+        ),
+        do_t AS (
+            SELECT CAST(sum(nu) AS BIGINT) AS n,
+                   CAST(count(*) AS BIGINT) AS n_units,
+                   sum(CAST(nu * nu - ssq AS DOUBLE)
+                       / CAST(nu - 1 AS DOUBLE)) AS do_sum
+            FROM per_u
+        ),
+        de_t AS (
+            SELECT CAST(count(*) AS BIGINT) AS n_cats,
+                   CAST(sum(nc * nc) AS BIGINT) AS snc2
+            FROM pc
+        )
+        SELECT n, n_units, n_cats,
+               CAST(n * n - snc2 AS BIGINT) AS de_num,
+               round(do_sum + 1e-9, 6) AS do_sum,
+               round(CASE WHEN n > 1 AND n * n - snc2 > 0
+                          THEN 1.0 - CAST(n - 1 AS DOUBLE) * do_sum
+                                     / CAST(n * n - snc2 AS DOUBLE)
+                     END + 1e-9, 6) AS alpha
+        FROM do_t CROSS JOIN de_t
+    """
+    # balance_weights: one pow per class (libm, nudged); the subtraction
+    # 1.0-0.999 forced through DOUBLE so DuckDB can't route it to DECIMAL
+    base["balance_weights"] = """
+        WITH per AS (
+            SELECT lang AS label, CAST(count(*) AS BIGINT) AS n
+            FROM documents GROUP BY 1
+        ),
+        e AS (
+            SELECT label, n,
+                   (CAST(1 AS DOUBLE)
+                    - pow(CAST(0.999 AS DOUBLE), CAST(n AS DOUBLE)))
+                   / (CAST(1 AS DOUBLE) - CAST(0.999 AS DOUBLE)) AS eff_n
+            FROM per
+        ),
+        w AS (SELECT label, n, eff_n, CAST(1 AS DOUBLE) / eff_n AS weight
+              FROM e),
+        t AS (SELECT sum(weight) AS wsum, CAST(count(*) AS BIGINT) AS k
+              FROM w)
+        SELECT label, n,
+               round(eff_n + 1e-9, 6) AS eff_n,
+               round(weight + 1e-9, 6) AS weight,
+               round(weight * CAST(k AS DOUBLE) / wsum + 1e-9, 6)
+                   AS weight_norm
+        FROM w CROSS JOIN t
+    """
+    # transition_entropy: same bigram window as markov; h_cond closes as
+    # sum(-c_ab·ln p)/T, one ln per bounded-alphabet cell, nudged
+    base["transition_entropy"] = """
+        WITH p AS (
+            SELECT user_id, event_type AS cur,
+                   lag(event_type) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id) AS prev
+            FROM events
+        ),
+        pp AS (
+            SELECT user_id, prev, cur, CAST(count(*) AS BIGINT) AS c_ab
+            FROM p WHERE prev IS NOT NULL GROUP BY 1, 2, 3
+        ),
+        ca AS (
+            SELECT user_id, prev, CAST(sum(c_ab) AS BIGINT) AS c_a
+            FROM pp GROUP BY 1, 2
+        ),
+        cells AS (SELECT pp.*, c_a FROM pp JOIN ca USING (user_id, prev))
+        SELECT user_id,
+               CAST(sum(c_ab) AS BIGINT) AS n_bigrams,
+               CAST(count(DISTINCT prev) AS BIGINT) AS n_prev,
+               CAST(count(DISTINCT cur) AS BIGINT) AS n_next,
+               round(sum(-(CAST(c_ab AS DOUBLE)
+                           * ln(CAST(c_ab AS DOUBLE)
+                                / CAST(c_a AS DOUBLE))))
+                     / CAST(sum(c_ab) AS DOUBLE) + 1e-9, 6) AS h_cond
+        FROM cells GROUP BY user_id
+    """
+    # quantile_normalize: ALL-INTEGER — both ranks, the ceiling division
+    # and the pooled order statistic are exact BIGINTs on both engines
+    base["quantile_normalize"] = """
+        WITH base AS (
+            SELECT lang AS slice, doc_id AS id, CAST(n_chars AS BIGINT) AS v
+            FROM documents
+        ),
+        ranked AS (
+            SELECT slice, id, v,
+                   CAST(row_number() OVER (PARTITION BY slice
+                                           ORDER BY v, id) AS BIGINT) AS r,
+                   CAST(count(*) OVER (PARTITION BY slice) AS BIGINT)
+                       AS n_slice
+            FROM base
+        ),
+        pooled AS (
+            SELECT CAST(row_number() OVER (ORDER BY v, id) AS BIGINT) AS rk,
+                   v AS qnorm
+            FROM base
+        ),
+        t AS (SELECT CAST(count(*) AS BIGINT) AS n FROM base),
+        withj AS (
+            SELECT slice, id, v, r, n_slice,
+                   CAST(((2 * r - 1) * n + 2 * n_slice - 1)
+                        // (2 * n_slice) AS BIGINT) AS j
+            FROM ranked CROSS JOIN t
+        )
+        SELECT slice, id, v, r, n_slice, j, qnorm
+        FROM withj JOIN pooled ON withj.j = pooled.rk
     """
     return base
 

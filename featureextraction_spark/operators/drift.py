@@ -282,3 +282,63 @@ def psi_bins(
         "n_b",
         ((p_a - p_b) * F.log(p_a / p_b)).alias("psi_term"),
     )
+
+
+def js_divergence(df: DataFrame, part: str, cat: str) -> DataFrame:
+    """Jensen-Shannon divergence between each partition's categorical
+    mix and the full-corpus mix — the SYMMETRIC, always-finite
+    companion of :func:`tv_distance` (Lin 1991): bounded by ln 2, no
+    smoothing knob, and unlike PSI it never blows up on empty cells
+    (a category absent from a partition contributes only through the
+    corpus half, whose mixture share stays positive).
+
+    With p_c = n_pc/N_p the partition share and q_c = N_c/N the corpus
+    share, m_c = (p_c + q_c)/2:
+
+        JS(p) = ½ Σ_c p_c·ln(p_c/m_c) + ½ Σ_c q_c·ln(q_c/m_c)
+
+    Every share is a single division of exact BIGINT counts; each term
+    is a fixed float tree over them; the only cross-engine freedom is
+    the ≤|cats|-term addition order per partition (the shared nudge
+    absorbs it — the mi/psi precedent).
+
+    Output: one row per partition — ``part``, ``n_rows`` (BIGINT), and
+    raw doubles ``js``, ``js_p`` / ``js_q`` (the two KL halves; caller
+    nudge-rounds).
+
+    Scale: identical shape to :func:`tv_distance` — ONE
+    map-side-combinable groupBy(part, cat) over the rows, then the
+    (|parts|·|cats|)-row grid built from the two marginal DIM tables;
+    the corpus totals join as a broadcast 1-row frame. No second input
+    scan, no partitionless window.
+    """
+    cells = df.groupBy(
+        F.col(part).alias("__p"), F.col(cat).alias("__c")
+    ).agg(F.count(F.lit(1)).cast("long").alias("__npc"))
+    sp = cells.groupBy("__p").agg(F.sum("__npc").cast("long").alias("__np"))
+    ct = cells.groupBy("__c").agg(F.sum("__npc").cast("long").alias("__nc"))
+    tot = cells.agg(F.sum("__npc").cast("long").alias("__n"))
+    grid = sp.crossJoin(ct).join(cells, ["__p", "__c"], "left").select(
+        "__p", "__np", "__nc",
+        F.coalesce(F.col("__npc"), F.lit(0)).cast("long").alias("__npc"),
+    )
+    j = grid.crossJoin(F.broadcast(tot))
+    p_c = F.col("__npc").cast("double") / F.col("__np").cast("double")
+    q_c = F.col("__nc").cast("double") / F.col("__n").cast("double")
+    m_c = (p_c + q_c) / F.lit(2.0)
+    term_p = F.when(F.col("__npc") > 0, p_c * F.log(p_c / m_c)).otherwise(
+        F.lit(0.0)
+    )
+    term_q = q_c * F.log(q_c / m_c)  # q_c > 0 for every corpus category
+    out = j.groupBy("__p").agg(
+        F.max("__np").cast("long").alias("n_rows"),
+        (F.sum(term_p) / F.lit(2.0)).alias("js_p"),
+        (F.sum(term_q) / F.lit(2.0)).alias("js_q"),
+    )
+    return out.select(
+        F.col("__p").alias(part),
+        "n_rows",
+        (F.col("js_p") + F.col("js_q")).alias("js"),
+        "js_p",
+        "js_q",
+    )

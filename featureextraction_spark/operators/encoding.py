@@ -319,3 +319,79 @@ def woe_encode(
         woe.alias("woe"),
         (rate_gap * woe).alias("iv"),
     )
+
+
+def quantile_normalize(
+    df: DataFrame,
+    value: str,
+    id_col: str,
+    slice_col: str,
+) -> DataFrame:
+    """Map every slice's value distribution onto the POOLED corpus
+    distribution — classic quantile normalization (the microarray /
+    batch-effect standard, Bolstad et al. 2003): row with within-slice
+    midpoint quantile u = (2r−1)/(2·n_s) is assigned the pooled type-1
+    order statistic at index ⌈u·N⌉. Kills per-slice scale and shape
+    differences while preserving within-slice order — the cross-source
+    length/score harmonizer before mixing corpora.
+
+    ENTIRELY integer arithmetic — rank r and pooled index
+
+        j = ⌈(2r−1)·N / (2·n_s)⌉ = (（2r−1)·N + 2·n_s − 1) div (2·n_s)
+
+    are exact BIGINTs (safe while 2rN < 2^63, i.e. N to ~2·10⁹ rows),
+    and the output value is the pooled element at rank j — no floats
+    anywhere, so every column is a bit-exact hash vehicle.
+
+    Scale: the within-slice rank is one slice-keyed window (mega-slice
+    note: swap in the per-slice two-phase cumsum if a single slice
+    outgrows a task); the pooled rank rides
+    :func:`..packing.with_global_cumsum`'s range-partitioned two-phase
+    pass (caller releases the registered persist after the consuming
+    action); the closing equi-join on j=rank shuffles the N-row pooled
+    table once. Ties order by (value, id) so both ranks are total and
+    deterministic.
+    """
+    from .packing import with_global_cumsum
+
+    base = df.select(
+        F.col(slice_col).alias("slice"),
+        F.col(id_col).alias("id"),
+        F.col(value).cast("long").alias("v"),
+    )
+    ws = Window.partitionBy("slice").orderBy("v", "id")
+    ranked = base.select(
+        "slice",
+        "id",
+        "v",
+        F.row_number().over(ws).cast("long").alias("r"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy("slice"))
+        .cast("long")
+        .alias("n_slice"),
+    )
+    pooled = with_global_cumsum(
+        base.select("v", "id", F.lit(1).cast("long").alias("__one")),
+        ["v", "id"],
+        "__one",
+        out_col="__rk0",
+    ).select(
+        (F.col("__rk0") + 1).cast("long").alias("__rk"),
+        F.col("v").alias("qnorm"),
+    )
+    n_tot = base.agg(F.count(F.lit(1)).cast("long").alias("__n"))
+    withj = ranked.crossJoin(F.broadcast(n_tot)).select(
+        "slice",
+        "id",
+        "v",
+        "r",
+        "n_slice",
+        # BIGINT ceiling division — `div`, never `/` (which widens to
+        # double and loses exactness past 2^53)
+        F.expr(
+            "((2*r - 1) * __n + 2*n_slice - 1) div (2*n_slice)"
+        )
+        .cast("long")
+        .alias("j"),
+    )
+    return withj.join(pooled, withj["j"] == pooled["__rk"]).drop("__rk")

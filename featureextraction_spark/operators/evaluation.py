@@ -1150,3 +1150,72 @@ def ips_evaluate(
     ).select(F.lit("__total").alias("action"), "cnt", "matched", "matched_r",
              "ips_term", "snips")
     return pa.unionByName(tot)
+
+
+def krippendorff_alpha(df: DataFrame, unit: str, cat: str) -> DataFrame:
+    """Krippendorff's alpha for NOMINAL data (Krippendorff 2004,
+    coincidence-matrix form) — the inter-rater agreement coefficient
+    that, unlike :func:`cohens_kappa`'s two-rater grid, handles ANY
+    number of raters per unit and unequal unit sizes: each row is one
+    rating (label assignment) of ``unit`` with category ``cat``.
+
+        alpha = 1 − (n−1) · Σ_u (n_u² − Σ_c o_uc²)/(n_u − 1)
+                          / (n² − Σ_c n_c²)
+
+    over units with n_u ≥ 2 pairable ratings (singleton units carry no
+    agreement evidence and are excluded, per the definition). The
+    denominator ``de_num = n² − Σ n_c²`` and all counts are exact
+    BIGINTs; ``do_sum`` is a per-unit-rational float sum (each term a
+    single division of BIGINTs) whose ≤|units|-term addition order
+    rides the shared nudge — for unbounded unit counts ship the
+    per-unit table instead.
+
+    Output: ONE row — ``n`` (pairable ratings), ``n_units``,
+    ``n_cats``, ``de_num`` (BIGINT), raw doubles ``do_sum`` and
+    ``alpha`` (caller nudge-rounds). Degenerate cases: a single
+    category everywhere gives de_num = 0 → alpha NULL (no variance to
+    agree about); no multi-rating units give n = 0 → alpha NULL.
+
+    Scale: ONE map-side-combinable groupBy(unit, cat) over the ratings;
+    unit sums, category sums and the closing moments are aggregates OF
+    the bounded cell table (broadcast 1-row joins only).
+    """
+    cells = df.groupBy(
+        F.col(unit).alias("__u"), F.col(cat).alias("__c")
+    ).agg(F.count(F.lit(1)).cast("long").alias("__ouc"))
+    per_u = cells.groupBy("__u").agg(
+        F.sum("__ouc").cast("long").alias("__nu"),
+        F.sum(F.col("__ouc") * F.col("__ouc")).cast("long").alias("__ssq"),
+    ).where(F.col("__nu") >= 2)
+    # category margins over PAIRABLE units only (the standard estimator)
+    pc = cells.join(per_u.select("__u"), "__u").groupBy("__c").agg(
+        F.sum("__ouc").cast("long").alias("__nc")
+    )
+    do = per_u.agg(
+        F.sum("__nu").cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("n_units"),
+        F.sum(
+            (F.col("__nu") * F.col("__nu") - F.col("__ssq")).cast("double")
+            / (F.col("__nu") - 1).cast("double")
+        ).alias("do_sum"),
+    )
+    de = pc.agg(
+        F.count(F.lit(1)).cast("long").alias("n_cats"),
+        F.sum(F.col("__nc") * F.col("__nc")).cast("long").alias("__snc2"),
+    )
+    out = do.crossJoin(F.broadcast(de))
+    de_num = (F.col("n") * F.col("n") - F.col("__snc2")).cast("long")
+    return out.select(
+        "n",
+        "n_units",
+        "n_cats",
+        de_num.alias("de_num"),
+        "do_sum",
+        F.when(
+            (F.col("n") > 1) & (de_num > 0),
+            F.lit(1.0)
+            - (F.col("n") - 1).cast("double")
+            * F.col("do_sum")
+            / de_num.cast("double"),
+        ).alias("alpha"),
+    )

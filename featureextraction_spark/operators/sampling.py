@@ -526,3 +526,46 @@ def priority_sample(
             ),
         )
     )
+
+
+def balance_weights(df: DataFrame, label: str, beta: float = 0.999) -> DataFrame:
+    """Class-balanced loss weights by EFFECTIVE NUMBER of samples (Cui
+    et al. CVPR'19): weight ∝ (1−β)/(1−β^n) per class — the re-weighting
+    standard between plain 1/n (over-corrects rare classes) and uniform
+    (ignores imbalance). β is the overlap knob: →0 recovers uniform,
+    →1 recovers inverse frequency.
+
+    Output: one row per class — ``label``, ``n`` (exact BIGINT), raw
+    doubles ``eff_n = (1−β^n)/(1−β)``, ``weight = 1/eff_n`` and
+    ``weight_norm`` scaled so weights sum to the class count (the
+    paper's normalization; caller nudge-rounds). ``pow(β, n)`` is the
+    one libm call; the ≤|classes|-term normalizing sum rides the shared
+    nudge.
+
+    Scale: ONE map-side-combinable groupBy(label); the normalizer is a
+    1-row aggregate of the bounded class table joined back via
+    broadcast.
+    """
+    per = df.groupBy(F.col(label).alias("label")).agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    eff = (
+        (F.lit(1.0) - F.pow(F.lit(float(beta)), F.col("n").cast("double")))
+        / F.lit(1.0 - float(beta))
+    )
+    per = per.select("label", "n", eff.alias("eff_n"))
+    per = per.withColumn("weight", F.lit(1.0) / F.col("eff_n"))
+    tot = per.agg(
+        F.sum("weight").alias("__wsum"),
+        F.count(F.lit(1)).cast("long").alias("__k"),
+    )
+    out = per.crossJoin(F.broadcast(tot))
+    return out.select(
+        "label",
+        "n",
+        "eff_n",
+        "weight",
+        (
+            F.col("weight") * F.col("__k").cast("double") / F.col("__wsum")
+        ).alias("weight_norm"),
+    )

@@ -153,3 +153,65 @@ def markov_transitions(
             / (F.col("c_a") + s * F.col("v")).cast("double")
         ).alias("prob"),
     )
+
+
+def transition_entropy(
+    df: DataFrame,
+    state: str,
+    key: str = "conv_id",
+    order: tuple[str, ...] = ("turn_idx",),
+) -> DataFrame:
+    """Per-key conditional next-state entropy H(cur|prev) of the action
+    sequence — the predictability dial on top of
+    :func:`markov_transitions`: 0 for deterministic scripts (every
+    state forces its successor), ln|alphabet| for uniform wandering.
+    The behavioral-regularity feature a curriculum or bot-detection
+    pass keys on.
+
+        H(cur|prev) = Σ_a (c_a/T)·[−Σ_b (c_ab/c_a)·ln(c_ab/c_a)]
+                    = ln-sum over the key's bigram cells
+
+    Every share is a single division of exact BIGINT counts
+    (``n_bigrams``/``n_prev``/``n_states`` ship as vehicles); the
+    per-key ≤|alphabet|²-term sum rides the shared nudge.
+
+    Scale: one key-partitioned ordered window produces bigrams (the
+    markov_transitions exchange), then two map-side-combinable
+    aggregates; output is one row per key.
+    """
+    w = Window.partitionBy(key).orderBy(*order)
+    pairs = (
+        df.select(
+            F.col(key),
+            F.col(state).alias("cur"),
+            F.lag(state).over(w).alias("prev"),
+        )
+        .where(F.col("prev").isNotNull())
+    )
+    c_ab = pairs.groupBy(key, "prev", "cur").agg(
+        F.count(F.lit(1)).cast("long").alias("c_ab")
+    )
+    c_a = pairs.groupBy(key, "prev").agg(
+        F.count(F.lit(1)).cast("long").alias("c_a")
+    )
+    cells = c_ab.join(c_a, [key, "prev"])
+    p_ab = F.col("c_ab").cast("double") / F.col("c_a").cast("double")
+    out = cells.groupBy(key).agg(
+        F.sum("c_ab").cast("long").alias("n_bigrams"),
+        F.countDistinct("prev").cast("long").alias("n_prev"),
+        F.countDistinct("cur").cast("long").alias("n_next"),
+        F.sum(
+            F.negate(
+                (F.col("c_ab").cast("double"))
+                * F.log(p_ab)
+            )
+        ).alias("__hnum"),
+    )
+    # Σ c_ab·(−ln p) / T  ==  Σ (c_a/T)·Σ(p·−ln p): divide once at close
+    return out.select(
+        key,
+        "n_bigrams",
+        "n_prev",
+        "n_next",
+        (F.col("__hnum") / F.col("n_bigrams").cast("double")).alias("h_cond"),
+    )
