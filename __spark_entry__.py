@@ -4582,6 +4582,104 @@ def q_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def q_zipf_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf rank-frequency fit over the corpus top-100 tokens — the
+    natural-language health gauge; top-k via TakeOrderedAndProject, the
+    lone partitionless rank over the ≤100-row top table (hygiene-
+    allowlisted), OLS moments are ≤k-term sums under the shared nudge."""
+    from featureextraction_spark.functions.textstats import zipf_fit
+
+    docs = _load(spark, sf_dir, "documents")
+    out = zipf_fit(docs, "text", top_k=100)
+    return out.select(
+        "k",
+        "n_top_tokens",
+        "top1_cnt",
+        "sum_cnt_topk",
+        _hround6(F.col("slope")).alias("slope"),
+        _hround6(F.col("intercept")).alias("intercept"),
+        _hround6(F.col("r2")).alias("r2"),
+    )
+
+
+def q_chao1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chao1 vocabulary-richness estimate + Good-Turing coverage per
+    language — all-integer frequency-of-frequencies, chao1/coverage are
+    single divisions of BIGINTs (bit-exact, no nudge)."""
+    from featureextraction_spark.functions.textstats import chao1_richness
+
+    docs = _load(spark, sf_dir, "documents")
+    return chao1_richness(docs, "text", "lang").withColumnRenamed(
+        "slice", "lang"
+    )
+
+
+def q_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise language-slice vocabulary Jaccard/overlap — the cross-
+    source redundancy map; distinct (slice, token) pass + token-keyed
+    pair join, every output a BIGINT or single BIGINT division."""
+    from featureextraction_spark.functions.textstats import vocab_overlap
+    from featureextraction_spark.operators.cache import (
+        release_persisted_intermediates,
+    )
+
+    docs = _load(spark, sf_dir, "documents")
+    out = vocab_overlap(docs, "text", "lang")
+    out = out.localCheckpoint()  # cut the cached-vocab lineage before release
+    release_persisted_intermediates()
+    return out
+
+
+def q_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source language-mix diversity: unbiased Gini-Simpson (exact
+    BIGINT rational), Shannon entropy and Pielou evenness (≤|cats|-term
+    ln sums under the shared nudge)."""
+    from featureextraction_spark.operators.profiling import diversity_indices
+
+    docs = _load(spark, sf_dir, "documents")
+    out = diversity_indices(docs, "source", "lang")
+    return out.select(
+        F.col("part").alias("source"),
+        "n",
+        "k",
+        "sum_nc2",
+        "simpson",
+        _hround6(F.col("shannon")).alias("shannon"),
+        _hround6(F.col("evenness")).alias("evenness"),
+    )
+
+
+def q_gini_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of byte-mass concentration across documents —
+    sorted-formula numerator/denominator as exact BIGINTs via the
+    two-phase global cumsum; the closing division is bit-exact."""
+    from featureextraction_spark.operators.cache import (
+        release_persisted_intermediates,
+    )
+    from featureextraction_spark.operators.profiling import gini_concentration
+
+    docs = _load(spark, sf_dir, "documents")
+    out = gini_concentration(docs, "n_chars", "doc_id")
+    out = out.localCheckpoint()  # cut the cached-cumsum lineage before release
+    release_persisted_intermediates()
+    return out
+
+
+def q_mcnemar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """McNemar continuity-corrected paired test between two rule
+    classifiers for 'is this document English' (contains ' the ' vs
+    contains ' and ') — discordant cells and chi2 numerator exact
+    BIGINTs, chi2 a single BIGINT division (bit-exact)."""
+    from featureextraction_spark.operators.evaluation import mcnemar_test
+
+    docs = _load(spark, sf_dir, "documents")
+    truth = F.col("lang") == F.lit("en")
+    lt = F.lower(F.coalesce(F.col("text"), F.lit("")))
+    pred_a = F.instr(lt, " the ") > 0
+    pred_b = F.instr(lt, " and ") > 0
+    return mcnemar_test(docs, pred_a == truth, pred_b == truth)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "lag_lead": q_lag_lead,
@@ -4806,6 +4904,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "balance_weights": q_balance_weights,
         "transition_entropy": q_transition_entropy,
         "quantile_normalize": q_quantile_normalize,
+        "zipf_law": q_zipf_law,
+        "chao1": q_chao1,
+        "vocab_overlap": q_vocab_overlap,
+        "diversity": q_diversity,
+        "gini_mass": q_gini_mass,
+        "mcnemar": q_mcnemar,
     }
 
 
@@ -6827,6 +6931,191 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT slice, id, v, r, n_slice, j, qnorm
         FROM withj JOIN pooled ON withj.j = pooled.rk
+    """
+    # zipf_law: same (cnt DESC, token ASC) top-100, OLS closed form in
+    # double; ≤k-term moment sums ride the shared nudge
+    base["zipf_law"] = """
+        WITH tok AS (
+            SELECT unnest(regexp_extract_all(
+                       lower(coalesce(text, '')),
+                       '[^ \\t\\n\\r\\f\\x0B]+')) AS t
+            FROM documents
+        ),
+        cnts AS (SELECT t, CAST(count(*) AS BIGINT) AS cnt
+                 FROM tok GROUP BY t),
+        top AS (SELECT t, cnt FROM cnts ORDER BY cnt DESC, t LIMIT 100),
+        ranked AS (
+            SELECT cnt,
+                   CAST(row_number() OVER (ORDER BY cnt DESC, t) AS BIGINT)
+                       AS rank
+            FROM top
+        ),
+        m AS (
+            SELECT CAST(count(*) AS BIGINT) AS k,
+                   CAST(max(CASE WHEN rank = 1 THEN cnt END) AS BIGINT)
+                       AS top1_cnt,
+                   CAST(sum(cnt) AS BIGINT) AS sum_cnt_topk,
+                   sum(ln(CAST(rank AS DOUBLE))) AS sx,
+                   sum(ln(CAST(cnt AS DOUBLE))) AS sy,
+                   sum(ln(CAST(rank AS DOUBLE))
+                       * ln(CAST(rank AS DOUBLE))) AS sxx,
+                   sum(ln(CAST(cnt AS DOUBLE))
+                       * ln(CAST(cnt AS DOUBLE))) AS syy,
+                   sum(ln(CAST(rank AS DOUBLE))
+                       * ln(CAST(cnt AS DOUBLE))) AS sxy
+            FROM ranked
+        )
+        SELECT k, k AS n_top_tokens, top1_cnt, sum_cnt_topk,
+               round(CASE WHEN k*sxx - sx*sx > 0
+                          THEN (k*sxy - sx*sy) / (k*sxx - sx*sx) END
+                     + 1e-9, 6) AS slope,
+               round((sy - CASE WHEN k*sxx - sx*sx > 0
+                                THEN (k*sxy - sx*sy) / (k*sxx - sx*sx)
+                           END * sx) / k + 1e-9, 6) AS intercept,
+               round(CASE WHEN k*sxx - sx*sx > 0 AND k*syy - sy*sy > 0
+                          THEN (k*sxy - sx*sy) * (k*sxy - sx*sy)
+                               / ((k*sxx - sx*sx) * (k*syy - sy*sy)) END
+                     + 1e-9, 6) AS r2
+        FROM m
+    """
+    # chao1: frequency-of-frequencies; chao1/coverage are single BIGINT
+    # divisions — bit-exact, no nudge
+    base["chao1"] = """
+        WITH tok AS (
+            SELECT lang, unnest(regexp_extract_all(
+                       lower(coalesce(text, '')),
+                       '[^ \\t\\n\\r\\f\\x0B]+')) AS t
+            FROM documents
+        ),
+        cells AS (
+            SELECT lang, t, CAST(count(*) AS BIGINT) AS c
+            FROM tok GROUP BY 1, 2
+        )
+        SELECT lang,
+               CAST(sum(c) AS BIGINT) AS n_tokens,
+               CAST(count(*) AS BIGINT) AS vocab,
+               CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+               CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS f2,
+               CAST(count(*) AS DOUBLE)
+                 + CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END)
+                        * (sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) - 1)
+                        AS DOUBLE)
+                   / CAST(2 * (sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) + 1)
+                          AS DOUBLE) AS chao1,
+               1.0 - CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                     / CAST(sum(c) AS DOUBLE) AS coverage
+        FROM cells GROUP BY lang
+    """
+    # vocab_overlap: distinct (slice, token) sets; jaccard/overlap are
+    # single BIGINT divisions — bit-exact
+    base["vocab_overlap"] = """
+        WITH vocab AS (
+            SELECT DISTINCT lang AS s, unnest(regexp_extract_all(
+                       lower(coalesce(text, '')),
+                       '[^ \\t\\n\\r\\f\\x0B]+')) AS t
+            FROM documents
+        ),
+        sizes AS (SELECT s, CAST(count(*) AS BIGINT) AS v
+                  FROM vocab GROUP BY s),
+        inter AS (
+            SELECT a.s AS slice_a, b.s AS slice_b,
+                   CAST(count(*) AS BIGINT) AS inter
+            FROM vocab a JOIN vocab b ON a.t = b.t AND a.s < b.s
+            GROUP BY 1, 2
+        )
+        SELECT slice_a, slice_b,
+               sa.v AS v_a, sb.v AS v_b, inter,
+               CAST(inter AS DOUBLE)
+                   / CAST(sa.v + sb.v - inter AS DOUBLE) AS jaccard,
+               CAST(inter AS DOUBLE)
+                   / CAST(least(sa.v, sb.v) AS DOUBLE) AS overlap
+        FROM inter
+        JOIN sizes sa ON sa.s = slice_a
+        JOIN sizes sb ON sb.s = slice_b
+    """
+    # diversity: simpson an exact BIGINT rational; shannon/evenness
+    # ≤|cats|-term ln sums under the shared nudge
+    base["diversity"] = """
+        WITH cells AS (
+            SELECT source, lang, CAST(count(*) AS BIGINT) AS nc
+            FROM documents GROUP BY 1, 2
+        ),
+        per AS (
+            SELECT source,
+                   CAST(sum(nc) AS BIGINT) AS n,
+                   CAST(count(*) AS BIGINT) AS k,
+                   CAST(sum(nc * nc) AS BIGINT) AS sum_nc2,
+                   sum(CAST(nc AS DOUBLE) * ln(CAST(nc AS DOUBLE)))
+                       AS snln
+            FROM cells GROUP BY source
+        )
+        SELECT source, n, k, sum_nc2,
+               CASE WHEN n > 1
+                    THEN 1.0 - CAST(sum_nc2 - n AS DOUBLE)
+                               / CAST(n * (n - 1) AS DOUBLE) END AS simpson,
+               round(ln(CAST(n AS DOUBLE)) - snln / CAST(n AS DOUBLE)
+                     + 1e-9, 6) AS shannon,
+               round(CASE WHEN k > 1
+                          THEN (ln(CAST(n AS DOUBLE))
+                                - snln / CAST(n AS DOUBLE))
+                               / ln(CAST(k AS DOUBLE)) END
+                     + 1e-9, 6) AS evenness
+        FROM per
+    """
+    # gini_mass: sorted-formula numerator exact BIGINT under the same
+    # (v, id) total order; closing division bit-exact
+    base["gini_mass"] = """
+        WITH base AS (
+            SELECT CAST(n_chars AS BIGINT) AS v, doc_id AS id
+            FROM documents
+        ),
+        ranked AS (
+            SELECT v,
+                   CAST(row_number() OVER (ORDER BY v, id) AS BIGINT) AS i
+            FROM base
+        ),
+        t AS (SELECT CAST(count(*) AS BIGINT) AS n FROM base)
+        SELECT n,
+               CAST(sum(v) AS BIGINT) AS sum_v,
+               CAST(sum((2 * i - n - 1) * v) AS BIGINT) AS gini_num,
+               CASE WHEN n > 0 AND sum(v) > 0
+                    THEN CAST(sum((2 * i - n - 1) * v) AS DOUBLE)
+                         / CAST(n * sum(v) AS DOUBLE) END AS gini
+        FROM ranked CROSS JOIN t GROUP BY n
+    """
+    # mcnemar: four conditional counts + continuity-corrected chi2 as a
+    # single BIGINT division — bit-exact
+    base["mcnemar"] = """
+        WITH x AS (
+            SELECT (strpos(lower(coalesce(text, '')), ' the ') > 0)
+                       = (lang = 'en') AS ca,
+                   (strpos(lower(coalesce(text, '')), ' and ') > 0)
+                       = (lang = 'en') AS cb
+            FROM documents
+        ),
+        agg AS (
+            SELECT CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(CASE WHEN NOT ca AND NOT cb THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n00,
+                   CAST(sum(CASE WHEN NOT ca AND cb THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n01,
+                   CAST(sum(CASE WHEN ca AND NOT cb THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n10,
+                   CAST(sum(CASE WHEN ca AND cb THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n11
+            FROM x
+        )
+        SELECT n, n00, n01, n10, n11,
+               CAST(CASE WHEN abs(n10 - n01) > 0
+                         THEN (abs(n10 - n01) - 1) * (abs(n10 - n01) - 1)
+                         ELSE 0 END AS BIGINT) AS chi2_num,
+               CASE WHEN n10 + n01 > 0
+                    THEN CAST(CASE WHEN abs(n10 - n01) > 0
+                                   THEN (abs(n10 - n01) - 1)
+                                        * (abs(n10 - n01) - 1)
+                                   ELSE 0 END AS DOUBLE)
+                         / CAST(n10 + n01 AS DOUBLE) END AS chi2
+        FROM agg
     """
     return base
 

@@ -1163,3 +1163,202 @@ def compression_ratio_features(
             )
 
     return df.select(id_col, text).mapInPandas(kernel, schema=out_schema)
+
+
+def zipf_fit(df: DataFrame, text: str, top_k: int = 100) -> DataFrame:
+    """Zipf rank-frequency law fit over the corpus's top-k tokens — the
+    one-row "is this corpus natural language" health gauge (Zipf 1949;
+    Piantadosi 2014 review): OLS of ln(count) on ln(rank) over the k
+    most frequent tokens. Natural text sits near slope −1; slope → 0
+    flags boilerplate/spam floods, steep slopes flag tiny-vocabulary
+    template corpora.
+
+    The k-set is engine-stable: tokens order by (count DESC, token ASC)
+    — both total — and Catalyst collapses the orderBy+limit into
+    TakeOrderedAndProject (per-task partial top-k, ONE corpus scan, no
+    global sort). The only partitionless window (rank 1..k) runs over
+    that ≤k-row table (window-hygiene allowlisted, the ``token_ids``
+    pattern). Counts ship as exact BIGINTs; the OLS moments are ≤k-term
+    double sums whose addition order rides the shared nudge.
+
+    Output: ONE row — ``k`` (rows fitted), ``n_top_tokens`` ≡ k,
+    ``top1_cnt`` / ``sum_cnt_topk`` (BIGINT vehicles), raw doubles
+    ``slope``, ``intercept`` (of ln-cnt at ln-rank 0) and ``r2``
+    (caller nudge-rounds).
+    """
+    toks = F.regexp_extract_all(
+        F.lower(F.coalesce(F.col(text), F.lit(""))), F.lit(TOKEN_REGEX), 0
+    )
+    counts = (
+        df.select(F.explode(toks).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    top = counts.orderBy(F.desc("cnt"), F.asc("tok")).limit(int(top_k))
+    ranked = top.select(
+        "cnt",
+        F.row_number()
+        .over(Window.orderBy(F.desc("cnt"), F.asc("tok")))
+        .cast("long")
+        .alias("rank"),
+    )
+    x = F.log(F.col("rank").cast("double"))
+    y = F.log(F.col("cnt").cast("double"))
+    m = ranked.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.max(F.when(F.col("rank") == 1, F.col("cnt"))).cast("long").alias(
+            "top1_cnt"
+        ),
+        F.sum("cnt").cast("long").alias("sum_cnt_topk"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(y * y).alias("syy"),
+        F.sum(x * y).alias("sxy"),
+    )
+    kd = F.col("k").cast("double")
+    cov = kd * F.col("sxy") - F.col("sx") * F.col("sy")
+    varx = kd * F.col("sxx") - F.col("sx") * F.col("sx")
+    vary = kd * F.col("syy") - F.col("sy") * F.col("sy")
+    slope = F.when(varx > 0, cov / varx)
+    return m.select(
+        "k",
+        F.col("k").alias("n_top_tokens"),
+        "top1_cnt",
+        "sum_cnt_topk",
+        slope.alias("slope"),
+        ((F.col("sy") - slope * F.col("sx")) / kd).alias("intercept"),
+        F.when((varx > 0) & (vary > 0), cov * cov / (varx * vary)).alias(
+            "r2"
+        ),
+    )
+
+
+def chao1_richness(df: DataFrame, text: str, slice_col: str) -> DataFrame:
+    """Chao1 nonparametric vocabulary-richness estimator per slice
+    (Chao 1984; the species-richness standard): how many DISTINCT
+    tokens would this slice show at infinite sampling, from the
+    frequency-of-frequencies of what we did see —
+
+        chao1 = V + F1·(F1−1) / (2·(F2+1))
+
+    (bias-corrected form, finite even when no token occurs exactly
+    twice). The "is this source's vocabulary saturated or barely
+    sampled" dial behind dedup/mixing decisions: chao1 ≈ V means
+    diminishing novelty; chao1 ≫ V means keep crawling.
+
+    ALL-INTEGER until the single closing division: V (distinct
+    tokens), F1 (singletons), F2 (doubletons), n_tokens are exact
+    BIGINTs from one groupBy(slice, token) — map-side combinable, the
+    one token-keyed exchange — and chao1/coverage are single divisions
+    of BIGINT products, bit-exact cross-engine (no nudge needed).
+    ``coverage`` is the Good-Turing sample-coverage estimate
+    1 − F1/n_tokens (Good 1953).
+
+    Output: one row per slice — ``slice``, ``n_tokens``, ``vocab``,
+    ``f1``, ``f2`` (BIGINTs), doubles ``chao1``, ``coverage``.
+    """
+    toks = F.regexp_extract_all(
+        F.lower(F.coalesce(F.col(text), F.lit(""))), F.lit(TOKEN_REGEX), 0
+    )
+    cells = (
+        df.select(F.col(slice_col).alias("slice"), F.explode(toks).alias("tok"))
+        .groupBy("slice", "tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    per = cells.groupBy("slice").agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("vocab"),
+        F.sum((F.col("c") == 1).cast("long")).cast("long").alias("f1"),
+        F.sum((F.col("c") == 2).cast("long")).cast("long").alias("f2"),
+    )
+    return per.select(
+        "slice",
+        "n_tokens",
+        "vocab",
+        "f1",
+        "f2",
+        (
+            F.col("vocab").cast("double")
+            + (F.col("f1") * (F.col("f1") - 1)).cast("double")
+            / (2 * (F.col("f2") + 1)).cast("double")
+        ).alias("chao1"),
+        (
+            F.lit(1.0)
+            - F.col("f1").cast("double") / F.col("n_tokens").cast("double")
+        ).alias("coverage"),
+    )
+
+
+def vocab_overlap(df: DataFrame, text: str, slice_col: str) -> DataFrame:
+    """Pairwise vocabulary overlap between slices — Jaccard and
+    Szymkiewicz–Simpson overlap coefficient on the DISTINCT-token sets
+    of every slice pair. The cross-source redundancy map mixing
+    decisions key on: near-1 Jaccard says two crawls cover the same
+    language, near-0 says genuinely complementary vocabulary.
+
+    ALL-INTEGER: per-slice vocab sizes and pair intersection counts are
+    exact BIGINTs; jaccard = inter/(v_a + v_b − inter) and
+    overlap = inter/min(v_a, v_b) are single divisions of BIGINTs —
+    bit-exact cross-engine, no nudge needed.
+
+    Scale: one groupBy(slice, token) distinct pass (token-keyed, the
+    dedup exchange), then a TOKEN-KEYED self-equi-join restricted to
+    slice_a < slice_b — at |slices| sources each token contributes at
+    most |slices|²/2 pair rows, so the join output is
+    vocab-size·O(|slices|²), never corpus-sized; slice sizes attach via
+    broadcast (|slices| rows). No window anywhere. The distinct vocab
+    table is consumed three times (sizes + both join sides), so it is
+    PERSISTED — vocab-sized, not corpus-sized — to keep the corpus scan
+    single; cache lifecycle is caller-owned (release via
+    ``operators.cache.release_persisted_intermediates`` after the
+    consuming action).
+    """
+    from featureextraction_spark.operators.cache import persist_tracked
+
+    toks = F.regexp_extract_all(
+        F.lower(F.coalesce(F.col(text), F.lit(""))), F.lit(TOKEN_REGEX), 0
+    )
+    vocab = (
+        df.select(F.col(slice_col).alias("slice"), F.explode(toks).alias("tok"))
+        .distinct()
+        .transform(persist_tracked)
+    )
+    sizes = vocab.groupBy("slice").agg(
+        F.count(F.lit(1)).cast("long").alias("v")
+    )
+    a = vocab.select(F.col("slice").alias("slice_a"), "tok")
+    b = vocab.select(F.col("slice").alias("slice_b"), "tok")
+    inter = (
+        a.join(b, "tok")
+        .where(F.col("slice_a") < F.col("slice_b"))
+        .groupBy("slice_a", "slice_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("inter"))
+    )
+    out = (
+        inter.join(
+            F.broadcast(sizes.withColumnRenamed("slice", "slice_a")
+                        .withColumnRenamed("v", "v_a")),
+            "slice_a",
+        )
+        .join(
+            F.broadcast(sizes.withColumnRenamed("slice", "slice_b")
+                        .withColumnRenamed("v", "v_b")),
+            "slice_b",
+        )
+    )
+    return out.select(
+        "slice_a",
+        "slice_b",
+        "v_a",
+        "v_b",
+        "inter",
+        (
+            F.col("inter").cast("double")
+            / (F.col("v_a") + F.col("v_b") - F.col("inter")).cast("double")
+        ).alias("jaccard"),
+        (
+            F.col("inter").cast("double")
+            / F.least("v_a", "v_b").cast("double")
+        ).alias("overlap"),
+    )

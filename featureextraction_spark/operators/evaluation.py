@@ -1219,3 +1219,57 @@ def krippendorff_alpha(df: DataFrame, unit: str, cat: str) -> DataFrame:
             / de_num.cast("double"),
         ).alias("alpha"),
     )
+
+
+def mcnemar_test(
+    df: DataFrame,
+    correct_a: Column,
+    correct_b: Column,
+) -> DataFrame:
+    """McNemar's paired-classifier test (McNemar 1947; Dietterich 1998's
+    recommended test for comparing two classifiers on ONE test set):
+    given per-row correctness indicators for classifiers A and B, only
+    the DISCORDANT counts carry evidence —
+
+        b = #(A right, B wrong),  c = #(A wrong, B right)
+        chi2 = (|b − c| − 1)² / (b + c)    (continuity-corrected)
+
+    A paired test: shared-example noise cancels, so it detects real
+    accuracy gaps far smaller than two independent confusion matrices
+    would. NULL chi2 when b + c = 0 (identical behavior — nothing to
+    test).
+
+    ALL-INTEGER: the four contingency cells and the numerator
+    (|b−c|−1)² are exact BIGINTs; chi2 is a single division of BIGINTs
+    — bit-exact cross-engine, no nudge needed. Headroom: numerator
+    ≤ n², safe to n ≈ 3·10⁹ rows.
+
+    Scale: ONE map-side-combinable aggregate over the rows (four
+    conditional counts). Output: ONE row — ``n``, ``n00``, ``n01``,
+    ``n10``, ``n11``, ``chi2_num`` (BIGINTs), ``chi2`` (double).
+    """
+    a = correct_a.cast("boolean")
+    b = correct_b.cast("boolean")
+    agg = df.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum((~a & ~b).cast("long")).cast("long").alias("n00"),
+        F.sum((~a & b).cast("long")).cast("long").alias("n01"),
+        F.sum((a & ~b).cast("long")).cast("long").alias("n10"),
+        F.sum((a & b).cast("long")).cast("long").alias("n11"),
+    )
+    d = F.abs(F.col("n10") - F.col("n01"))
+    num = (
+        F.when(d > 0, (d - 1) * (d - 1)).otherwise(F.lit(0)).cast("long")
+    )
+    den = F.col("n10") + F.col("n01")
+    return agg.select(
+        "n",
+        "n00",
+        "n01",
+        "n10",
+        "n11",
+        num.alias("chi2_num"),
+        F.when(den > 0, num.cast("double") / den.cast("double")).alias(
+            "chi2"
+        ),
+    )

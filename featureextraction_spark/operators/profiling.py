@@ -835,3 +835,124 @@ def tail_index(
         / F.log(F.col("x_hi").cast("double") / F.col("x_lo").cast("double")),
     )
     return agg.select("n", "idx_lo", "idx_hi", "x_lo", "x_hi", alpha.alias("alpha"))
+
+
+def gini_concentration(
+    df: DataFrame,
+    value: str,
+    id_col: str,
+) -> DataFrame:
+    """Gini coefficient of how unevenly mass (bytes, tokens, rows)
+    concentrates across units — the one-number "does 1% of the corpus
+    carry 90% of the bytes" dial that decides whether size-stratified
+    sampling or mega-doc splitting is worth it (companion of
+    :func:`tail_index`, which fits the tail law; this integrates the
+    whole curve).
+
+    Sorted-formula form over values ascending with 1-based rank i:
+
+        G = Σ_i (2i − n − 1)·x_(i)  /  (n · Σx)
+
+    Numerator and denominator are EXACT BIGINTs — coefficients of tied
+    values sum to the same total under any tie order, so the (value,
+    id) total order makes the result deterministic AND the closing
+    single division bit-exact cross-engine (no float columns, no
+    nudge). int64 headroom: |num| ≤ n·Σx, so safe while
+    n·Σx < 2^63 — n ≈ 3·10⁷ units at 10⁴ bytes each; past that,
+    cast the per-row term to double before the sum (off the hash
+    path) or Gini the per-bucket histogram instead.
+
+    Scale: the global rank is :func:`..packing.with_global_cumsum`'s
+    range-partitioned two-phase pass (no single-partition window);
+    caller releases the registered persist after the consuming action.
+    Output: ONE row — ``n``, ``sum_v``, ``gini_num`` (BIGINTs),
+    ``gini`` (double).
+    """
+    from featureextraction_spark.operators.packing import with_global_cumsum
+
+    base = df.select(
+        F.col(value).cast("long").alias("v"), F.col(id_col).alias("id")
+    )
+    ranked = with_global_cumsum(
+        base.select("v", "id", F.lit(1).cast("long").alias("__one")),
+        ["v", "id"],
+        "__one",
+        out_col="__rk0",
+    )
+    n_t = base.agg(F.count(F.lit(1)).cast("long").alias("__n"))
+    agg = (
+        ranked.crossJoin(F.broadcast(n_t))
+        .select(
+            F.col("__n"),
+            ((2 * (F.col("__rk0") + 1) - F.col("__n") - 1) * F.col("v"))
+            .cast("long")
+            .alias("__term"),
+            "v",
+        )
+        .groupBy("__n")
+        .agg(
+            F.sum("v").cast("long").alias("sum_v"),
+            F.sum("__term").cast("long").alias("gini_num"),
+        )
+    )
+    return agg.select(
+        F.col("__n").alias("n"),
+        "sum_v",
+        "gini_num",
+        F.when(
+            (F.col("__n") > 0) & (F.col("sum_v") > 0),
+            F.col("gini_num").cast("double")
+            / (F.col("__n") * F.col("sum_v")).cast("double"),
+        ).alias("gini"),
+    )
+
+
+def diversity_indices(df: DataFrame, part: str, cat: str) -> DataFrame:
+    """Per-partition categorical diversity: Gini–Simpson, Shannon
+    entropy and Pielou evenness of each partition's category mix — the
+    dataset-card "how monocultural is each source" row (Simpson 1949;
+    Pielou 1966). Complements :func:`..drift.js_divergence` (distance
+    to the corpus mix) with each slice's OWN spread.
+
+        simpson = 1 − Σ_c n_c(n_c−1) / (N(N−1))   (unbiased form)
+        shannon = ln N − (Σ_c n_c·ln n_c) / N
+        evenness = shannon / ln k                  (NULL when k = 1)
+
+    ``simpson`` is a single division of exact BIGINT products —
+    bit-exact cross-engine; ``sum_nc2 = Σn_c²`` ships as the BIGINT
+    vehicle. The shannon ln-sum has ≤|cats| terms per partition and
+    rides the shared nudge.
+
+    Scale: ONE map-side-combinable groupBy(part, cat), then an
+    aggregate OF the bounded cell table. No window, no second scan.
+    """
+    cells = df.groupBy(
+        F.col(part).alias("part"), F.col(cat).alias("__c")
+    ).agg(F.count(F.lit(1)).cast("long").alias("__nc"))
+    per = cells.groupBy("part").agg(
+        F.sum("__nc").cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum(F.col("__nc") * F.col("__nc")).cast("long").alias("sum_nc2"),
+        F.sum(
+            F.col("__nc").cast("double") * F.log(F.col("__nc").cast("double"))
+        ).alias("__snln"),
+    )
+    shannon = F.log(F.col("n").cast("double")) - F.col("__snln") / F.col(
+        "n"
+    ).cast("double")
+    return per.select(
+        "part",
+        "n",
+        "k",
+        "sum_nc2",
+        F.when(
+            F.col("n") > 1,
+            F.lit(1.0)
+            - (F.col("sum_nc2") - F.col("n")).cast("double")
+            / (F.col("n") * (F.col("n") - 1)).cast("double"),
+        ).alias("simpson"),
+        shannon.alias("shannon"),
+        F.when(F.col("k") > 1, shannon / F.log(F.col("k").cast("double"))).alias(
+            "evenness"
+        ),
+    )

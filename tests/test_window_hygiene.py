@@ -78,6 +78,10 @@ ALLOWED_PARTITIONLESS = {
         "are shard-keyed and DO get map-side WindowGroupLimit, 2 in the "
         "plan)"
     ),
+    "zipf_law": (
+        "rank 1..k over the TakeOrderedAndProject top-100 token table — "
+        "hard-capped at top_k=100 rows (the token_ids pattern)"
+    ),
     "drift_bins": (
         "chi2 totals over the 50-char-wide length-BIN histogram table — "
         "rows = max(n_chars)/50, bounded by document length not corpus "
