@@ -4680,6 +4680,112 @@ def q_mcnemar(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mcnemar_test(docs, pred_a == truth, pred_b == truth)
 
 
+def q_loo_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out target encoding of order priority against the
+    'fulfilled' label — per-row (S−y)/(n−1) with singleton fallback to
+    the global LOO prior; all vehicles BIGINT, every encode a single
+    division (bit-exact)."""
+    from featureextraction_spark.operators.encoding import loo_target_encode
+
+    orders = _load(spark, sf_dir, "orders")
+    lab = orders.select(
+        "o_orderkey",
+        "o_orderpriority",
+        (F.col("o_orderstatus") == F.lit("F")).cast("long").alias("y"),
+    )
+    return loo_target_encode(lab, "o_orderpriority", "y", "o_orderkey")
+
+
+def q_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA F of document length across languages — exact
+    per-group BIGINT moments, ≤k-term SSB/SSW sums under the shared
+    nudge."""
+    from featureextraction_spark.operators.evaluation import anova_f
+
+    docs = _load(spark, sf_dir, "documents")
+    out = anova_f(docs, "lang", "n_chars")
+    return out.select(
+        "n",
+        "k",
+        _hround6(F.col("ssb")).alias("ssb"),
+        _hround6(F.col("ssw")).alias("ssw"),
+        _hround6(F.col("f")).alias("f"),
+    )
+
+
+def q_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall tau-b between quantity and price bucket over lineitem —
+    concordance counted on the bounded contingency cell table, C/D and
+    tie margins exact BIGINTs, one closing sqrt."""
+    from featureextraction_spark.operators.evaluation import kendall_tau_b
+
+    li = _load(spark, sf_dir, "lineitem")
+    pairs = li.select(
+        F.col("l_quantity").cast("long").alias("qty"),
+        F.floor(F.col("l_extendedprice") / 10000).cast("long").alias(
+            "price_bucket"
+        ),
+    )
+    out = kendall_tau_b(pairs, "qty", "price_bucket")
+    return out.select(
+        "n",
+        "conc",
+        "disc",
+        "n0",
+        "n1",
+        "n2",
+        _hround6(F.col("tau_b")).alias("tau_b"),
+    )
+
+
+def q_ldiversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct l-diversity audit over (lang, source) classes with the
+    length-bucket as the sensitive attribute — all-integer class sizes
+    and distinct counts plus the ≥l flag."""
+    from featureextraction_spark.operators.curation import l_diversity_audit
+
+    docs = _load(spark, sf_dir, "documents").select(
+        "lang",
+        "source",
+        (F.col("n_chars") / F.lit(100)).cast("long").alias("len_bucket"),
+    )
+    return l_diversity_audit(docs, ["lang", "source"], "len_bucket", l_min=3)
+
+
+def q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled (τ=0.7) sampling shares over sources — the
+    XLM-R mix flattener; BIGINT counts, one pow per group, normalizer
+    under the shared nudge."""
+    from featureextraction_spark.operators.curation import temperature_mix
+
+    docs = _load(spark, sf_dir, "documents")
+    out = temperature_mix(docs, "source", tau=0.7)
+    return out.select(
+        F.col("group").alias("source"),
+        "n",
+        _hround6(F.col("p_sample")).alias("p_sample"),
+        _hround6(F.col("p_natural")).alias("p_natural"),
+        _hround6(F.col("boost")).alias("boost"),
+    )
+
+
+def q_theil(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil T index of byte-mass inequality across documents — the
+    decomposable companion of gini_mass; one aggregate pass, integer
+    n/sum vehicles, the ln sum under the shared nudge."""
+    from featureextraction_spark.operators.profiling import theil_index
+
+    docs = _load(spark, sf_dir, "documents")
+    out = theil_index(docs, "n_chars")
+    return out.select(
+        "n",
+        "n_zero",
+        "sum_v",
+        _hround6(F.col("sum_xlnx")).alias("sum_xlnx"),
+        _hround6(F.col("theil")).alias("theil"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "lag_lead": q_lag_lead,
@@ -4910,6 +5016,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "diversity": q_diversity,
         "gini_mass": q_gini_mass,
         "mcnemar": q_mcnemar,
+        "loo_encode": q_loo_encode,
+        "anova": q_anova,
+        "kendall": q_kendall,
+        "ldiversity": q_ldiversity,
+        "temperature_mix": q_temperature_mix,
+        "theil": q_theil,
     }
 
 
@@ -7115,6 +7227,161 @@ def oracle_sql() -> dict[str, str]:
                                         * (abs(n10 - n01) - 1)
                                    ELSE 0 END AS DOUBLE)
                          / CAST(n10 + n01 AS DOUBLE) END AS chi2
+        FROM agg
+    """
+    # loo_encode: every encode a single division of BIGINTs — bit-exact
+    base["loo_encode"] = """
+        WITH base AS (
+            SELECT o_orderkey AS id, o_orderpriority AS cat,
+                   CAST(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END
+                        AS BIGINT) AS y
+            FROM orders
+        ),
+        per AS (
+            SELECT cat, CAST(count(*) AS BIGINT) AS n_cat,
+                   CAST(sum(y) AS BIGINT) AS sum_y
+            FROM base GROUP BY cat
+        ),
+        t AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(y) AS BIGINT) AS s FROM base)
+        SELECT id, cat, y, n_cat, sum_y,
+               CASE WHEN n_cat > 1
+                    THEN CAST(sum_y - y AS DOUBLE)
+                         / CAST(n_cat - 1 AS DOUBLE) END AS loo,
+               coalesce(
+                   CASE WHEN n_cat > 1
+                        THEN CAST(sum_y - y AS DOUBLE)
+                             / CAST(n_cat - 1 AS DOUBLE) END,
+                   CAST(s - y AS DOUBLE) / CAST(n - 1 AS DOUBLE)
+               ) AS encoded
+        FROM base JOIN per USING (cat) CROSS JOIN t
+    """
+    # anova: per-group BIGINT moments; ≤k-term SSB/SSW sums nudged
+    base["anova"] = """
+        WITH per AS (
+            SELECT lang,
+                   CAST(count(*) AS BIGINT) AS ng,
+                   CAST(sum(n_chars) AS BIGINT) AS sg,
+                   CAST(sum(n_chars * n_chars) AS BIGINT) AS qg
+            FROM documents GROUP BY lang
+        ),
+        agg AS (
+            SELECT CAST(sum(ng) AS BIGINT) AS n,
+                   CAST(count(*) AS BIGINT) AS k,
+                   sum(CAST(sg * sg AS DOUBLE) / CAST(ng AS DOUBLE)) AS sb,
+                   sum(CAST(qg AS DOUBLE)
+                       - CAST(sg * sg AS DOUBLE) / CAST(ng AS DOUBLE))
+                       AS ssw,
+                   CAST(sum(sg) AS BIGINT) AS s
+            FROM per
+        )
+        SELECT n, k,
+               round(sb - CAST(s * s AS DOUBLE) / CAST(n AS DOUBLE)
+                     + 1e-9, 6) AS ssb,
+               round(ssw + 1e-9, 6) AS ssw,
+               round(CASE WHEN k > 1 AND n > k AND ssw > 0
+                          THEN ((sb - CAST(s * s AS DOUBLE)
+                                      / CAST(n AS DOUBLE))
+                                / CAST(k - 1 AS DOUBLE))
+                               / (ssw / CAST(n - k AS DOUBLE)) END
+                     + 1e-9, 6) AS f
+        FROM agg
+    """
+    # kendall: concordance over the bounded cell table; C/D/margins
+    # exact BIGINTs, one closing sqrt
+    base["kendall"] = """
+        WITH cells AS (
+            SELECT CAST(l_quantity AS BIGINT) AS a,
+                   CAST(floor(l_extendedprice / 10000) AS BIGINT) AS b,
+                   CAST(count(*) AS BIGINT) AS c
+            FROM lineitem GROUP BY 1, 2
+        ),
+        cd AS (
+            SELECT CAST(coalesce(sum(CASE WHEN c2.b > c1.b
+                                          THEN c1.c * c2.c END), 0)
+                        AS BIGINT) AS conc,
+                   CAST(coalesce(sum(CASE WHEN c2.b < c1.b
+                                          THEN c1.c * c2.c END), 0)
+                        AS BIGINT) AS disc
+            FROM cells c1 JOIN cells c2 ON c2.a > c1.a
+        ),
+        ta AS (
+            SELECT CAST(sum(t) AS BIGINT) AS n,
+                   CAST(sum(t * (t - 1)) AS BIGINT) AS two_n1
+            FROM (SELECT sum(c) AS t FROM cells GROUP BY a)
+        ),
+        tb AS (
+            SELECT CAST(sum(t * (t - 1)) AS BIGINT) AS two_n2
+            FROM (SELECT sum(c) AS t FROM cells GROUP BY b)
+        )
+        SELECT n, conc, disc,
+               CAST(n * (n - 1) // 2 AS BIGINT) AS n0,
+               CAST(two_n1 // 2 AS BIGINT) AS n1,
+               CAST(two_n2 // 2 AS BIGINT) AS n2,
+               round(CASE WHEN (n * (n - 1) - two_n1) > 0
+                           AND (n * (n - 1) - two_n2) > 0
+                          THEN 2.0 * CAST(conc - disc AS DOUBLE)
+                               / sqrt(CAST(n * (n - 1) - two_n1 AS DOUBLE)
+                                      * CAST(n * (n - 1) - two_n2
+                                             AS DOUBLE)) END
+                     + 1e-9, 6) AS tau_b
+        FROM cd CROSS JOIN ta CROSS JOIN tb
+    """
+    # ldiversity: all-integer class audit (floor-bucket matches Spark's
+    # truncating long cast on the non-negative lengths)
+    base["ldiversity"] = """
+        SELECT lang, source,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(count(DISTINCT CAST(floor(n_chars / 100) AS BIGINT))
+                    AS BIGINT) AS l_distinct,
+               count(DISTINCT CAST(floor(n_chars / 100) AS BIGINT)) >= 3
+                   AS diverse
+        FROM documents GROUP BY lang, source
+    """
+    # temperature_mix: one pow per group, normalizer nudged
+    base["temperature_mix"] = """
+        WITH per AS (
+            SELECT source AS grp, CAST(count(*) AS BIGINT) AS n
+            FROM documents GROUP BY 1
+        ),
+        w AS (
+            SELECT grp, n,
+                   pow(CAST(n AS DOUBLE), CAST(0.7 AS DOUBLE)) AS wgt
+            FROM per
+        ),
+        t AS (SELECT sum(wgt) AS wsum, CAST(sum(n) AS BIGINT) AS ntot
+              FROM w)
+        SELECT grp AS source, n,
+               round(wgt / wsum + 1e-9, 6) AS p_sample,
+               round(CAST(n AS DOUBLE) / CAST(ntot AS DOUBLE) + 1e-9, 6)
+                   AS p_natural,
+               round((wgt / wsum)
+                     / (CAST(n AS DOUBLE) / CAST(ntot AS DOUBLE))
+                     + 1e-9, 6) AS boost
+        FROM w CROSS JOIN t
+    """
+    # theil: one aggregate pass; the ln sum rides the shared nudge
+    base["theil"] = """
+        WITH agg AS (
+            SELECT CAST(sum(CASE WHEN n_chars > 0 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n,
+                   CAST(sum(CASE WHEN n_chars <= 0 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_zero,
+                   CAST(sum(CASE WHEN n_chars > 0 THEN n_chars ELSE 0 END)
+                        AS BIGINT) AS sum_v,
+                   sum(CASE WHEN n_chars > 0
+                            THEN CAST(n_chars AS DOUBLE)
+                                 * ln(CAST(n_chars AS DOUBLE))
+                            ELSE 0.0 END) AS sum_xlnx
+            FROM documents
+        )
+        SELECT n, n_zero, sum_v,
+               round(sum_xlnx + 1e-9, 6) AS sum_xlnx,
+               round(CASE WHEN n > 0 AND sum_v > 0
+                          THEN sum_xlnx / CAST(sum_v AS DOUBLE)
+                               - ln(CAST(sum_v AS DOUBLE)
+                                    / CAST(n AS DOUBLE)) END
+                     + 1e-9, 6) AS theil
         FROM agg
     """
     return base

@@ -663,3 +663,82 @@ def k_anonymity_audit(
         (F.col("grp_n") >= int(k)).cast("long").alias("k_ok"),
         (F.col("n_sensitive") >= int(l_div)).cast("long").alias("l_ok"),
     )
+
+
+def l_diversity_audit(
+    df: DataFrame,
+    quasi_cols: list[str],
+    sensitive: str,
+    l_min: int = 2,
+) -> DataFrame:
+    """Distinct l-diversity audit (Machanavajjhala et al. ICDE'06) —
+    the follow-up k-anonymity (:func:`k_anonymity_audit`) needs: a
+    k-anonymous equivalence class still leaks if every member shares
+    the same SENSITIVE value, so each class must carry at least l
+    distinct sensitive values.
+
+    Output: one row per equivalence class — the quasi columns, ``n``
+    (class size), ``l_distinct`` (distinct sensitive values) and the
+    ``diverse`` flag (l_distinct ≥ l_min) — ALL integers/booleans,
+    bit-exact by construction.
+
+    Scale: ONE groupBy over the quasi key computing count +
+    count_distinct(sensitive) — the distinct is per-group over the
+    sensitive alphabet (map-side partials), the same single exchange
+    the k-anonymity audit pays. Release-gating joins on the class key
+    then use only ``diverse``.
+    """
+    qs = [F.col(c) for c in quasi_cols]
+    per = df.groupBy(*qs).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.countDistinct(F.col(sensitive)).cast("long").alias("l_distinct"),
+    )
+    return per.select(
+        *quasi_cols,
+        "n",
+        "l_distinct",
+        (F.col("l_distinct") >= F.lit(int(l_min))).alias("diverse"),
+    )
+
+
+def temperature_mix(
+    df: DataFrame,
+    group: str,
+    tau: float = 0.7,
+) -> DataFrame:
+    """Temperature-scaled sampling mix over sources — the multilingual
+    / multi-source pre-training standard (XLM-R, Conneau et al. ACL'20;
+    mT5): sampling share p_g ∝ n_g^τ flattens the natural mix toward
+    uniform as τ → 0 (τ = 1 recovers proportional, the
+    :func:`domain_mix` share). ``boost = p_g/q_g`` is the per-source
+    up/down-sampling factor a weighted sampler applies.
+
+    ``n_g`` ships as the exact BIGINT vehicle; ``pow(n, τ)`` is one
+    libm call per group and the ≤|groups|-term normalizer rides the
+    shared nudge (the :func:`..sampling.balance_weights` precedent).
+
+    Scale: ONE map-side-combinable groupBy(group); the normalizer is a
+    1-row aggregate of the bounded group table joined back broadcast.
+    """
+    per = df.groupBy(F.col(group).alias("group")).agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    per = per.select(
+        "group",
+        "n",
+        F.pow(F.col("n").cast("double"), F.lit(float(tau))).alias("__w"),
+    )
+    tot = per.agg(
+        F.sum("__w").alias("__wsum"),
+        F.sum("n").cast("long").alias("__ntot"),
+    )
+    out = per.crossJoin(F.broadcast(tot))
+    p = F.col("__w") / F.col("__wsum")
+    q = F.col("n").cast("double") / F.col("__ntot").cast("double")
+    return out.select(
+        "group",
+        "n",
+        p.alias("p_sample"),
+        q.alias("p_natural"),
+        (p / q).alias("boost"),
+    )

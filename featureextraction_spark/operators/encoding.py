@@ -395,3 +395,62 @@ def quantile_normalize(
         .alias("j"),
     )
     return withj.join(pooled, withj["j"] == pooled["__rk"]).drop("__rk")
+
+
+def loo_target_encode(
+    df: DataFrame,
+    cat: str,
+    y: str,
+    id_col: str,
+) -> DataFrame:
+    """Leave-one-out target encoding (the Kaggle/CatBoost-family
+    standard beside :func:`cumulative_target_encode`'s ordered form):
+    each row's category is encoded by the mean target of all OTHER rows
+    in the category —
+
+        loo = (S_cat − y_row) / (n_cat − 1)
+
+    so a row never sees its own label (the in-category leakage the
+    naive mean encoder has). Singleton categories have no peers →
+    ``loo`` NULL and ``encoded`` falls back to the GLOBAL leave-one-out
+    prior (N−1 peers), so the output never leaks and never nulls.
+
+    ALL-INTEGER vehicles: per-category S/n and the global S/N are exact
+    BIGINT sums of an integer 0/1 target; every encode is a single
+    division of BIGINTs — bit-exact cross-engine, no nudge.
+
+    Scale: ONE map-side-combinable groupBy(cat) producing a
+    |categories|-row table joined back BROADCAST; the global prior is a
+    1-row crossJoin. No window, no second scan of the fact table.
+    """
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.col(cat).alias("cat"),
+        F.col(y).cast("long").alias("y"),
+    )
+    per = base.groupBy("cat").agg(
+        F.count(F.lit(1)).cast("long").alias("n_cat"),
+        F.sum("y").cast("long").alias("sum_y"),
+    )
+    tot = base.agg(
+        F.count(F.lit(1)).cast("long").alias("__n"),
+        F.sum("y").cast("long").alias("__s"),
+    )
+    out = base.join(F.broadcast(per), "cat").crossJoin(F.broadcast(tot))
+    loo = F.when(
+        F.col("n_cat") > 1,
+        (F.col("sum_y") - F.col("y")).cast("double")
+        / (F.col("n_cat") - 1).cast("double"),
+    )
+    prior = (F.col("__s") - F.col("y")).cast("double") / (
+        F.col("__n") - 1
+    ).cast("double")
+    return out.select(
+        "id",
+        "cat",
+        "y",
+        "n_cat",
+        "sum_y",
+        loo.alias("loo"),
+        F.coalesce(loo, prior).alias("encoded"),
+    )

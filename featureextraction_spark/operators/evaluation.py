@@ -1273,3 +1273,136 @@ def mcnemar_test(
             "chi2"
         ),
     )
+
+
+def anova_f(df: DataFrame, group: str, value: str) -> DataFrame:
+    """One-way ANOVA F statistic — does the integer feature's mean
+    differ across k groups? The classical feature-screening companion
+    of :func:`welch_t2` (k groups, pooled variance) and
+    :func:`mutual_information` (linear rather than general
+    association):
+
+        SSB = Σ_g S_g²/n_g − S²/N      SSW = Σ_g (Q_g − S_g²/n_g)
+        F   = (SSB/(k−1)) / (SSW/(N−k))
+
+    from per-group exact BIGINT moments n_g, S_g = Σx, Q_g = Σx² (one
+    map-side-combinable groupBy). Each SSB/SSW term is a single
+    division of BIGINTs; the ≤k-term sums ride the shared nudge. int64
+    headroom: S_g² < 2^63 needs n_g·x̄ < 3·10⁹ — past that, cast S_g
+    to double before squaring (off the hash path), as
+    adjusted_rand_index does.
+
+    Output: ONE row — ``n``, ``k`` (BIGINTs), raw doubles ``ssb``,
+    ``ssw``, ``f`` (NULL when k < 2 or SSW = 0; caller nudge-rounds).
+    """
+    x = F.col(value).cast("long")
+    per = df.groupBy(F.col(group).alias("__g")).agg(
+        F.count(F.lit(1)).cast("long").alias("__ng"),
+        F.sum(x).cast("long").alias("__sg"),
+        F.sum(x * x).cast("long").alias("__qg"),
+    )
+    agg = per.agg(
+        F.sum("__ng").cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum(
+            (F.col("__sg") * F.col("__sg")).cast("double")
+            / F.col("__ng").cast("double")
+        ).alias("__sb"),
+        F.sum(
+            F.col("__qg").cast("double")
+            - (F.col("__sg") * F.col("__sg")).cast("double")
+            / F.col("__ng").cast("double")
+        ).alias("ssw"),
+        F.sum("__sg").cast("long").alias("__s"),
+    )
+    ssb = F.col("__sb") - (F.col("__s") * F.col("__s")).cast("double") / F.col(
+        "n"
+    ).cast("double")
+    return agg.select(
+        "n",
+        "k",
+        ssb.alias("ssb"),
+        "ssw",
+        F.when(
+            (F.col("k") > 1) & (F.col("n") > F.col("k")) & (F.col("ssw") > 0),
+            (ssb / (F.col("k") - 1).cast("double"))
+            / (F.col("ssw") / (F.col("n") - F.col("k")).cast("double")),
+        ).alias("f"),
+    )
+
+
+def kendall_tau_b(df: DataFrame, a: str, b: str) -> DataFrame:
+    """Kendall's tau-b rank correlation between two DISCRETE integer
+    columns — the tie-corrected concordance coefficient beside
+    :func:`..trend`'s Mann-Kendall (time) and spearman (continuous
+    ranks): computed entirely from the bounded (a, b) contingency cell
+    table, never from row pairs.
+
+        C, D = Σ over cell pairs (strictly ordered both ways / opposite)
+        n1 = Σ_a t_a(t_a−1)/2,  n2 = Σ_b t_b(t_b−1)/2,  n0 = n(n−1)/2
+        tau_b = (C − D) / sqrt((n0 − n1)·(n0 − n2))
+
+    C/D/n0/n1/n2 are EXACT BIGINTs (C from a |cells|²/2 self-join of
+    the cell table — bounded by the discrete alphabets, not the data);
+    the lone float op is the closing sqrt (one libm call, deterministic
+    both engines). int64 headroom: n0 ~ n²/2 → exact to n ≈ 4·10⁹;
+    the (n0−n1)(n0−n2) product is computed in double (its sqrt is
+    float anyway).
+
+    Scale: ONE map-side-combinable groupBy(a, b); the concordance join
+    and margin sums run over the bounded cell table only.
+    """
+    cells = df.groupBy(
+        F.col(a).cast("long").alias("__a"), F.col(b).cast("long").alias("__b")
+    ).agg(F.count(F.lit(1)).cast("long").alias("__c"))
+    c1 = cells.select(
+        F.col("__a").alias("a1"), F.col("__b").alias("b1"),
+        F.col("__c").alias("c1"),
+    )
+    c2 = cells.select(
+        F.col("__a").alias("a2"), F.col("__b").alias("b2"),
+        F.col("__c").alias("c2"),
+    )
+    pairs = c1.join(c2, F.col("a2") > F.col("a1"))
+    cd = pairs.agg(
+        F.sum(
+            F.when(F.col("b2") > F.col("b1"), F.col("c1") * F.col("c2"))
+            .otherwise(F.lit(0))
+        ).cast("long").alias("conc"),
+        F.sum(
+            F.when(F.col("b2") < F.col("b1"), F.col("c1") * F.col("c2"))
+            .otherwise(F.lit(0))
+        ).cast("long").alias("disc"),
+    )
+    ta = cells.groupBy("__a").agg(F.sum("__c").cast("long").alias("__t")).agg(
+        F.sum("__t").cast("long").alias("__n"),
+        F.sum(F.col("__t") * (F.col("__t") - 1)).cast("long").alias("__2n1"),
+    )
+    tb = cells.groupBy("__b").agg(F.sum("__c").cast("long").alias("__t")).agg(
+        F.sum(F.col("__t") * (F.col("__t") - 1)).cast("long").alias("__2n2"),
+    )
+    out = cd.crossJoin(F.broadcast(ta)).crossJoin(F.broadcast(tb))
+    n = F.col("__n")
+    two_n0 = n * (n - 1)
+    den = (
+        (two_n0 - F.col("__2n1")).cast("double")
+        * (two_n0 - F.col("__2n2")).cast("double")
+    )
+    return out.select(
+        n.alias("n"),
+        "conc",
+        "disc",
+        # shiftright, not `/2`: long `/` widens to double (exact only to
+        # 2^53); t(t−1) products are always even so the halving is exact
+        F.shiftright(two_n0, 1).cast("long").alias("n0"),
+        F.shiftright(F.col("__2n1"), 1).cast("long").alias("n1"),
+        F.shiftright(F.col("__2n2"), 1).cast("long").alias("n2"),
+        F.when(
+            den > 0,
+            # num/den both carry the doubling, so the /2s cancel:
+            # tau = 2(C−D)/sqrt((2n0−2n1)(2n0−2n2))
+            F.lit(2.0)
+            * (F.col("conc") - F.col("disc")).cast("double")
+            / F.sqrt(den),
+        ).alias("tau_b"),
+    )

@@ -956,3 +956,49 @@ def diversity_indices(df: DataFrame, part: str, cat: str) -> DataFrame:
             "evenness"
         ),
     )
+
+
+def theil_index(df: DataFrame, value: str) -> DataFrame:
+    """Theil T index of mass inequality across units — the
+    entropy-based companion of :func:`gini_concentration` (Theil 1967):
+    0 for perfect equality, ln n when one unit owns everything, and —
+    unlike Gini — exactly decomposable into between/within-group terms,
+    which is why mix audits prefer it.
+
+        T = Σ_i (x_i/S)·ln(x_i / (S/n))  =  (Σ x·ln x)/S − ln(S/n)
+
+    over units with x > 0 (zero-mass units contribute 0 in the limit
+    and are excluded, per the definition; ``n_zero`` reports them).
+    ``n``/``sum_v`` ship as exact BIGINTs; ``sum_xlnx`` is a per-unit
+    ln sum whose addition order rides the shared nudge.
+
+    Scale: ONE map-side-combinable aggregate over the rows — no sort
+    (Gini needs the global rank; Theil doesn't). Output: ONE row —
+    ``n``, ``n_zero``, ``sum_v`` (BIGINTs), raw doubles ``sum_xlnx``,
+    ``theil`` (caller nudge-rounds).
+    """
+    v = F.col(value).cast("long")
+    xd = v.cast("double")
+    agg = df.agg(
+        F.sum((v > 0).cast("long")).cast("long").alias("n"),
+        F.sum((v <= 0).cast("long")).cast("long").alias("n_zero"),
+        F.sum(F.when(v > 0, v).otherwise(F.lit(0))).cast("long").alias(
+            "sum_v"
+        ),
+        F.sum(F.when(v > 0, xd * F.log(xd)).otherwise(F.lit(0.0))).alias(
+            "sum_xlnx"
+        ),
+    )
+    return agg.select(
+        "n",
+        "n_zero",
+        "sum_v",
+        "sum_xlnx",
+        F.when(
+            (F.col("n") > 0) & (F.col("sum_v") > 0),
+            F.col("sum_xlnx") / F.col("sum_v").cast("double")
+            - F.log(
+                F.col("sum_v").cast("double") / F.col("n").cast("double")
+            ),
+        ).alias("theil"),
+    )
