@@ -4786,6 +4786,44 @@ def q_theil(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cochran(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran's Q across THREE rule classifiers for 'is this document
+    English' (contains ' the '/' and '/' of ') — every term an exact
+    BIGINT, Q a single BIGINT division (bit-exact)."""
+    from featureextraction_spark.operators.evaluation import cochran_q
+
+    docs = _load(spark, sf_dir, "documents")
+    truth = F.col("lang") == F.lit("en")
+    lt = F.lower(F.coalesce(F.col("text"), F.lit("")))
+    flags = [
+        (F.instr(lt, w) > 0) == truth
+        for w in (" the ", " and ", " of ")
+    ]
+    return cochran_q(docs, flags)
+
+
+def q_cohens_d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's d / Hedges' g of document length for every language pair
+    — per-group exact BIGINT moments, pair join over the bounded group
+    table, one sqrt at close (nudge-rounded)."""
+    from featureextraction_spark.operators.evaluation import cohens_d
+
+    docs = _load(spark, sf_dir, "documents")
+    out = cohens_d(docs, "lang", "n_chars")
+    return out.select(
+        "group_a",
+        "group_b",
+        "n_a",
+        "n_b",
+        "s_a",
+        "s_b",
+        _hround6(F.col("mean_a")).alias("mean_a"),
+        _hround6(F.col("mean_b")).alias("mean_b"),
+        _hround6(F.col("d")).alias("d"),
+        _hround6(F.col("g")).alias("g"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "lag_lead": q_lag_lead,
@@ -5022,6 +5060,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ldiversity": q_ldiversity,
         "temperature_mix": q_temperature_mix,
         "theil": q_theil,
+        "cochran": q_cochran,
+        "cohens_d": q_cohens_d,
     }
 
 
@@ -7383,6 +7423,77 @@ def oracle_sql() -> dict[str, str]:
                                     / CAST(n AS DOUBLE)) END
                      + 1e-9, 6) AS theil
         FROM agg
+    """
+    # cochran: all-BIGINT rational — Q a single division, bit-exact
+    base["cochran"] = """
+        WITH x AS (
+            SELECT CAST((strpos(lower(coalesce(text, '')), ' the ') > 0)
+                        = (lang = 'en') AS BIGINT) AS c0,
+                   CAST((strpos(lower(coalesce(text, '')), ' and ') > 0)
+                        = (lang = 'en') AS BIGINT) AS c1,
+                   CAST((strpos(lower(coalesce(text, '')), ' of ') > 0)
+                        = (lang = 'en') AS BIGINT) AS c2
+            FROM documents
+        ),
+        agg AS (
+            SELECT CAST(count(*) AS BIGINT) AS n_units,
+                   CAST(sum(c0 + c1 + c2) AS BIGINT) AS n_succ,
+                   CAST(sum((c0 + c1 + c2) * (c0 + c1 + c2)) AS BIGINT)
+                       AS sum_ri2,
+                   CAST(sum(c0) AS BIGINT) AS t0,
+                   CAST(sum(c1) AS BIGINT) AS t1,
+                   CAST(sum(c2) AS BIGINT) AS t2
+            FROM x
+        )
+        SELECT n_units, CAST(3 AS BIGINT) AS k, n_succ,
+               CAST(t0*t0 + t1*t1 + t2*t2 AS BIGINT) AS sum_cj2,
+               sum_ri2,
+               CAST(2 * (3 * (t0*t0 + t1*t1 + t2*t2) - n_succ * n_succ)
+                    AS BIGINT) AS q_num,
+               CAST(3 * n_succ - sum_ri2 AS BIGINT) AS q_den,
+               CASE WHEN 3 * n_succ - sum_ri2 > 0
+                    THEN CAST(2 * (3 * (t0*t0 + t1*t1 + t2*t2)
+                                   - n_succ * n_succ) AS DOUBLE)
+                         / CAST(3 * n_succ - sum_ri2 AS DOUBLE) END AS q
+        FROM agg
+    """
+    # cohens_d: per-group BIGINT moments; pair join over the bounded
+    # group table; one sqrt, nudged
+    base["cohens_d"] = """
+        WITH per AS (
+            SELECT lang AS g, CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(n_chars) AS BIGINT) AS s,
+                   CAST(sum(n_chars * n_chars) AS BIGINT) AS q
+            FROM documents GROUP BY 1
+        ),
+        pairs AS (
+            SELECT a.g AS group_a, b.g AS group_b,
+                   a.n AS n_a, b.n AS n_b, a.s AS s_a, b.s AS s_b,
+                   a.q AS q_a, b.q AS q_b
+            FROM per a JOIN per b ON a.g < b.g
+        ),
+        m AS (
+            SELECT *,
+                   CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS ma,
+                   CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS mb,
+                   ((CAST(q_a AS DOUBLE)
+                     - CAST(s_a * s_a AS DOUBLE) / CAST(n_a AS DOUBLE))
+                    + (CAST(q_b AS DOUBLE)
+                       - CAST(s_b * s_b AS DOUBLE) / CAST(n_b AS DOUBLE)))
+                   / CAST(n_a + n_b - 2 AS DOUBLE) AS sp2
+            FROM pairs
+        )
+        SELECT group_a, group_b, n_a, n_b, s_a, s_b,
+               round(ma + 1e-9, 6) AS mean_a,
+               round(mb + 1e-9, 6) AS mean_b,
+               round(CASE WHEN n_a + n_b > 2 AND sp2 > 0
+                          THEN (ma - mb) / sqrt(sp2) END + 1e-9, 6) AS d,
+               round(CASE WHEN n_a + n_b > 2 AND sp2 > 0
+                          THEN (ma - mb) / sqrt(sp2)
+                               * (1.0 - 3.0 / CAST(4 * (n_a + n_b) - 9
+                                                   AS DOUBLE)) END
+                     + 1e-9, 6) AS g
+        FROM m
     """
     return base
 

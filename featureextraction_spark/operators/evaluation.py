@@ -1406,3 +1406,126 @@ def kendall_tau_b(df: DataFrame, a: str, b: str) -> DataFrame:
             / F.sqrt(den),
         ).alias("tau_b"),
     )
+
+
+def cochran_q(df: DataFrame, flags: list) -> DataFrame:
+    """Cochran's Q test — the k-classifier generalization of
+    :func:`mcnemar_test` (Cochran 1950): do k paired binary outcomes
+    (k classifiers judged right/wrong on the SAME rows) have equal
+    marginal success rates?
+
+        Q = (k−1)·(k·ΣC_j² − N²) / (k·ΣR_i − ΣR_i²)
+
+    with C_j the per-classifier success totals, R_i the per-row success
+    counts and N = ΣC_j = ΣR_i. EVERY term is an exact BIGINT — Q is a
+    single division of BIGINTs, bit-exact cross-engine with no nudge.
+    NULL when the denominator is 0 (all rows unanimous — no
+    within-row variation to test). Headroom: k·ΣC² ≤ k³n², safe to
+    n ≈ 5·10⁸ rows at k = 3.
+
+    ``flags`` is a list of boolean Columns (one per classifier).
+    Scale: ONE map-side-combinable aggregate — per-row R_i is a plain
+    projection, no join, no window.
+    """
+    k = len(flags)
+    if k < 2:
+        raise ValueError("cochran_q needs at least 2 paired flag columns")
+    cs = [f.cast("boolean").cast("long") for f in flags]
+    r = cs[0]
+    for c in cs[1:]:
+        r = r + c
+    agg = df.agg(
+        F.count(F.lit(1)).cast("long").alias("n_units"),
+        F.sum(r).cast("long").alias("n_succ"),
+        F.sum(r * r).cast("long").alias("sum_ri2"),
+        *[
+            F.sum(c).cast("long").alias(f"__c{j}")
+            for j, c in enumerate(cs)
+        ],
+    )
+    sum_cj2 = None
+    for j in range(k):
+        t = F.col(f"__c{j}") * F.col(f"__c{j}")
+        sum_cj2 = t if sum_cj2 is None else sum_cj2 + t
+    num = (k - 1) * (k * sum_cj2 - F.col("n_succ") * F.col("n_succ"))
+    den = k * F.col("n_succ") - F.col("sum_ri2")
+    return agg.select(
+        "n_units",
+        F.lit(k).cast("long").alias("k"),
+        "n_succ",
+        sum_cj2.cast("long").alias("sum_cj2"),
+        "sum_ri2",
+        num.cast("long").alias("q_num"),
+        den.cast("long").alias("q_den"),
+        F.when(den > 0, num.cast("double") / den.cast("double")).alias("q"),
+    )
+
+
+def cohens_d(df: DataFrame, group: str, value: str) -> DataFrame:
+    """Cohen's d and Hedges' g effect sizes for every group pair — the
+    magnitude readout :func:`welch_t2` and :func:`anova_f` deliberately
+    omit (significance says a gap EXISTS; d says whether anyone should
+    care):
+
+        d = (m_a − m_b) / s_pooled
+        s_pooled² = ((n_a−1)s_a² + (n_b−1)s_b²) / (n_a + n_b − 2)
+        g = d · (1 − 3/(4·(n_a+n_b) − 9))     (Hedges small-sample bias)
+
+    From exact per-group BIGINT moments (n, S = Σx, Q = Σx²) in ONE
+    map-side-combinable groupBy; pairs come from the bounded
+    group-table self-join (|groups|²/2 rows), so no data-sized joins.
+    Means/variances are per-group rationals of BIGINTs; the closing
+    sqrt is the one libm call (deterministic both engines; outputs
+    nudge-rounded by the caller). int64 headroom: Q < 2^63 needs
+    n·x² < 9·10¹⁸ — at larger mass compute Q in double off the hash
+    path.
+
+    Output: one row per (group_a < group_b) pair — BIGINT ``n_a``,
+    ``n_b``, ``s_a``, ``s_b``, raw doubles ``mean_a``, ``mean_b``,
+    ``d``, ``g`` (NULL when pooled variance is 0 or n_a + n_b < 3).
+    """
+    x = F.col(value).cast("long")
+    per = df.groupBy(F.col(group).alias("g")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(x).cast("long").alias("s"),
+        F.sum(x * x).cast("long").alias("q"),
+    )
+    a = per.select(
+        F.col("g").alias("group_a"), F.col("n").alias("n_a"),
+        F.col("s").alias("s_a"), F.col("q").alias("q_a"),
+    )
+    b = per.select(
+        F.col("g").alias("group_b"), F.col("n").alias("n_b"),
+        F.col("s").alias("s_b"), F.col("q").alias("q_b"),
+    )
+    pairs = a.join(b, F.col("group_a") < F.col("group_b"))
+    na, nb = F.col("n_a").cast("double"), F.col("n_b").cast("double")
+    ma = F.col("s_a").cast("double") / na
+    mb = F.col("s_b").cast("double") / nb
+    # (n−1)·s² = Q − S²/n, kept as per-group rationals of BIGINTs
+    ssa = F.col("q_a").cast("double") - (
+        F.col("s_a") * F.col("s_a")
+    ).cast("double") / na
+    ssb = F.col("q_b").cast("double") - (
+        F.col("s_b") * F.col("s_b")
+    ).cast("double") / nb
+    dof = F.col("n_a") + F.col("n_b") - 2
+    sp2 = (ssa + ssb) / dof.cast("double")
+    d = F.when(
+        (dof > 0) & (sp2 > 0), (ma - mb) / F.sqrt(sp2)
+    )
+    j = F.lit(1.0) - F.lit(3.0) / (
+        4 * (F.col("n_a") + F.col("n_b")) - 9
+    ).cast("double")
+    return pairs.select(
+        "group_a",
+        "group_b",
+        "n_a",
+        "n_b",
+        "s_a",
+        "s_b",
+        ma.alias("mean_a"),
+        mb.alias("mean_b"),
+        d.alias("d"),
+        (d * j).alias("g"),
+    )
