@@ -1296,24 +1296,33 @@ def anova_f(df: DataFrame, group: str, value: str) -> DataFrame:
     ``ssw``, ``f`` (NULL when k < 2 or SSW = 0; caller nudge-rounds).
     """
     x = F.col(value).cast("long")
-    per = df.groupBy(F.col(group).alias("__g")).agg(
-        F.count(F.lit(1)).cast("long").alias("__ng"),
-        F.sum(x).cast("long").alias("__sg"),
-        F.sum(x * x).cast("long").alias("__qg"),
+    per = df.groupBy(F.col(group).alias("g")).agg(
+        F.count(F.lit(1)).cast("long").alias("ng"),
+        F.sum(x).cast("long").alias("sg"),
+        F.sum(x * x).cast("long").alias("qg"),
     )
+    return anova_from_group_moments(per)
+
+
+def anova_from_group_moments(per: DataFrame) -> DataFrame:
+    """Close the one-way ANOVA from a per-group moment table
+    ``(g, ng, sg, qg)`` — the shared tail between :func:`anova_f` and
+    the streaming twin (``streaming.evalagg.read_anova``): the moments
+    are ADDITIVE integers, so micro-batch partials merge commutatively
+    and batch/stream equality is structural."""
     agg = per.agg(
-        F.sum("__ng").cast("long").alias("n"),
+        F.sum("ng").cast("long").alias("n"),
         F.count(F.lit(1)).cast("long").alias("k"),
         F.sum(
-            (F.col("__sg") * F.col("__sg")).cast("double")
-            / F.col("__ng").cast("double")
+            (F.col("sg") * F.col("sg")).cast("double")
+            / F.col("ng").cast("double")
         ).alias("__sb"),
         F.sum(
-            F.col("__qg").cast("double")
-            - (F.col("__sg") * F.col("__sg")).cast("double")
-            / F.col("__ng").cast("double")
+            F.col("qg").cast("double")
+            - (F.col("sg") * F.col("sg")).cast("double")
+            / F.col("ng").cast("double")
         ).alias("ssw"),
-        F.sum("__sg").cast("long").alias("__s"),
+        F.sum("sg").cast("long").alias("__s"),
     )
     ssb = F.col("__sb") - (F.col("__s") * F.col("__s")).cast("double") / F.col(
         "n"

@@ -158,3 +158,50 @@ __all__ = [
     "streaming_calibration",
     "read_calibration",
 ]
+
+
+def streaming_anova(
+    stream: DataFrame,
+    state_dir: str,
+    group: str,
+    value: str,
+    checkpoint_dir: str | None = None,
+):
+    """Maintain the per-group ANOVA moment state (n, Σx, Σx²) on
+    ``stream``; returns the StreamingQuery. Read the live F statistic
+    with :func:`read_anova`. The moments are additive exact BIGINTs —
+    the same mergeable-partial shape as the AUC/calibration twins, with
+    the same ``__bid`` per-batch-overwrite exactly-once contract."""
+
+    def process(batch: DataFrame, batch_id: int) -> None:
+        x = F.col(value).cast("long")
+        partial = batch.groupBy(F.col(group).alias("g")).agg(
+            F.count(F.lit(1)).cast("long").alias("ng"),
+            F.sum(x).cast("long").alias("sg"),
+            F.sum(x * x).cast("long").alias("qg"),
+        )
+        _write_partial(partial, state_dir, batch_id)
+
+    writer = stream.writeStream.foreachBatch(process).trigger(availableNow=True)
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer.start()
+
+
+def read_anova(spark: SparkSession, state_dir: str) -> DataFrame:
+    """Merge the accumulated moment partials and close with the batch
+    operator's own tail (``anova_from_group_moments``) — row-equal to
+    :func:`..operators.evaluation.anova_f` over all rows seen so far
+    (twin-test gated)."""
+    from ..operators.evaluation import anova_from_group_moments
+
+    merged = (
+        _read_partials(spark, state_dir)
+        .groupBy("g")
+        .agg(
+            F.sum("ng").cast("long").alias("ng"),
+            F.sum("sg").cast("long").alias("sg"),
+            F.sum("qg").cast("long").alias("qg"),
+        )
+    )
+    return anova_from_group_moments(merged)

@@ -104,3 +104,50 @@ def test_degenerate_slice_reports_null_auc(spark, tmp_path):
     want = {r["grp"]: r["auc"] for r in roc_auc_by(df, group="grp").collect()}
     assert got == want
     assert got["all_pos"] is None
+
+
+def test_streaming_anova_matches_batch_and_replays(spark, tmp_path):
+    from featureextraction_spark.operators.evaluation import anova_f
+    from featureextraction_spark.streaming.evalagg import (
+        _write_partial,
+        read_anova,
+        streaming_anova,
+    )
+
+    rng = random.Random(473)
+    rows = [
+        (i, "g%d" % (i % 5), rng.randrange(0, 400)) for i in range(600)
+    ]
+    df = spark.createDataFrame(rows, "event_id long, grp string, v long")
+    stream = _as_stream(spark, df, tmp_path)
+    state = str(tmp_path / "anova_state")
+    q = streaming_anova(
+        stream, state_dir=state, group="grp", value="v",
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(180)
+    def close(a, b):
+        # n/k are exact integers; ssb/ssw/f close over ≤k-term double
+        # sums whose addition order differs between the merged-partial
+        # and batch moment tables — the shared-nudge situation
+        assert (a["n"], a["k"]) == (b["n"], b["k"])
+        for c in ("ssb", "ssw", "f"):
+            assert abs(a[c] - b[c]) <= 1e-6 * max(1.0, abs(b[c]))
+
+    got = read_anova(spark, state).collect()
+    want = anova_f(df, "grp", "v").collect()
+    assert len(got) == len(want) == 1
+    close(got[0], want[0])
+
+    # replay idempotency: rewrite one micro-batch's partial with its
+    # original batch_id — per-batch overwrite leaves the state identical
+    b1 = df.where(F.pmod(F.col("event_id"), F.lit(5)) == 1)
+    x = F.col("v").cast("long")
+    partial = b1.groupBy(F.col("grp").alias("g")).agg(
+        F.count(F.lit(1)).cast("long").alias("ng"),
+        F.sum(x).cast("long").alias("sg"),
+        F.sum(x * x).cast("long").alias("qg"),
+    )
+    _write_partial(partial, state, 1)
+    again = read_anova(spark, state).collect()
+    close(again[0], want[0])
